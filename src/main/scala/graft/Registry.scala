@@ -1,0 +1,20 @@
+package graft
+
+/** Single source of truth for every declared operator: each category object
+  * contributes a `Seq[Q]`; [[SparkEntry.queries]]/[[SparkEntry.oracleSql]]
+  * derive from this list so the key sets cannot drift apart (VERDICT r1 #3).
+  */
+object Registry {
+  val all: Seq[Q] =
+    operators.Scans.qs ++
+      operators.RowOps.qs ++
+      operators.Aggs.qs ++
+      operators.SetOps.qs
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] =
+    all.map(q => q.key -> q.build).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.key -> _)).toMap
+}

@@ -24,32 +24,77 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) in parquet, which Spark 4 refuses
+    * to read as a timestamp. Read it as a long of epoch-nanos (legacy conf)
+    * and derive `ts_us` (epoch-µs, exact integer division — never the
+    * double-division path, epoch-ns exceeds double's 53-bit mantissa) and
+    * `ts_t` (µs TimestampType). This matches DuckDB's `ts::TIMESTAMP`
+    * truncation, so oracle twins compare on identical µs values
+    * (SURVEY §7.4 R1). Queries must never emit raw `ts`.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+      .withColumn("ts_t",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("ts_us")))
+      .drop("ts")
+  }
 }
 
 /** Determinism helpers (SURVEY.md §2.0 rules D1–D8).
   *
-  * Cross-engine hash-matching of double aggregates cannot rely on rounding
+  * Cross-engine hash-matching of double aggregates cannot rely on `round`
   * alone: a 60k-row double sum differs between engines in the last ulps and
-  * occasionally flips a round(x, 2) boundary. Instead, decimal-like inputs
-  * (prices, quantities, discounts — all fixed-scale decimals stored as
-  * doubles) are cast per-row to DECIMAL(18, s) — an EXACT recovery of the
-  * intended value, since the double's error (~1e-11 relative) is far below
-  * the cast's rounding threshold — then summed exactly (decimal addition is
-  * associative), then cast back to double (sums stay within double's 15
-  * exact digits). The result is bit-identical in Spark and DuckDB regardless
-  * of partial-aggregation order.
+  * `round(x, 2)` itself is implemented differently (Spark rounds the
+  * shortest-decimal representation via BigDecimal; DuckDB rounds the binary
+  * value via `x*10^s`), so values whose exact decimal expansion lands on a
+  * half boundary at the target scale can legitimately round differently.
+  *
+  * The fixtures' numeric columns are fixed-scale decimals stored as doubles
+  * (prices/quantities/discounts/taxes/event values are all exact at scale ≤2,
+  * verified against sf0.01 this session). The safe scheme used by every
+  * declared query is therefore:
+  *
+  *  - snap each row-level value (or product) to DECIMAL(18, s) where `s` is
+  *    at least the expression's intrinsic scale — the double sits within
+  *    ~1e-10 of the exact s-dp value, never near a rounding midpoint, so
+  *    both engines recover the identical decimal;
+  *  - aggregate in decimal (exact, order-independent — Spark widens to
+  *    DECIMAL(28, s) for sums, DuckDB to 38 digits);
+  *  - cast the final scalar back to double (sums stay within double's 15
+  *    exact digits at bench scale).
+  *
+  * The result is bit-identical in Spark and DuckDB regardless of partial
+  * aggregation order or partition count. NOTE at 100 TB the DECIMAL(28, s)
+  * sum headroom (~1e22 at s=6) still clears a 1e13-row × 1e5 sum by 4 orders
+  * of magnitude; widen to DecimalType(38, s) if inputs grow hotter.
   */
 object Det {
-  /** Exact, order-independent sum of a fixed-scale-decimal double column. */
+  /** Snap a fixed-scale-decimal double to its exact value (per row). */
+  def dexact(c: Column, scale: Int): Column =
+    c.cast(DecimalType(18, scale)).cast("double")
+
+  /** SQL twin of [[dexact]]. */
+  def sqlDexact(e: String, scale: Int): String =
+    s"CAST(CAST(($e) AS DECIMAL(18,$scale)) AS DOUBLE)"
+
+  /** Exact, order-independent sum of a fixed-scale-decimal double column.
+    * `scale` must be ≥ the expression's intrinsic decimal scale (e.g. 4 for
+    * price(2dp) × discount-complement(2dp)); exactness only holds then. */
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
-  /** Exact mean derived from the exact sum (identical division on identical
-    * doubles in both engines). */
+  /** Exact mean of the non-null values, derived from the exact sum
+    * (identical division on identical doubles in both engines). */
   def davg(c: Column, scale: Int = 2): Column =
-    dsum(c, scale) / count(lit(1))
+    dsum(c, scale) / count(c)
 
   /** SQL twin of [[dsum]] for oracle queries. */
   def sqlDsum(e: String, scale: Int = 2): String =
@@ -57,10 +102,24 @@ object Det {
 
   /** SQL twin of [[davg]]. */
   def sqlDavg(e: String, scale: Int = 2): String =
-    s"(${sqlDsum(e, scale)} / count(*))"
+    s"(${sqlDsum(e, scale)} / count($e))"
 
   /** Timestamps are never emitted raw (events.ts is ns in parquet, µs in
     * Spark — SURVEY §7.4 R1); format to string on both sides. */
   def day(c: Column): Column = date_format(c, "yyyy-MM-dd")
   def second(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** SQL twins of [[day]]/[[second]] (DuckDB strftime). */
+  def sqlDay(e: String): String = s"strftime($e, '%Y-%m-%d')"
+  def sqlSecond(e: String): String = s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+
+  /** Event-time in integer microseconds — the only deterministic way to
+    * compare/subtract event timestamps cross-engine (Spark truncates the
+    * parquet ns to µs; the oracle casts `ts::TIMESTAMP` to match). */
+  def micros(c: Column): Column = unix_micros(c)
+  def sqlMicros(e: String): String = s"epoch_us(($e)::TIMESTAMP)"
+
+  /** Normalize a multi-line oracle SQL literal to one line (keeps
+    * oracle_sql.json single-line-safe and diffs readable). */
+  def sql(s: String): String = s.stripMargin.trim.replaceAll("\\s+", " ")
 }

@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.1-D — aggregations (SURVEY.md:201-212).
+  *
+  * Every double aggregate goes through [[Det.dsum]]/[[Det.davg]] (exact
+  * decimal accumulation → order-independent, partition-count-independent —
+  * the property that makes these plans safe on a 1000-executor cluster, not
+  * just hash-matchable). Hash aggregation is Spark's default physical
+  * strategy here: partial (map-side) agg → shuffle on the group keys →
+  * final agg, so the shuffle carries one row per (partition × group), not
+  * per input row.
+  */
+object Aggs {
+  import Det._
+
+  /** TPC-H Q1 pricing summary — also the flagship [[graft.SparkEntry.entry]]. */
+  def q1(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+    val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charge = discPrice * (lit(1) + col("l_tax"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(discPrice, 4).as("sum_disc_price"),
+        dsum(charge, 6).as("sum_charge"),
+        davg(col("l_quantity"), 2).as("avg_qty"),
+        davg(col("l_extendedprice"), 2).as("avg_price"),
+        davg(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1Oracle: String = sql(s"""
+    |SELECT l_returnflag, l_linestatus,
+    |  ${sqlDsum("l_quantity", 2)} AS sum_qty,
+    |  ${sqlDsum("l_extendedprice", 2)} AS sum_base_price,
+    |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+    |  ${sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+    |  ${sqlDavg("l_quantity", 2)} AS avg_qty,
+    |  ${sqlDavg("l_extendedprice", 2)} AS avg_price,
+    |  ${sqlDavg("l_discount", 2)} AS avg_disc,
+    |  count(*)::BIGINT AS count_order
+    |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    |GROUP BY l_returnflag, l_linestatus
+    |ORDER BY l_returnflag, l_linestatus""")
+
+  val qs: Seq[Q] = Seq(
+    Q("agg_hash_groupby", q1 _, Some(q1Oracle)),
+
+    Q("agg_count_distinct",
+      (s, dir) => Tables.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("distinct_customers"),
+          countDistinct(col("o_orderstatus")).as("distinct_statuses"))
+        .orderBy(col("o_orderpriority")),
+      Some(sql("""SELECT o_orderpriority,
+        |count(DISTINCT o_custkey)::BIGINT AS distinct_customers,
+        |count(DISTINCT o_orderstatus)::BIGINT AS distinct_statuses
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // HLL sketch values differ across engines → no oracle (D3); the exact
+    // twin is agg_count_distinct above. Still graded rows-only + benched.
+    Q("agg_approx_distinct",
+      (s, dir) => Tables.table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02)
+          .as("approx_users"))
+        .orderBy(col("event_type")),
+      None),
+
+    Q("agg_filtered",
+      (s, dir) => Tables.table(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(
+          sum(when(col("s_acctbal") > 0, 1L).otherwise(0L)).as("cnt_pos"),
+          sum(when(col("s_acctbal") <= 0, 1L).otherwise(0L)).as("cnt_nonpos"),
+          count(lit(1)).as("cnt_total"))
+        .orderBy(col("s_nationkey")),
+      Some(sql("""SELECT s_nationkey,
+        |count(*) FILTER (WHERE s_acctbal > 0)::BIGINT AS cnt_pos,
+        |count(*) FILTER (WHERE s_acctbal <= 0)::BIGINT AS cnt_nonpos,
+        |count(*)::BIGINT AS cnt_total
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))),
+
+    // var/stddev from exact decimal sums (sum-of-squares formula) so the
+    // result is bit-identical cross-engine; builtin stddev's accumulation
+    // order would not be. median of 2dp values snaps exactly at scale 3.
+    Q("agg_stats",
+      (s, dir) => {
+        val c = Tables.table(s, dir, "customer")
+        val n = count(lit(1))
+        val s1 = dsum(col("c_acctbal"), 2)
+        val s2 = dsum(col("c_acctbal") * col("c_acctbal"), 4)
+        c.groupBy(col("c_mktsegment"))
+          .agg(
+            min(col("c_acctbal")).as("min_bal"),
+            max(col("c_acctbal")).as("max_bal"),
+            ((s2 - s1 * s1 / n) / (n - lit(1))).as("var_bal"),
+            sqrt((s2 - s1 * s1 / n) / (n - lit(1))).as("stddev_bal"),
+            dexact(median(col("c_acctbal")), 3).as("median_bal"),
+            n.as("cnt"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(sql(s"""SELECT c_mktsegment,
+        |min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |((${sqlDsum("c_acctbal * c_acctbal", 4)} -
+        |  ${sqlDsum("c_acctbal", 2)} * ${sqlDsum("c_acctbal", 2)} / count(*))
+        | / (count(*) - 1)) AS var_bal,
+        |sqrt((${sqlDsum("c_acctbal * c_acctbal", 4)} -
+        |  ${sqlDsum("c_acctbal", 2)} * ${sqlDsum("c_acctbal", 2)} / count(*))
+        | / (count(*) - 1)) AS stddev_bal,
+        |${sqlDexact("median(c_acctbal)", 3)} AS median_bal,
+        |count(*)::BIGINT AS cnt
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))),
+
+    // Quantile sketches differ across engines → no oracle (D3); the exact
+    // twin is agg_stats' median.
+    Q("agg_percentile_approx",
+      (s, dir) => Tables.table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+            .as("p50_approx"),
+          percentile_approx(col("o_totalprice"), lit(0.95), lit(10000))
+            .as("p95_approx"))
+        .orderBy(col("o_orderstatus")),
+      None),
+
+    Q("agg_rollup",
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+        val sup = Tables.table(s, dir, "supplier")
+        val nat = Tables.table(s, dir, "nation")
+        val reg = Tables.table(s, dir, "region")
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"),
+            count(lit(1)).as("cnt"))
+          .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+            coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+            col("revenue"), col("cnt"))
+          .orderBy(col("region_name"), col("nation_name"))
+      },
+      Some(sql(s"""SELECT coalesce(r_name, 'ALL') AS region_name,
+        |coalesce(n_name, 'ALL') AS nation_name,
+        |${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+        |count(*)::BIGINT AS cnt
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region_name, nation_name"""))),
+
+    Q("agg_cube",
+      (s, dir) => Tables.table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice"), 2).as("total_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("cnt"), col("total_price"))
+        .orderBy(col("status"), col("priority")),
+      Some(sql(s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |coalesce(o_orderpriority, 'ALL') AS priority,
+        |count(*)::BIGINT AS cnt,
+        |${sqlDsum("o_totalprice", 2)} AS total_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority"""))),
+
+    Q("agg_grouping_sets",
+      (s, dir) => {
+        Tables.table(s, dir, "orders").createOrReplaceTempView("gs_orders_v")
+        s.sql(s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |coalesce(o_orderpriority, 'ALL') AS priority,
+          |count(*) AS cnt
+          |FROM gs_orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+      },
+      Some(sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |coalesce(o_orderpriority, 'ALL') AS priority,
+        |count(*)::BIGINT AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority"""))),
+
+    // D4: collections only ever emitted sorted; joined to a string so the
+    // driver's column hash sees a scalar (list physical-type friction).
+    Q("agg_collect_sorted",
+      (s, dir) => Tables.table(s, dir, "supplier")
+        .join(broadcast(Tables.table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(concat_ws(",", sort_array(collect_list(col("s_name"))))
+          .as("supplier_names"),
+          count(lit(1)).as("supplier_cnt"))
+        .orderBy(col("n_name")),
+      Some(sql("""SELECT n_name,
+        |string_agg(s_name, ',' ORDER BY s_name) AS supplier_names,
+        |count(*)::BIGINT AS supplier_cnt
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name"""))),
+  )
+}

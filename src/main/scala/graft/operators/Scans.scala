@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2.1-A — scans / sources / sinks (SURVEY.md:165-172).
+  *
+  * Scale notes: all three scan queries are single-stage (scan → partial agg
+  * or scan → sort) with Parquet column pruning and row-group predicate
+  * pushdown doing the heavy lifting — at 100 TB the shuffle-free `count` and
+  * the pushed filter are exactly the plans a 1000-executor cluster wants.
+  * The roundtrip sources write to a JVM-local temp dir; on a cluster the
+  * path would be object storage, the code shape is identical.
+  */
+object Scans {
+  import Det._
+
+  val qs: Seq[Q] = Seq(
+    Q("scan_parquet_count",
+      (s, dir) => Tables.table(s, dir, "lineitem")
+        .agg(count(lit(1)).as("cnt")),
+      Some(sql("SELECT count(*)::BIGINT AS cnt FROM lineitem"))),
+
+    Q("scan_projection_pushdown",
+      (s, dir) => Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_quantity")),
+      Some(sql("""SELECT l_orderkey, l_quantity FROM lineitem
+                 |ORDER BY l_orderkey, l_quantity"""))),
+
+    Q("scan_filter_pushdown",
+      (s, dir) => Tables.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          day(col("l_shipdate")).as("ship_day"))
+        // (l_orderkey, l_linenumber) is NOT unique in the fixtures — D1
+        // total order therefore spans every emitted column, so tied rows
+        // are bit-identical and inter-engine tie order cannot matter.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_day")),
+      Some(sql(s"""SELECT l_orderkey, l_linenumber,
+                  |${sqlDay("l_shipdate")} AS ship_day
+                  |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  |ORDER BY l_orderkey, l_linenumber, ship_day"""))),
+
+    // Side-effecting round-trips: no oracle (SURVEY §2.1-A ⛔); verified by
+    // self-equality in GraftSpec and the driver's rows-only check.
+    Q("source_csv_roundtrip",
+      (s, dir) => {
+        val nation = Tables.table(s, dir, "nation")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_csv").resolve("nation").toString
+        nation.write.mode("overwrite").option("header", "true").csv(path)
+        s.read.schema(nation.schema).option("header", "true").csv(path)
+          .orderBy(col("n_nationkey"))
+      },
+      None),
+
+    Q("source_json_roundtrip",
+      (s, dir) => {
+        val nation = Tables.table(s, dir, "nation")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_json").resolve("nation").toString
+        nation.write.mode("overwrite").json(path)
+        s.read.schema(nation.schema).json(path)
+          .orderBy(col("n_nationkey"))
+      },
+      None),
+  )
+}
