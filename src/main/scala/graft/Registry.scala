@@ -8,7 +8,9 @@ object Registry {
   val all: Seq[Q] =
     operators.Scans.qs ++
       operators.RowOps.qs ++
+      operators.Joins.qs ++
       operators.Aggs.qs ++
+      operators.Windows.qs ++
       operators.SetOps.qs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>

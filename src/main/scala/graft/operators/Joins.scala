@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.1-C — joins (SURVEY.md:186-197).
+  *
+  * Scale strategy per key (the part the sf0.01 fixtures can't show):
+  *  - dimension joins (`part`, `nation`, `region`, `supplier`) use an
+  *    explicit `broadcast()` hint — at 100 TB the fact side never shuffles;
+  *  - fact-fact joins (`lineitem ⋈ orders`) are hinted sort-merge — both
+  *    sides shuffle-partition on the key, which AQE can re-plan to
+  *    broadcast if a filter collapses one side;
+  *  - the range join equi-joins on `user_id` first so the quadratic blowup
+  *    is bounded per user; at larger scale bucket `ts` into coarse epochs
+  *    and equi-join on (user_id, epoch ± 1) before the range residual;
+  *  - the asof join is equi-join + per-left-row `row_number = 1`, the
+  *    shuffle-friendly formulation of "latest at-or-before".
+  */
+object Joins {
+  import Det._
+
+  val qs: Seq[Q] = Seq(
+    Q("join_broadcast_hash",
+      (s, dir) => Tables.table(s, dir, "lineitem")
+        .join(broadcast(Tables.table(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+          col("p_name"), col("p_brand"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+          col("p_name"), col("p_brand")),
+      Some(sql("""SELECT l_orderkey, l_linenumber, p_partkey, p_name,
+        |p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber, p_partkey, p_name, p_brand"""))),
+
+    Q("join_sort_merge",
+      (s, dir) => Tables.table(s, dir, "lineitem").hint("merge")
+        .join(Tables.table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("l_linenumber"),
+          col("o_orderstatus"), col("l_quantity"))
+        .orderBy(col("o_orderkey"), col("l_linenumber"),
+          col("o_orderstatus"), col("l_quantity")),
+      Some(sql("""SELECT o_orderkey, l_linenumber, o_orderstatus,
+        |l_quantity FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY o_orderkey, l_linenumber, o_orderstatus, l_quantity"""))),
+
+    // TPC-H Q3 shape: revenue of BUILDING-segment orders taken before a
+    // date with lines shipped after it, top 10.
+    Q("join_multiway_star",
+      (s, dir) => Tables.table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.table(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .join(Tables.table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > to_timestamp(lit("1997-01-01")))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .select(col("o_orderkey"), day(col("o_orderdate")).as("order_day"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10),
+      Some(sql(s"""SELECT o_orderkey, ${sqlDay("o_orderdate")} AS order_day,
+        |${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10"""))),
+
+    Q("join_left_outer",
+      (s, dir) => Tables.table(s, dir, "customer")
+        .join(Tables.table(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey")
+            && col("o_orderpriority") === "1-URGENT",
+          "left_outer")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("urgent_cnt"))
+        .orderBy(col("c_custkey")),
+      Some(sql("""SELECT c_custkey, c_name,
+        |count(o_orderkey)::BIGINT AS urgent_cnt
+        |FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey"""))),
+
+    // Asymmetric inputs (region-0 nations vs negative-balance suppliers) so
+    // both null sides of the full outer join are actually exercised; keys
+    // coalesced to sentinels to keep the total order null-free (D1).
+    Q("join_full_outer",
+      (s, dir) => Tables.table(s, dir, "nation")
+        .filter(col("n_regionkey") === 0)
+        .join(Tables.table(s, dir, "supplier")
+            .filter(col("s_acctbal") < 0),
+          col("n_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("n_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_name"), lit("(none)")).as("nation_name"),
+          coalesce(col("s_suppkey"), lit(-1L)).as("suppkey"),
+          coalesce(col("s_name"), lit("(none)")).as("supplier_name"))
+        .orderBy(col("nationkey"), col("suppkey")),
+      Some(sql("""SELECT
+        |coalesce(n_nationkey, s_nationkey) AS nationkey,
+        |coalesce(n_name, '(none)') AS nation_name,
+        |coalesce(s_suppkey, CAST(-1 AS BIGINT)) AS suppkey,
+        |coalesce(s_name, '(none)') AS supplier_name
+        |FROM (SELECT * FROM nation WHERE n_regionkey = 0) n
+        |FULL OUTER JOIN (SELECT * FROM supplier WHERE s_acctbal < 0) s
+        |  ON n_nationkey = s_nationkey
+        |ORDER BY nationkey, suppkey"""))),
+
+    Q("join_left_semi",
+      (s, dir) => Tables.table(s, dir, "customer")
+        .join(Tables.table(s, dir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some(sql("""SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey"""))),
+
+    Q("join_left_anti",
+      (s, dir) => Tables.table(s, dir, "customer")
+        .join(Tables.table(s, dir, "orders")
+            .filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some(sql("""SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey"""))),
+
+    Q("join_cross_theta",
+      (s, dir) => Tables.table(s, dir, "region")
+        .crossJoin(Tables.table(s, dir, "nation"))
+        .filter(col("r_regionkey") < col("n_regionkey"))
+        .select(col("r_regionkey"), col("r_name"), col("n_nationkey"),
+          col("n_name"))
+        .orderBy(col("r_regionkey"), col("n_nationkey")),
+      Some(sql("""SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region, nation WHERE r_regionkey < n_regionkey
+        |ORDER BY r_regionkey, n_nationkey"""))),
+
+    // Pairs of events by the same user within 24 hours — equi on user_id,
+    // range residual on the exact integer-µs event time.
+    Q("join_range_interval",
+      (s, dir) => {
+        val e = Tables.table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val a = e.select(col("event_id").as("a_event_id"),
+          col("user_id").as("user_id"), col("ts_us").as("a_us"))
+        val b = e.select(col("event_id").as("b_event_id"),
+          col("user_id").as("b_user_id"), col("ts_us").as("b_us"))
+        a.join(b, col("user_id") === col("b_user_id")
+            && col("a_us") < col("b_us")
+            && col("b_us") <= col("a_us") + lit(86400000000L))
+          .select(col("user_id"), col("a_event_id"), col("b_event_id"),
+            (col("b_us") - col("a_us")).as("gap_us"))
+          .orderBy(col("user_id"), col("a_event_id"), col("b_event_id"))
+      },
+      Some(sql(s"""SELECT a.user_id, a.event_id AS a_event_id,
+        |b.event_id AS b_event_id,
+        |${sqlMicros("b.ts")} - ${sqlMicros("a.ts")} AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        |  AND ${sqlMicros("a.ts")} < ${sqlMicros("b.ts")}
+        |  AND ${sqlMicros("b.ts")} <= ${sqlMicros("a.ts")} + 86400000000
+        |ORDER BY a.user_id, a_event_id, b_event_id"""))),
+
+    // As-of: for each event, the user's latest order at-or-before the event
+    // time (equi-join + row_number=1 — DuckDB's native ASOF JOIN breaks
+    // o_orderdate ties arbitrarily, so the oracle uses the same
+    // deterministic window formulation).
+    Q("join_asof",
+      (s, dir) => {
+        val e = Tables.table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val o = Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val w = Window.partitionBy(col("event_id"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        // o_orderdate is TIMESTAMP_NTZ; session tz is UTC, so this cast is
+        // the identity mapping to the instant DuckDB's epoch_us sees.
+        e.join(o, col("user_id") === col("o_custkey")
+            && unix_micros(col("o_orderdate").cast("timestamp")) <= col("ts_us"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") === 1)
+          .select(col("event_id"), col("user_id"), col("o_orderkey"),
+            day(col("o_orderdate")).as("order_day"))
+          .orderBy(col("event_id"))
+      },
+      Some(sql(s"""SELECT event_id, user_id, o_orderkey, order_day FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |    ${sqlDay("o.o_orderdate")} AS order_day,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey
+        |    AND epoch_us(o.o_orderdate) <= ${sqlMicros("e.ts")})
+        |WHERE rn = 1 ORDER BY event_id"""))),
+  )
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.1-E — window functions (SURVEY.md:216-223).
+  *
+  * Every window ORDER BY carries a unique tie-break (D7) — `rank` /
+  * `dense_rank` are the deliberate exceptions (tie-stable by definition, so
+  * they order by the value alone to actually exercise tie semantics).
+  * Frames are always spelled out as ROWS BETWEEN on both engines: DuckDB's
+  * default frame with ORDER BY is RANGE, Spark's is ROWS — relying on
+  * defaults would silently diverge. At scale a window is one shuffle on the
+  * partition key; the global-order windows (moving avg over a daily series)
+  * run on the already-aggregated small side.
+  */
+object Windows {
+  import Det._
+
+  val qs: Seq[Q] = Seq(
+    Q("window_ranking",
+      (s, dir) => {
+        val byPrice = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc)
+        val byPriceUnique = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.table(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(byPriceUnique).cast("long").as("rn"),
+            rank().over(byPrice).cast("long").as("rnk"),
+            dense_rank().over(byPrice).cast("long").as("drnk"),
+            ntile(4).over(byPriceUnique).cast("long").as("quartile"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some(sql("""SELECT o_custkey, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+        |rank() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC) AS rnk,
+        |dense_rank() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC) AS drnk,
+        |ntile(4) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile
+        |FROM orders ORDER BY o_custkey, rn"""))),
+
+    Q("window_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        Tables.table(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            lag(col("event_id"), 1).over(w).as("prev_event_id"),
+            lead(col("event_id"), 1).over(w).as("next_event_id"),
+            (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      Some(sql(s"""SELECT event_id, user_id,
+        |lag(event_id, 1) OVER w AS prev_event_id,
+        |lead(event_id, 1) OVER w AS next_event_id,
+        |${sqlMicros("ts")} - lag(${sqlMicros("ts")}, 1) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY ${sqlMicros("ts")} ASC, event_id ASC)
+        |ORDER BY event_id"""))),
+
+    Q("window_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.table(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            day(col("o_orderdate")).as("order_day"),
+            sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w)
+              .cast("double").as("running_total"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some(sql(s"""SELECT o_custkey, o_orderkey,
+        |${sqlDay("o_orderdate")} AS order_day,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey"""))),
+
+    // 7-day moving average over the pre-aggregated daily revenue series:
+    // sum/count spelled out so both engines fold the same 7 doubles.
+    Q("window_moving_avg",
+      (s, dir) => {
+        val daily = Tables.table(s, dir, "orders")
+          .groupBy(day(col("o_orderdate")).as("order_day"))
+          .agg(dsum(col("o_totalprice"), 2).as("day_rev"))
+        val w = Window.orderBy(col("order_day").asc).rowsBetween(-6, 0)
+        daily
+          .select(col("order_day"), col("day_rev"),
+            (sum(col("day_rev")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w)
+              .cast("double") / count(lit(1)).over(w)).as("mov_avg_7d"))
+          .orderBy(col("order_day"))
+      },
+      Some(sql(s"""WITH daily AS (
+        |  SELECT ${sqlDay("o_orderdate")} AS order_day,
+        |    ${sqlDsum("o_totalprice", 2)} AS day_rev
+        |  FROM orders GROUP BY ${sqlDay("o_orderdate")})
+        |SELECT order_day, day_rev,
+        |  (CAST(sum(CAST(day_rev AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |   / count(*) OVER w) AS mov_avg_7d
+        |FROM daily
+        |WINDOW w AS (ORDER BY order_day ASC
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY order_day"""))),
+
+    // Cheapest / priciest supplier line per part via first/last over the
+    // full frame; window order includes l_suppkey because tied
+    // (price, orderkey, linenumber) rows can carry different suppliers.
+    Q("window_first_last",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_partkey"))
+          .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc, col("l_suppkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.table(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            first(col("l_suppkey")).over(w).as("cheapest_supp"),
+            first(col("l_extendedprice")).over(w).as("cheapest_price"),
+            last(col("l_suppkey")).over(w).as("priciest_supp"),
+            last(col("l_extendedprice")).over(w).as("priciest_price"))
+          .distinct()
+          .orderBy(col("l_partkey"))
+      },
+      Some(sql("""SELECT DISTINCT l_partkey,
+        |first_value(l_suppkey) OVER w AS cheapest_supp,
+        |first_value(l_extendedprice) OVER w AS cheapest_price,
+        |last_value(l_suppkey) OVER w AS priciest_supp,
+        |last_value(l_extendedprice) OVER w AS priciest_price
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_partkey
+        |  ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC,
+        |    l_suppkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_partkey"""))),
+
+    Q("topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.table(s, dir, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+            col("o_totalprice"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some(sql("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn"""))),
+  )
+}
