@@ -11,7 +11,9 @@ object Registry {
       operators.Joins.qs ++
       operators.Aggs.qs ++
       operators.Windows.qs ++
-      operators.SetOps.qs
+      operators.SetOps.qs ++
+      functions.Scalars.qs ++
+      operators.EventOps.qs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

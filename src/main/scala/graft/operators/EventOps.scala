@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.1-H — event-stream / time-series operators, batch formulations
+  * (SURVEY.md:254-261). Streaming twins live in
+  * [[graft.streaming.StreamOps]] — Verify is batch-only, so only the batch
+  * shapes are oracle-declared.
+  *
+  * Event time is the exact integer-µs `ts_us` derived in [[Tables.events]];
+  * raw timestamps are never emitted (SURVEY §7.4 R1). Sessionization is the
+  * classic gap-flag + running-sum-over-window shape — one shuffle on
+  * user_id; at 100 TB this is the formulation that scales because state per
+  * key is O(1), unlike collect-and-sort-per-user.
+  */
+object EventOps {
+  import Det._
+
+  val qs: Seq[Q] = Seq(
+    Q("events_tumbling_window",
+      (s, dir) => Tables.table(s, dir, "events")
+        .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value"), 2).as("sum_value"))
+        .select(second(col("w.start")).as("hour_start"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type")),
+      Some(sql(s"""SELECT
+        |${sqlSecond("date_trunc('hour', ts::TIMESTAMP)")} AS hour_start,
+        |event_type, count(*)::BIGINT AS cnt,
+        |${sqlDsum("value", 2)} AS sum_value
+        |FROM events
+        |GROUP BY date_trunc('hour', ts::TIMESTAMP), event_type
+        |ORDER BY hour_start, event_type"""))),
+
+    // 1-hour windows sliding every 15 min: each event lands in exactly 4
+    // windows; the oracle materializes the 4 bucket offsets explicitly
+    // (DuckDB has no sliding window primitive).
+    Q("events_sliding_window",
+      (s, dir) => Tables.table(s, dir, "events")
+        .groupBy(window(col("ts_t"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value"), 2).as("sum_value"))
+        .select(second(col("w.start")).as("window_start"), col("cnt"),
+          col("sum_value"))
+        .orderBy(col("window_start")),
+      Some(sql(s"""SELECT
+        |${sqlSecond("time_bucket(INTERVAL 15 MINUTE, ts::TIMESTAMP) " +
+          "- k * INTERVAL 15 MINUTE")} AS window_start,
+        |count(*)::BIGINT AS cnt,
+        |${sqlDsum("value", 2)} AS sum_value
+        |FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+        |GROUP BY time_bucket(INTERVAL 15 MINUTE, ts::TIMESTAMP)
+        |  - k * INTERVAL 15 MINUTE
+        |ORDER BY window_start"""))),
+
+    Q("events_sessionization",
+      (s, dir) => {
+        val byTime = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        val gapUs = 30L * 60 * 1000000
+        Tables.table(s, dir, "events")
+          .withColumn("new_session",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(byTime) > gapUs
+              || lag(col("ts_us"), 1).over(byTime).isNull, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(
+            byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("ev_cnt"),
+            (max(col("ts_us")) - min(col("ts_us"))).as("span_us"),
+            dsum(col("value"), 2).as("sum_value"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some(sql(s"""WITH flagged AS (
+        |  SELECT user_id, value, ${sqlMicros("ts")} AS us,
+        |    CASE WHEN ${sqlMicros("ts")}
+        |           - lag(${sqlMicros("ts")}, 1) OVER w > ${30L * 60 * 1000000}
+        |         OR lag(${sqlMicros("ts")}, 1) OVER w IS NULL
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ${sqlMicros("ts")} ASC, event_id ASC)),
+        |sessions AS (
+        |  SELECT user_id, value, us,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*)::BIGINT AS ev_cnt,
+        |  (max(us) - min(us))::BIGINT AS span_us,
+        |  ${sqlDsum("value", 2)} AS sum_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id"""))),
+
+    Q("events_dedup_latest",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        Tables.table(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("ts_us").as("latest_us"), col("value"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some(sql(s"""SELECT user_id, event_type, event_id, latest_us, value
+        |FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    ${sqlMicros("ts")} AS latest_us, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ${sqlMicros("ts")} DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type"""))),
+
+    // Sequence detection: users whose first view < first click < first
+    // purchase — conditional min-aggregation, one shuffle on user_id.
+    Q("events_funnel",
+      (s, dir) => Tables.table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts_us"))).as("v_us"),
+          min(when(col("event_type") === "click", col("ts_us"))).as("c_us"),
+          min(when(col("event_type") === "purchase", col("ts_us")))
+            .as("p_us"))
+        .filter(col("v_us") < col("c_us") && col("c_us") < col("p_us"))
+        .orderBy(col("user_id")),
+      Some(sql(s"""SELECT user_id,
+        |min(CASE WHEN event_type = 'view' THEN ${sqlMicros("ts")} END)
+        |  AS v_us,
+        |min(CASE WHEN event_type = 'click' THEN ${sqlMicros("ts")} END)
+        |  AS c_us,
+        |min(CASE WHEN event_type = 'purchase' THEN ${sqlMicros("ts")} END)
+        |  AS p_us
+        |FROM events GROUP BY user_id
+        |HAVING v_us < c_us AND c_us < p_us
+        |ORDER BY user_id"""))),
+
+    Q("events_json_enrich",
+      (s, dir) => Tables.table(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .join(broadcast(Tables.table(s, dir, "customer")),
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+          dsum(col("value"), 2).as("sum_value"))
+        .orderBy(col("c_mktsegment")),
+      Some(sql(s"""SELECT c_mktsegment, count(*)::BIGINT AS cnt,
+        |CAST(sum(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT)
+        |  AS sum_k,
+        |${sqlDsum("value", 2)} AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment"""))),
+  )
+}
