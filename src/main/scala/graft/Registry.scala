@@ -13,7 +13,10 @@ object Registry {
       operators.Windows.qs ++
       operators.SetOps.qs ++
       functions.Scalars.qs ++
-      operators.EventOps.qs
+      operators.EventOps.qs ++
+      operators.TextOps.qs ++
+      operators.VecOps.qs ++
+      functions.ExtOps.qs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

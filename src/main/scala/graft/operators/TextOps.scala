@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.1-I — text / LLM-data-pipeline operators over `documents`
+  * (SURVEY.md:265-273; mandated by the north star: dedup + text analysis).
+  *
+  * Tokenization is whitespace `split` (the corpus has no punctuation).
+  * TF-IDF is pure DataFrame algebra (two aggregations + a join + a window),
+  * no MLlib. MinHash near-dup is the LSH-banded shape (VERDICT r1): shingle
+  * → k=16 minhashes → 8 bands × 2 rows → equi-join on (band, band-hash) —
+  * candidate generation is hash-partitioned and NEVER all-pairs, which is
+  * the property that survives 100 TB. Band buckets are the skew risk at
+  * scale: a degenerate shingle set (e.g. empty docs) collapses to one
+  * bucket — cap or salt oversized buckets before the pair join.
+  */
+object TextOps {
+  import Det._
+
+  private val NUM_HASHES = 16
+  private val BAND_ROWS = 2 // 8 bands × 2 rows: LSH threshold ≈ (1/8)^(1/2) ≈ 0.35
+
+  /** (doc_id, mh: array[16] of min-hashes over 3-word shingles). */
+  private def sketches(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(s, dir, "documents")
+    val shingled = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(w) - 2, 1)),
+          |  i -> concat_ws(' ', element_at(w, i),
+          |                 element_at(w, least(i + 1, size(w))),
+          |                 element_at(w, least(i + 2, size(w)))))"""
+          .stripMargin)).as("shingle"))
+      .distinct()
+    val mhCols = (0 until NUM_HASHES)
+      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    shingled.groupBy(col("doc_id"))
+      .agg(mhCols.head, mhCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NUM_HASHES).map(i => col(s"mh$i")): _*).as("mh"))
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("text_wordcount",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(50),
+      Some(sql("""SELECT word, count(*)::BIGINT AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |      FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50"""))),
+
+    Q("text_ngrams",
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("cnt").desc, col("bigram").asc)
+        Tables.table(s, dir, "documents")
+          .select(col("lang"), split(col("text"), " ").as("w"))
+          .select(col("lang"), explode(expr(
+            """transform(sequence(1, size(w) - 1),
+              |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"""
+              .stripMargin)).as("bigram"))
+          .groupBy(col("lang"), col("bigram"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 20)
+          .select(col("lang"), col("rn"), col("bigram"), col("cnt"))
+          .orderBy(col("lang"), col("rn"))
+      },
+      Some(sql("""WITH grams AS (
+        |  SELECT lang, ws[k] || ' ' || ws[k + 1] AS bigram
+        |  FROM (SELECT lang, ws,
+        |          unnest(generate_series(1, len(ws) - 1)) AS k
+        |        FROM (SELECT lang, string_split(text, ' ') AS ws
+        |              FROM documents))),
+        |counted AS (
+        |  SELECT lang, bigram, count(*)::BIGINT AS cnt,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, bigram ASC) AS rn
+        |  FROM grams GROUP BY lang, bigram)
+        |SELECT lang, rn, bigram, cnt FROM counted
+        |WHERE rn <= 20 ORDER BY lang, rn"""))),
+
+    // TF-IDF, pure DataFrame algebra. Ranking uses the ROUNDED score so a
+    // last-ulp ln() divergence cannot flip the per-doc order (D7 tie-break
+    // on word).
+    Q("text_tf_idf",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val tokens = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val tf = tokens.groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("word"))
+          .agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(df, "word").crossJoin(broadcast(n))
+          .withColumn("tfidf_r6",
+            round(col("tf") * log(col("n_docs") / col("df")), 6))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf_r6").desc, col("word").asc)
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("doc_id"), col("rn"), col("word"), col("tf"),
+            col("tfidf_r6"))
+          .orderBy(col("doc_id"), col("rn"))
+      },
+      Some(sql("""WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf
+        |       FROM tokens GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf,
+        |    round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf_r6
+        |  FROM tf JOIN df USING (word) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, word, tf, tfidf_r6,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf_r6 DESC, word ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, rn, word, tf, tfidf_r6 FROM ranked
+        |WHERE rn <= 5 ORDER BY doc_id, rn"""))),
+
+    // Exact dedup: one row per distinct content hash with its multiplicity
+    // and canonical (min) doc_id — the "keep list" of a dedup pass.
+    Q("text_exact_dedup",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .groupBy(sha2(col("text"), 256).as("content_sha256"))
+        .agg(count(lit(1)).as("dup_cnt"), min(col("doc_id")).as("canonical"))
+        .orderBy(col("content_sha256")),
+      Some(sql("""SELECT sha256(text) AS content_sha256,
+        |count(*)::BIGINT AS dup_cnt, min(doc_id) AS canonical
+        |FROM documents GROUP BY sha256(text)
+        |ORDER BY content_sha256"""))),
+
+    Q("text_length_stats",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)))
+            .as("avg_chars"),
+          max(size(split(col("text"), " "))).cast("long").as("max_tokens"),
+          sum(when(col("n_chars") === length(col("text")), 1L).otherwise(0L))
+            .as("n_valid"))
+        .orderBy(col("lang"), col("source")),
+      Some(sql("""SELECT lang, source, count(*)::BIGINT AS cnt,
+        |CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |(CAST(sum(n_chars) AS DOUBLE) / count(*)) AS avg_chars,
+        |CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+        |CAST(count(*) FILTER (WHERE n_chars = length(text)) AS BIGINT)
+        |  AS n_valid
+        |FROM documents GROUP BY lang, source ORDER BY lang, source"""))),
+
+    Q("text_lang_filter",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .filter(col("lang") =!= "en")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("token_cnt"))
+        .orderBy(col("doc_id")),
+      Some(sql("""SELECT doc_id, lang, source, n_chars,
+        |len(string_split(text, ' '))::BIGINT AS token_cnt
+        |FROM documents WHERE lang <> 'en' ORDER BY doc_id"""))),
+
+    // MinHash + banded LSH near-dup candidates. Hash-seed-dependent → no
+    // oracle (D3); Jaccard-estimate property is ScalaCheck-tested.
+    Q("text_minhash_neardup",
+      (s, dir) => {
+        val sk = sketches(s, dir)
+        val bands = sk.select(col("doc_id"),
+          posexplode(expr(
+            s"""transform(sequence(0, ${NUM_HASHES / BAND_ROWS - 1}),
+               |  b -> xxhash64(b, element_at(mh, b * $BAND_ROWS + 1),
+               |                element_at(mh, b * $BAND_ROWS + 2)))"""
+              .stripMargin)).as(Seq("band", "band_hash")))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band")
+              && col("x.band_hash") === col("y.band_hash")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(sk.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")),
+            "doc_a")
+          .join(sk.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")),
+            "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (aggregate(zip_with(col("mh_a"), col("mh_b"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+              lit(0), (a, x) => a + x).cast("double") / NUM_HASHES)
+              .as("est_jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None),
+  )
+}

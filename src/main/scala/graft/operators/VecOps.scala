@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** §2.1-J — vector / similarity-search operators over `embeddings`
+  * (SURVEY.md:277-282; north-star "similarity search").
+  *
+  * All vector math is higher-order functions (`transform`/`zip_with`/
+  * `aggregate`) — codegen'd, no UDFs. Folds are sequential in both engines
+  * and `0.0 + x == x` exactly, so per-row dot/norm doubles are bit-identical
+  * to DuckDB's `list_reduce` twins. Cross-row aggregation (centroids) goes
+  * through exact decimal sums so partition order can't perturb results.
+  *
+  * Scale: `vec_cosine_pairs` broadcasts a 1-row anchor; `vec_knn_per_label`
+  * is agg + broadcast-join + per-label top-k (centroids are tiny);
+  * `vec_dedup_threshold` here blocks on `label` to stay oracle-exact —
+  * the recall-lossy-but-scalable LSH-bucketed variant is the separate
+  * `vec_neardup_lsh` key (all-pairs within a bucket only, never global).
+  */
+object VecOps {
+  import Det._
+
+  /** embedding as array<double> (floats widen exactly; SURVEY §7.4 R4). */
+  private def embD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private val sqlDot =
+    (a: String, b: String) =>
+      s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (x, y) -> x + y)"
+
+  val qs: Seq[Q] = Seq(
+    Q("vec_norms",
+      (s, dir) => Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          sqrt(dot(embD(col("embedding")), embD(col("embedding"))))
+            .as("l2_norm"),
+          aggregate(embD(col("embedding")), lit(0.0), (a, x) => a + x)
+            .as("comp_sum"))
+        .orderBy(col("vec_id")),
+      Some(sql(s"""SELECT vec_id, label::BIGINT AS label,
+        |sqrt(${sqlDot("embedding::DOUBLE[]", "embedding::DOUBLE[]")})
+        |  AS l2_norm,
+        |list_reduce(embedding::DOUBLE[], (a, b) -> a + b) AS comp_sum
+        |FROM embeddings ORDER BY vec_id"""))),
+
+    // Cosine of every vector against the vec_id=0 anchor, top 10.
+    Q("vec_cosine_pairs",
+      (s, dir) => {
+        val e = Tables.table(s, dir, "embeddings")
+        val anchor = e.filter(col("vec_id") === 0)
+          .select(embD(col("embedding")).as("av"))
+        e.select(col("vec_id"), embD(col("embedding")).as("v"))
+          .crossJoin(broadcast(anchor))
+          .select(col("vec_id"),
+            (dot(col("v"), col("av"))
+              / (sqrt(dot(col("v"), col("v")))
+                * sqrt(dot(col("av"), col("av"))))).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some(sql(s"""WITH a AS (SELECT embedding::DOUBLE[] AS av
+        |  FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT vec_id,
+        |  (${sqlDot("v", "av")}
+        |   / (sqrt(${sqlDot("v", "v")}) * sqrt(${sqlDot("av", "av")})))
+        |  AS cos_sim
+        |FROM e CROSS JOIN a
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""))),
+
+    // Similarity search: 3 nearest vectors to each label centroid, as
+    // agg (centroid) + join + top-k. Cross-row sums are decimal-exact.
+    Q("vec_knn_per_label",
+      (s, dir) => {
+        val comps = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(embD(col("embedding"))).as(Seq("pos", "comp")))
+        val cent = comps.groupBy(col("label"), col("pos"))
+          .agg((sum(col("comp").cast(DecimalType(18, 9))).cast("double")
+            / count(lit(1))).as("ccomp"))
+        val cn = cent.groupBy(col("label"))
+          .agg(sum((col("ccomp") * col("ccomp")).cast(DecimalType(28, 14)))
+            .cast("double").as("cn2"))
+        val dots = comps.join(cent, Seq("label", "pos"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(sum((col("comp") * col("ccomp")).cast(DecimalType(28, 14)))
+            .cast("double").as("dotv"),
+            sum((col("comp") * col("comp")).cast(DecimalType(28, 14)))
+              .cast("double").as("vn2"))
+        val w = Window.partitionBy(col("label"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        dots.join(broadcast(cn), "label")
+          .select(col("label").cast("long").as("label"), col("vec_id"),
+            (col("dotv") / (sqrt(col("vn2")) * sqrt(col("cn2"))))
+              .as("cos_sim"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("label"), col("rn"), col("vec_id"), col("cos_sim"))
+          .orderBy(col("label"), col("rn"))
+      },
+      Some(sql("""WITH comps AS (
+        |  SELECT vec_id, label,
+        |    unnest(generate_series(1, len(embedding))) AS pos,
+        |    unnest(embedding::DOUBLE[]) AS comp
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, pos,
+        |    (CAST(sum(CAST(comp AS DECIMAL(18,9))) AS DOUBLE) / count(*))
+        |      AS ccomp
+        |  FROM comps GROUP BY label, pos),
+        |cn AS (
+        |  SELECT label,
+        |    CAST(sum(CAST(ccomp * ccomp AS DECIMAL(28,14))) AS DOUBLE)
+        |      AS cn2
+        |  FROM cent GROUP BY label),
+        |dots AS (
+        |  SELECT c.vec_id, c.label,
+        |    CAST(sum(CAST(c.comp * t.ccomp AS DECIMAL(28,14))) AS DOUBLE)
+        |      AS dotv,
+        |    CAST(sum(CAST(c.comp * c.comp AS DECIMAL(28,14))) AS DOUBLE)
+        |      AS vn2
+        |  FROM comps c JOIN cent t ON c.label = t.label AND c.pos = t.pos
+        |  GROUP BY c.vec_id, c.label),
+        |scored AS (
+        |  SELECT d.label::BIGINT AS label, d.vec_id,
+        |    (d.dotv / (sqrt(d.vn2) * sqrt(cn.cn2))) AS cos_sim,
+        |    row_number() OVER (PARTITION BY d.label
+        |      ORDER BY (d.dotv / (sqrt(d.vn2) * sqrt(cn.cn2))) DESC,
+        |        d.vec_id ASC) AS rn
+        |  FROM dots d JOIN cn ON d.label = cn.label)
+        |SELECT label, rn, vec_id, cos_sim FROM scored
+        |WHERE rn <= 3 ORDER BY label, rn"""))),
+
+    // Near-dup pairs above cosine 0.3, label-blocked (exact, oracle-checked;
+    // fixtures top out at cos≈0.51 so 0.99 would be vacuously empty).
+    Q("vec_dedup_threshold",
+      (s, dir) => {
+        val e = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), embD(col("embedding")).as("v"))
+        val a = e.select(col("vec_id").as("a_id"), col("label"),
+          col("v").as("va"))
+        val b = e.select(col("vec_id").as("b_id"),
+          col("label").as("b_label"), col("v").as("vb"))
+        a.join(b, col("label") === col("b_label")
+            && col("a_id") < col("b_id"))
+          .select(col("label").cast("long").as("label"), col("a_id"),
+            col("b_id"),
+            (dot(col("va"), col("vb"))
+              / (sqrt(dot(col("va"), col("va")))
+                * sqrt(dot(col("vb"), col("vb"))))).as("cos_sim"))
+          .filter(col("cos_sim") > 0.3)
+          .orderBy(col("label"), col("a_id"), col("b_id"))
+      },
+      Some(sql(s"""WITH e AS (SELECT vec_id, label,
+        |  embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.label::BIGINT AS label, a.vec_id AS a_id,
+        |  b.vec_id AS b_id,
+        |  (${sqlDot("a.v", "b.v")}
+        |   / (sqrt(${sqlDot("a.v", "a.v")}) * sqrt(${sqlDot("b.v", "b.v")})))
+        |  AS cos_sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE (${sqlDot("a.v", "b.v")}
+        |   / (sqrt(${sqlDot("a.v", "a.v")}) * sqrt(${sqlDot("b.v", "b.v")})))
+        |  > 0.3
+        |ORDER BY label, a_id, b_id"""))),
+
+    // Scalable near-dup: sign-random-projection LSH buckets (16-bit
+    // signature over 8 deterministic pseudo-planes), pairs compared only
+    // within a bucket — the 100 TB path (no oracle: LSH recall < 1 by
+    // design; bucketing quality is unit-tested instead).
+    Q("vec_neardup_lsh",
+      (s, dir) => {
+        val e = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), embD(col("embedding")).as("v"))
+          // Deterministic pseudo-random hyperplanes: plane p component i =
+          // hash-derived value in [-1,1); sign bit of <v, plane_p>.
+          .withColumn("sig", expr(
+            """aggregate(sequence(0, 7), 0L, (acc, p) ->
+              |  acc * 2 + CASE WHEN aggregate(
+              |    transform(v, (x, i) ->
+              |      x * (cast(pmod(xxhash64(p, i), 2000) as double)
+              |           / 1000.0 - 1.0)),
+              |    cast(0.0 as double), (a, y) -> a + y) >= 0
+              |  THEN 1 ELSE 0 END)""".stripMargin))
+        val a = e.select(col("vec_id").as("a_id"), col("sig"),
+          col("v").as("va"))
+        val b = e.select(col("vec_id").as("b_id"), col("sig").as("b_sig"),
+          col("v").as("vb"))
+        a.join(b, col("sig") === col("b_sig") && col("a_id") < col("b_id"))
+          .select(col("sig"), col("a_id"), col("b_id"),
+            (dot(col("va"), col("vb"))
+              / (sqrt(dot(col("va"), col("va")))
+                * sqrt(dot(col("vb"), col("vb"))))).as("cos_sim"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      None),
+  )
+}
