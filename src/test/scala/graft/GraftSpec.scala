@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM, one Spark context). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-test")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Every registered query runs, is non-empty (R6), and re-runs identically
+  * (total order ⇒ rerun-stable). */
+class RegistrySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("registry has no duplicate keys and covers the SURVEY inventory") {
+    val keys = Registry.all.map(_.key)
+    assert(keys.distinct.size === keys.size)
+    assert(keys.size >= 72, s"expected >= 72 keys, got ${keys.size}")
+    assert(Registry.oracleSql.keySet.subsetOf(Registry.queries.keySet))
+  }
+
+  Registry.all.foreach { q =>
+    test(s"${q.key}: non-empty and deterministic on sf0.001") {
+      val r1 = q.build(spark, sf).collect()
+      assert(r1.nonEmpty, s"${q.key} returned 0 rows at sf0.001")
+      val r2 = q.build(spark, sf).collect()
+      assert(r1.toSeq === r2.toSeq, s"${q.key} is not rerun-stable")
+    }
+  }
+
+  test("flagship entry() is TPC-H Q1: 6 groups, positive measures") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Long]("count_order") > 0)
+      assert(r.getAs[Double]("avg_disc") >= 0
+        && r.getAs[Double]("avg_disc") <= 1)
+    }
+  }
+}
+
+/** Cross-query algebraic invariants (SURVEY §5.4). */
+class InvariantSpec extends AnyFunSuite {
+  import TestSpark._
+  private def run(key: String): DataFrame =
+    Registry.queries(key)(spark, sf)
+
+  test("set algebra: |A∪B| = |A∩B| + |A∖B| + |B∖A|") {
+    val union = run("set_union_distinct").count()
+    val inter = run("set_intersect").count()
+    val exceptAB = run("set_except").count()
+    // |A ∪ B| = |A| + |B| - |A ∩ B| and |A ∖ B| = |A| - |A ∩ B|
+    val a = exceptAB + inter
+    val bMinusA = union - a
+    assert(union === inter + exceptAB + bMinusA)
+    assert(inter <= a && exceptAB <= a)
+  }
+
+  test("sessionization: per-user session count = 1 + gaps > 30min") {
+    val sessions = run("events_sessionization")
+      .groupBy("user_id").agg(max("session_id").as("n_sessions"))
+    val gaps = Tables.table(spark, sf, "events")
+      .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts_us").asc, col("event_id").asc)))
+      .groupBy("user_id")
+      .agg((sum(when(col("gap") > 30L * 60 * 1000000, 1L).otherwise(0L))
+        + 1L).as("expected"))
+    val joined = sessions.join(gaps, "user_id")
+      .filter(col("n_sessions") =!= col("expected"))
+    assert(joined.count() === 0)
+  }
+
+  test("dedup-latest keeps exactly one row per (user, type)") {
+    val d = run("events_dedup_latest")
+    assert(d.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() === 0)
+    val pairs = Tables.table(spark, sf, "events")
+      .select("user_id", "event_type").distinct().count()
+    assert(d.count() === pairs)
+  }
+
+  test("funnel users' stage times are strictly ordered") {
+    run("events_funnel").collect().foreach { r =>
+      assert(r.getAs[Long]("v_us") < r.getAs[Long]("c_us"))
+      assert(r.getAs[Long]("c_us") < r.getAs[Long]("p_us"))
+    }
+  }
+
+  test("cosine similarities lie in [-1, 1]; anchor matches itself at 1") {
+    val top = run("vec_cosine_pairs").collect()
+    assert(top.head.getAs[Long]("vec_id") === 0L)
+    assert(math.abs(top.head.getAs[Double]("cos_sim") - 1.0) < 1e-9)
+    top.foreach(r =>
+      assert(math.abs(r.getAs[Double]("cos_sim")) <= 1.0 + 1e-9))
+    run("vec_dedup_threshold").collect().foreach { r =>
+      val c = r.getAs[Double]("cos_sim")
+      assert(c > 0.3 && c <= 1.0 + 1e-9)
+    }
+  }
+
+  test("exact dedup: group multiplicities sum to the corpus size") {
+    val d = run("text_exact_dedup")
+    val total = d.agg(sum("dup_cnt")).head.getLong(0)
+    assert(total === Tables.table(spark, sf, "documents").count())
+  }
+
+  test("tf-idf: rank 1..<=5 per doc, tf >= 1") {
+    val t = run("text_tf_idf")
+    assert(t.filter(col("rn") < 1 || col("rn") > 5).count() === 0)
+    assert(t.filter(col("tf") < 1).count() === 0)
+  }
+
+  test("topk_per_group: at most 3 per customer, rank-price consistent") {
+    val t = run("topk_per_group")
+    assert(t.groupBy("o_custkey").count().filter(col("count") > 3)
+      .count() === 0)
+  }
+}
+
+/** MinHash estimate vs exact Jaccard (SURVEY §5.4a): with 16 hashes the
+  * estimator's σ = 0.125; assert every candidate pair is within 4σ. */
+class MinHashPropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("minhash est_jaccard within 0.5 of exact shingle Jaccard") {
+    val cand = Registry.queries("text_minhash_neardup")(spark, sf)
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(
+          |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+          |  i -> concat_ws(' ',
+          |    element_at(split(text, ' '), i),
+          |    element_at(split(text, ' '), least(i + 1, size(split(text, ' ')))),
+          |    element_at(split(text, ' '), least(i + 2, size(split(text, ' ')))))))"""
+          .stripMargin).as("sh"))
+    val checked = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .withColumn("exact",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))))
+      .select("doc_a", "doc_b", "est_jaccard", "exact")
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val exact = r.getAs[Double]("exact")
+      assert(math.abs(est - exact) <= 0.5,
+        s"pair (${r.get(0)}, ${r.get(1)}): est=$est exact=$exact")
+    }
+  }
+
+  test("csv/json roundtrips reproduce nation exactly") {
+    val nation = Tables.table(spark, sf, "nation").orderBy("n_nationkey")
+      .collect().toSeq
+    assert(Registry.queries("source_csv_roundtrip")(spark, sf)
+      .collect().toSeq === nation)
+    assert(Registry.queries("source_json_roundtrip")(spark, sf)
+      .collect().toSeq === nation)
+  }
+}
