@@ -16,6 +16,7 @@ object Registry {
       operators.EventOps.qs ++
       operators.TextOps.qs ++
       operators.VecOps.qs ++
+      operators.PipelineOps.qs ++
       functions.ExtOps.qs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>

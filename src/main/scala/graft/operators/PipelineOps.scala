@@ -1,0 +1,345 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators beyond the SURVEY §2.1 inventory —
+  * the north star's "dedup, similarity search, multimodal columns, text
+  * analysis" surface a 100 TB corpus pipeline actually needs.
+  *
+  * Design notes:
+  *  - every text op is a single scan + narrow transforms (+ one shuffle
+  *    where grouped) — the shapes that scale linearly;
+  *  - cross-engine word hashing uses md5-hex → BIGINT (both engines agree
+  *    bit-for-bit; xxhash64 exists only in Spark);
+  *  - `text_ngram_jaccard` joins on the shingle value — candidate pairs
+  *    are generated per shingle bucket, never all-pairs (frequency-capped
+  *    at scale to bound hot shingles);
+  *  - `vec_ann_ivf` is the IVF(-flat) shape: coarse quantizer → inverted
+  *    lists → nprobe-bounded search. Deterministic "training" uses label
+  *    centroids as the coarse codebook; on a cluster the codebook is tiny
+  *    and broadcast, and only probed lists are scanned;
+  *  - `mm_binary_meta` treats documents as opaque binary blobs with typed
+  *    metadata: the decode step is a clearly-marked deterministic STUB
+  *    (codec libraries are not in this container) but the Spark-side
+  *    plumbing — binary column, schema, per-row metadata extraction — is
+  *    real and oracle-checked.
+  */
+object PipelineOps {
+  import Det._
+
+  /** md5-derived 60-bit word hash, identical in Spark and DuckDB. */
+  private def whExpr(w: String): String =
+    s"CAST(conv(substring(md5($w), 1, 15), 16, 10) AS BIGINT)"
+  private def sqlWh(w: String): String =
+    s"CAST(concat('0x', substring(md5($w), 1, 15)) AS BIGINT)"
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  val qs: Seq[Q] = Seq(
+    // Marker-stopword language ID. Scores are exact token counts (bigint),
+    // argmax tie-breaks in fixed marker order.
+    Q("text_langid",
+      (s, dir) => {
+        val toks = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang").as("declared_lang"),
+            explode(split(col("text"), " ")).as("word"))
+        val scores = langMarkers.map { case (l, ms) =>
+          sum(when(col("word").isin(ms: _*), 1L).otherwise(0L)).as(s"s_$l")
+        }
+        val best = greatest(langMarkers.map(m => col(s"s_${m._1}")): _*)
+        val pred = langMarkers.foldRight(lit("und"): Column) {
+          case ((l, _), e) => when(col(s"s_$l") === best, l).otherwise(e)
+        }
+        toks.groupBy(col("doc_id"), col("declared_lang"))
+          .agg(scores.head, scores.tail: _*)
+          .select((Seq(col("doc_id"), col("declared_lang")) ++
+            langMarkers.map(m => col(s"s_${m._1}")) :+
+            pred.as("pred_lang")): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some(sql(s"""WITH toks AS (
+        |  SELECT doc_id, lang AS declared_lang,
+        |    unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, declared_lang,
+        |${langMarkers.map { case (l, ms) =>
+            s"    CAST(count(*) FILTER (WHERE word IN (${ms.map("'" + _ + "'").mkString(",")})) AS BIGINT) AS s_$l"
+          }.mkString(",\n")}
+        |  FROM toks GROUP BY doc_id, declared_lang)
+        |SELECT doc_id, declared_lang, s_en, s_de, s_es, s_fr,
+        |  CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+        |       ELSE 'und' END AS pred_lang
+        |FROM scored ORDER BY doc_id"""))),
+
+    // Quality scoring: token stats + stopword ratio + type/token ratio,
+    // combined into one bounded score (round 6 on identical doubles).
+    Q("text_quality_score",
+      (s, dir) => {
+        val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+        Tables.table(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("w")).cast("long"))
+          .withColumn("n_distinct",
+            size(array_distinct(col("w"))).cast("long"))
+          .withColumn("n_stop",
+            size(filter(col("w"), x => x.isin(stop: _*))).cast("long"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            col("n_stop"),
+            ((col("n_chars") - (col("n_tokens") - lit(1L)))
+              .cast("double") / col("n_tokens")).as("avg_token_len"),
+            round(lit(0.4) * (col("n_distinct").cast("double")
+                / col("n_tokens"))
+              + lit(0.3) * (lit(1.0) - col("n_stop").cast("double")
+                / col("n_tokens"))
+              + lit(0.3) * least(col("n_tokens").cast("double") / 100.0,
+                lit(1.0)), 6).as("quality_r6"))
+          .orderBy(col("doc_id"))
+      },
+      Some(sql("""WITH b AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(w, x -> x IN
+        |      ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stop
+        |  FROM b)
+        |SELECT doc_id, n_tokens, n_distinct, n_stop,
+        |  (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens)
+        |    AS avg_token_len,
+        |  round(0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+        |    + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+        |    + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6)
+        |    AS quality_r6
+        |FROM m ORDER BY doc_id"""))),
+
+    // Token counting: whitespace tokens + BPE-ish consonant-vowel subword
+    // units (same leftmost-greedy regex subset in Java and RE2, D6).
+    Q("text_token_count",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[bcdfghjklmnpqrstvwxyz]+[aeiou]+"), lit(0)))
+            .cast("long").as("cv_units"),
+          (col("n_chars").cast("double")
+            / size(split(col("text"), " "))).as("chars_per_token"))
+        .orderBy(col("doc_id")),
+      Some(sql("""SELECT doc_id,
+        |len(string_split(text, ' '))::BIGINT AS ws_tokens,
+        |len(regexp_extract_all(text,
+        |  '[bcdfghjklmnpqrstvwxyz]+[aeiou]+'))::BIGINT AS cv_units,
+        |(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')))
+        |  AS chars_per_token
+        |FROM documents ORDER BY doc_id"""))),
+
+    // Rolling polynomial fingerprint over the token stream — exact modular
+    // integer arithmetic, identical fold in both engines.
+    Q("text_fingerprint",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          s"""aggregate(split(text, ' '), CAST(0 AS BIGINT),
+             |  (h, w) -> (h * 31 + ${whExpr("w")} % 1000000007)
+             |            % 2147483647)""".stripMargin).as("fingerprint"))
+        .orderBy(col("doc_id")),
+      Some(sql(s"""SELECT doc_id,
+        |list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ' '),
+        |      w -> ${sqlWh("w")} % 1000000007)),
+        |  (h, x) -> (h * 31 + x) % 2147483647) AS fingerprint
+        |FROM documents ORDER BY doc_id"""))),
+
+    // 32-bit SimHash over md5-derived word hashes (+ top-16-bit band for
+    // bucketed near-dup joins). Word hashes are materialized once per doc,
+    // then folded per bit.
+    Q("text_simhash",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .withColumn("whs", expr(
+          s"transform(split(text, ' '), w -> ${whExpr("w")})"))
+        .select(col("doc_id"), expr(
+          """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) ->
+            |  acc * 2 + CASE WHEN aggregate(whs, CAST(0 AS BIGINT),
+            |    (c, h) -> c + CASE WHEN (shiftright(h, j) & 1) = 1
+            |                  THEN 1 ELSE -1 END) > 0
+            |  THEN 1 ELSE 0 END)""".stripMargin).as("simhash32"))
+        .withColumn("band16", expr("shiftright(simhash32, 16)"))
+        .orderBy(col("doc_id")),
+      Some(sql(s"""WITH whs AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ' '), w -> ${sqlWh("w")})
+        |      AS whs
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        CAST(generate_series(0, 31) AS BIGINT[])),
+        |      (acc, j) -> acc * 2 + CASE WHEN
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT), whs),
+        |          (c, h) -> c + CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1
+        |                     THEN 1 ELSE -1 END) > 0
+        |      THEN 1 ELSE 0 END) AS simhash32
+        |  FROM whs)
+        |SELECT doc_id, simhash32, simhash32 >> 16 AS band16
+        |FROM sh ORDER BY doc_id"""))),
+
+    // Pairwise n-gram (3-shingle) Jaccard over shingle-bucket joins:
+    // candidates come from shared shingles only — never an all-pairs
+    // product. Exact bigint set arithmetic; division on identical doubles.
+    Q("text_ngram_jaccard",
+      (s, dir) => {
+        val sh = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(w) - 2),
+              |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+              |                 element_at(w, i + 2)))""".stripMargin))
+            .as("s"))
+          .distinct()
+        val sizes = sh.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n"))
+        val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter_cnt"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+            "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+            "doc_b")
+          .withColumn("jaccard", col("inter_cnt").cast("double")
+            / (col("na") + col("nb") - col("inter_cnt")))
+          .filter(col("jaccard") > 0.5)
+          .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
+            col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(sql("""WITH sh AS (
+        |  SELECT DISTINCT doc_id, ws[k] || ' ' || ws[k+1] || ' ' || ws[k+2]
+        |    AS s
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(1, len(ws) - 2)) AS k
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |              FROM documents WHERE len(string_split(text, ' ')) >= 3)
+        |       )),
+        |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*)::BIGINT AS inter_cnt
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter_cnt,
+        |  (CAST(inter_cnt AS DOUBLE) / (sa.n + sb.n - inter_cnt)) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE (CAST(inter_cnt AS DOUBLE) / (sa.n + sb.n - inter_cnt)) > 0.5
+        |ORDER BY doc_a, doc_b"""))),
+
+    // IVF approximate nearest neighbors: label-centroid codebook (10
+    // lists), every vector assigned to its nearest list, queries probe the
+    // nprobe=2 nearest lists and rank candidates by cosine. LSH/IVF recall
+    // is < 1 by design → no oracle; recall vs brute force is unit-tested.
+    Q("vec_ann_ivf",
+      (s, dir) => {
+        val embDub = transform(col("embedding"), x => x.cast("double"))
+        val dotc = (a: Column, b: Column) =>
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+            (acc, x) => acc + x)
+        val e = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), embDub.as("v"))
+          .withColumn("u", transform(col("v"),
+            x => x / sqrt(dotc(col("v"), col("v")))))
+          .select(col("vec_id"), col("label"), col("u"))
+        // Coarse codebook: per-label mean vector, normalized (collected
+        // per (label,pos) then re-assembled; tiny → broadcast).
+        val cent = e
+          .select(col("label"), posexplode(col("u")).as(Seq("pos", "c")))
+          .groupBy(col("label"), col("pos"))
+          .agg(avg(col("c")).as("c"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+            .as("pc"))
+          .select(col("label").as("list_id"),
+            expr("transform(pc, x -> x.c)").as("cv"))
+          .withColumn("cu", transform(col("cv"),
+            x => x / sqrt(dotc(col("cv"), col("cv")))))
+          .select(col("list_id"), col("cu"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("list_id").asc)
+        val assign = e.crossJoin(broadcast(cent))
+          .withColumn("sim", dotc(col("u"), col("cu")))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("list_id"))
+        val qProbe = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("u").as("qu"))
+          .crossJoin(broadcast(cent))
+          .withColumn("sim", dotc(col("qu"), col("cu")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("sim").desc, col("list_id").asc)))
+          .filter(col("rn") <= 2)
+          .select(col("q_id"), col("qu"), col("list_id"))
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        qProbe.join(assign, "list_id")
+          .filter(col("vec_id") =!= col("q_id"))
+          .join(e.select(col("vec_id"), col("u")), "vec_id")
+          .withColumn("cos_sim", dotc(col("qu"), col("u")))
+          .withColumn("rn", row_number().over(wTop).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
+            col("list_id").cast("long").as("list_id"), col("cos_sim"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      None),
+
+    // Multimodal plumbing: documents as opaque binary + typed metadata.
+    // The "decode" (width/height/frames) is a deterministic STUB derived
+    // from the content hash — codec libs are not in this container; a real
+    // deployment swaps the stub for mapPartitions over the codec while the
+    // schema/partitioning/metadata shape stays identical.
+    Q("mm_binary_meta",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .withColumn("bin", col("text").cast("binary"))
+        .withColumn("wh", expr(whExpr("text")))
+        .select(col("doc_id"),
+          length(col("bin")).cast("long").as("n_bytes"),
+          hex(expr("substring(bin, 1, 8)")).as("first8_hex"),
+          sha2(col("bin"), 256).as("content_sha256"),
+          when(pmod(col("wh"), lit(3)) === 0, "image")
+            .when(pmod(col("wh"), lit(3)) === 1, "audio")
+            .otherwise("video").as("kind"),
+          (lit(32L) + pmod(col("wh"), lit(480))).as("meta_width"),
+          (lit(32L) + pmod(expr("wh DIV 480"), lit(480))).as("meta_height"),
+          (lit(1L) + pmod(col("wh"), lit(30))).as("meta_frames"))
+        .orderBy(col("doc_id")),
+      Some(sql(s"""SELECT doc_id,
+        |octet_length(encode(text))::BIGINT AS n_bytes,
+        |hex(encode(substring(text, 1, 8))) AS first8_hex,
+        |sha256(text) AS content_sha256,
+        |CASE WHEN ${sqlWh("text")} % 3 = 0 THEN 'image'
+        |     WHEN ${sqlWh("text")} % 3 = 1 THEN 'audio'
+        |     ELSE 'video' END AS kind,
+        |32 + ${sqlWh("text")} % 480 AS meta_width,
+        |32 + (${sqlWh("text")} // 480) % 480 AS meta_height,
+        |1 + ${sqlWh("text")} % 30 AS meta_frames
+        |FROM documents ORDER BY doc_id"""))),
+  )
+}

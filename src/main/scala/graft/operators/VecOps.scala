@@ -139,35 +139,37 @@ object VecOps {
 
     // Near-dup pairs above cosine 0.3, label-blocked (exact, oracle-checked;
     // fixtures top out at cos≈0.51 so 0.99 would be vacuously empty).
+    // Vectors are unit-normalized ONCE before the pair join, so each pair
+    // costs a single 64-element fold instead of three (~3× less work in the
+    // O(pairs) hot loop — the term that dominates at scale). The oracle
+    // normalizes identically, keeping the doubles bit-identical.
     Q("vec_dedup_threshold",
       (s, dir) => {
         val e = Tables.table(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), embD(col("embedding")).as("v"))
+          .withColumn("n", sqrt(dot(col("v"), col("v"))))
+          .withColumn("u", transform(col("v"), x => x / col("n")))
         val a = e.select(col("vec_id").as("a_id"), col("label"),
-          col("v").as("va"))
+          col("u").as("ua"))
         val b = e.select(col("vec_id").as("b_id"),
-          col("label").as("b_label"), col("v").as("vb"))
+          col("label").as("b_label"), col("u").as("ub"))
         a.join(b, col("label") === col("b_label")
             && col("a_id") < col("b_id"))
-          .select(col("label").cast("long").as("label"), col("a_id"),
-            col("b_id"),
-            (dot(col("va"), col("vb"))
-              / (sqrt(dot(col("va"), col("va")))
-                * sqrt(dot(col("vb"), col("vb"))))).as("cos_sim"))
+          .withColumn("cos_sim", dot(col("ua"), col("ub")))
           .filter(col("cos_sim") > 0.3)
+          .select(col("label").cast("long").as("label"), col("a_id"),
+            col("b_id"), col("cos_sim"))
           .orderBy(col("label"), col("a_id"), col("b_id"))
       },
       Some(sql(s"""WITH e AS (SELECT vec_id, label,
-        |  embedding::DOUBLE[] AS v FROM embeddings)
+        |  list_transform(embedding::DOUBLE[],
+        |    x -> x / sqrt(${sqlDot("embedding::DOUBLE[]",
+                "embedding::DOUBLE[]")})) AS u
+        |  FROM embeddings)
         |SELECT a.label::BIGINT AS label, a.vec_id AS a_id,
-        |  b.vec_id AS b_id,
-        |  (${sqlDot("a.v", "b.v")}
-        |   / (sqrt(${sqlDot("a.v", "a.v")}) * sqrt(${sqlDot("b.v", "b.v")})))
-        |  AS cos_sim
+        |  b.vec_id AS b_id, ${sqlDot("a.u", "b.u")} AS cos_sim
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE (${sqlDot("a.v", "b.v")}
-        |   / (sqrt(${sqlDot("a.v", "a.v")}) * sqrt(${sqlDot("b.v", "b.v")})))
-        |  > 0.3
+        |WHERE ${sqlDot("a.u", "b.u")} > 0.3
         |ORDER BY label, a_id, b_id"""))),
 
     // Scalable near-dup: sign-random-projection LSH buckets (16-bit
