@@ -1,0 +1,90 @@
+package graft
+
+import graft.streaming.{Ev, StreamOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming twins agree with their batch formulations when the stream is
+  * replayed in order (SURVEY §7.1 slice 5). */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def eventRows(): Seq[Ev] = {
+    Tables.table(spark, sf, "events")
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .toSeq
+  }
+
+  test("streaming tumbling window matches batch events_tumbling_window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = eventRows()
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.tumblingCounts(stream.toDS())
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(400).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("tumbling_test")
+        .orderBy("hour_start", "event_type").collect().toSeq
+      val batch = Registry.queries("events_tumbling_window")(spark, sf)
+        .collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming session_window produces plausible sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.sessionCounts(stream.toDS())
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("complete").start()
+    try {
+      stream.addData(eventRows())
+      q.processAllAvailable()
+      val sessions = spark.table("session_test")
+      assert(sessions.count() > 0)
+      // Session event counts must total the input size.
+      assert(sessions.agg(sum("ev_cnt")).head.getLong(0)
+        === eventRows().size)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keep-latest matches batch events_dedup_latest") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = eventRows()
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.latestPerKey(stream.toDS())
+      .writeStream.format("memory").queryName("latest_test")
+      .outputMode("update").start()
+    try {
+      rows.grouped(300).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+      // Update-mode memory sink appends every state change: the last row
+      // per key is the final state.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      val streamed = spark.table("latest_test")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts_us", "value")
+        .orderBy("user_id", "event_type").collect().toSeq
+      val batch = Registry.queries("events_dedup_latest")(spark, sf)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("latest_us").as("ts_us"), col("value"))
+        .orderBy("user_id", "event_type").collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}
