@@ -27,8 +27,11 @@ object VecOps {
   /** embedding as array<double> (floats widen exactly; SURVEY §7.4 R4). */
   private def embD(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Native fused-loop dot (graft.plans.DotProduct) — bit-identical to
+    * the HOF `aggregate(zip_with(...))` fold but a single codegen'd loop
+    * with no intermediate array. Callers register it per session first. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", a, b)
 
   private val sqlDot =
     (a: String, b: String) =>
@@ -36,10 +39,11 @@ object VecOps {
 
   val qs: Seq[Q] = Seq(
     Q("vec_norms",
-      (s, dir) => Tables.table(s, dir, "embeddings")
+      (s, dir) => { graft.plans.GraftFunctions.register(s); Tables.table(s, dir, "embeddings") }
         .select(col("vec_id"), col("label").cast("long").as("label"),
-          sqrt(dot(embD(col("embedding")), embD(col("embedding"))))
-            .as("l2_norm"),
+          // raw float arrays feed the native dot directly (exact widening,
+          // no HOF cast projection → stays in whole-stage codegen)
+          sqrt(dot(col("embedding"), col("embedding"))).as("l2_norm"),
           aggregate(embD(col("embedding")), lit(0.0), (a, x) => a + x)
             .as("comp_sum"))
         .orderBy(col("vec_id")),
@@ -52,10 +56,11 @@ object VecOps {
     // Cosine of every vector against the vec_id=0 anchor, top 10.
     Q("vec_cosine_pairs",
       (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
         val e = Tables.table(s, dir, "embeddings")
         val anchor = e.filter(col("vec_id") === 0)
-          .select(embD(col("embedding")).as("av"))
-        e.select(col("vec_id"), embD(col("embedding")).as("v"))
+          .select(col("embedding").as("av"))
+        e.select(col("vec_id"), col("embedding").as("v"))
           .crossJoin(broadcast(anchor))
           .select(col("vec_id"),
             (dot(col("v"), col("av"))
@@ -145,6 +150,7 @@ object VecOps {
     // normalizes identically, keeping the doubles bit-identical.
     Q("vec_dedup_threshold",
       (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
         val e = Tables.table(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), embD(col("embedding")).as("v"))
           .withColumn("n", sqrt(dot(col("v"), col("v"))))
@@ -178,6 +184,7 @@ object VecOps {
     // design; bucketing quality is unit-tested instead).
     Q("vec_neardup_lsh",
       (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
         val e = Tables.table(s, dir, "embeddings")
           .select(col("vec_id"), embD(col("embedding")).as("v"))
           // Deterministic pseudo-random hyperplanes: plane p component i =

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits (SURVEY §4): the optimizations the 100 TB design
+  * depends on must actually appear in the plans, not be assumed. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(key: String): String = {
+    val df = Registry.queries(key)(spark, sf)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("scan_filter_pushdown pushes the shipdate predicate to parquet") {
+    val p = planOf("scan_filter_pushdown")
+    assert(p.contains("PushedFilters:")
+      && p.contains("GreaterThanOrEqual(l_shipdate"), p.take(2000))
+  }
+
+  test("scan_projection_pushdown reads only the two projected columns") {
+    val p = planOf("scan_projection_pushdown")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      p.take(2000))
+  }
+
+  test("join_broadcast_hash plans a BroadcastHashJoin") {
+    assert(planOf("join_broadcast_hash").contains("BroadcastHashJoin"))
+  }
+
+  test("join_sort_merge respects the merge hint (SortMergeJoin)") {
+    assert(planOf("join_sort_merge").contains("SortMergeJoin"))
+  }
+
+  test("join_cross_theta is the intended BroadcastNestedLoopJoin") {
+    assert(planOf("join_cross_theta").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("global_topk fuses to TakeOrderedAndProject (no full sort)") {
+    assert(planOf("global_topk").contains("TakeOrderedAndProject"))
+    assert(planOf("sort_multikey").contains("TakeOrderedAndProject"))
+  }
+
+  test("flagship Q1 is a two-phase hash aggregate") {
+    val p = planOf("agg_hash_groupby")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum") || p.contains("partial_"), p.take(3000))
+  }
+
+  test("project_arithmetic stays inside whole-stage codegen") {
+    // Codegen stages render with the *(id) prefix — only in the FINAL
+    // adaptive plan, so execute before inspecting.
+    val df = Registry.queries("project_arithmetic")(spark, sf)
+    df.collect() // count() would plan a different query; execute THIS one
+    assert("""\*\(\d+\) (Project|Sort|ColumnarToRow)""".r.findFirstIn(
+      df.queryExecution.executedPlan.toString).isDefined)
+  }
+
+  test("events_json_enrich broadcasts the customer dimension") {
+    assert(planOf("events_json_enrich").contains("BroadcastHashJoin"))
+  }
+
+  test("native graft_dot equals the HOF fold bit-for-bit") {
+    graft.plans.GraftFunctions.register(spark)
+    val df = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"),
+        call_function("graft_dot", col("v"), col("v")).as("native"),
+        expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x)")
+          .as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("native graft_dot on raw float arrays stays in codegen (HOFs do not)") {
+    graft.plans.GraftFunctions.register(spark)
+    val native = Tables.table(spark, sf, "embeddings")
+      .select(call_function("graft_dot", col("embedding"), col("embedding"))
+        .as("d"))
+    assert("""\*\(\d+\) Project""".r.findFirstIn(
+      native.queryExecution.executedPlan.toString).isDefined,
+      native.queryExecution.executedPlan.toString.take(1500))
+    // float widening is exact: equals the double-cast HOF fold
+    val both = Tables.table(spark, sf, "embeddings")
+      .select(call_function("graft_dot", col("embedding"), col("embedding"))
+        .as("native"),
+        expr("""aggregate(zip_with(transform(embedding, x -> cast(x as double)),
+                transform(embedding, x -> cast(x as double)),
+                (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x)""")
+          .as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+}
