@@ -257,10 +257,10 @@ object PipelineOps {
     // is < 1 by design → no oracle; recall vs brute force is unit-tested.
     Q("vec_ann_ivf",
       (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
         val embDub = transform(col("embedding"), x => x.cast("double"))
-        val dotc = (a: Column, b: Column) =>
-          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
-            (acc, x) => acc + x)
+        // native fused dot (stays in codegen; the HOF chain does not)
+        val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
         val e = Tables.table(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), embDub.as("v"))
           .withColumn("u", transform(col("v"),
