@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-built micro-fixtures for the semantics corners the SF fixtures
+  * can't isolate (SURVEY §5.3): null join keys, frame edges, exact session
+  * thresholds, decimal-sum exactness, null propagation in the native dot. */
+class EdgeCaseSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("equi-join drops null keys; full outer preserves both sides") {
+    val l = Seq((Some(1), "a"), (None, "b"), (Some(3), "c"))
+      .toDF("k", "lv")
+    val r = Seq((Some(1), "x"), (None, "y"), (Some(4), "z"))
+      .toDF("k", "rv")
+    assert(l.join(r, "k").count() === 1) // nulls never equal
+    val fo = l.join(r, l("k") <=> r("k"), "full_outer")
+    // null-safe equal: the two null keys DO match under <=>
+    assert(fo.count() === 4)
+    val foPlain = l.join(r, l("k") === r("k"), "full_outer")
+    assert(foPlain.count() === 5) // 1 match + 2 left-only + 2 right-only
+  }
+
+  test("running sum frame starts fresh at each partition") {
+    val df = Seq(("u1", 1, 10.0), ("u1", 2, 5.0), ("u2", 1, 7.0))
+      .toDF("u", "seq", "v")
+    val w = Window.partitionBy("u").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = df.withColumn("rs", sum("v").over(w))
+      .orderBy("u", "seq").collect()
+    assert(out.map(_.getDouble(3)).toSeq === Seq(10.0, 15.0, 7.0))
+  }
+
+  test("moving average with fewer rows than the frame uses what exists") {
+    val df = Seq(("d1", 10.0), ("d2", 20.0)).toDF("d", "v")
+    val w = Window.orderBy("d").rowsBetween(-6, 0)
+    val out = df.withColumn("ma",
+      sum("v").over(w) / count(lit(1)).over(w)).orderBy("d").collect()
+    assert(out.map(_.getDouble(2)).toSeq === Seq(10.0, 15.0))
+  }
+
+  test("session split is strict: gap of exactly 30min stays in-session") {
+    val gap = 30L * 60 * 1000000
+    val rows = Seq(
+      (1L, 0L), (2L, gap), // gap exactly 30min from previous -> same session
+      (3L, gap + gap + 1)) // gap 30min+1us -> new session
+    val df = rows.toDF("event_id", "ts_us").withColumn("user_id", lit(7L))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sessions = df
+      .withColumn("new_s", when(col("ts_us") - lag("ts_us", 1).over(w) > gap
+        || lag("ts_us", 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("event_id", "sid").orderBy("event_id").collect()
+    assert(sessions.map(_.getLong(1)).toSeq === Seq(1L, 1L, 2L))
+  }
+
+  test("Det.dsum is exact where double summation drifts") {
+    // 0.1 summed 10 times is not 1.0 in binary; the decimal path is exact.
+    val df = Seq.fill(10)(0.1).toDF("v")
+    val exact = df.agg(Det.dsum(col("v"), 2).as("s")).head.getDouble(0)
+    assert(exact === 1.0)
+    // (plain sum(v) may or may not drift depending on partial-agg order —
+    // which is precisely why dsum exists: its result never depends on it)
+  }
+
+  test("Det.davg divides by non-null count only (ADVICE r1)") {
+    val df = Seq(Some(2.0), None, Some(4.0)).toDF("v")
+    val avg = df.agg(Det.davg(col("v"), 2)).head.getDouble(0)
+    assert(avg === 3.0)
+  }
+
+  test("graft_dot: null array yields null, empty arrays yield 0") {
+    graft.plans.GraftFunctions.register(spark)
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType)),
+      StructField("b", ArrayType(DoubleType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Seq(1.0, 2.0), Seq(3.0, 4.0)),
+        Row(null, Seq(1.0)),
+        Row(Seq.empty[Double], Seq.empty[Double]))),
+      schema)
+    val out = df.select(call_function("graft_dot", col("a"), col("b")))
+      .collect()
+    assert(out(0).getDouble(0) === 11.0)
+    assert(out(1).isNullAt(0))
+    assert(out(2).getDouble(0) === 0.0)
+  }
+
+  test("GeoMean: known value and empty-group safety") {
+    val geo = udaf(functions.ExtOps.GeoMean)
+    val out = Seq(2.0, 8.0).toDF("v").agg(geo(col("v"))).head.getDouble(0)
+    assert(math.abs(out - 4.0) < 1e-9)
+  }
+
+  test("minhash est_jaccard of identical docs is exactly 1") {
+    val cand = Registry.queries("text_minhash_neardup")(spark, sf)
+    // candidates at est 1.0 exist in the fixture corpus (near-identical
+    // docs); every estimate is a multiple of 1/16 in [0, 1]
+    cand.collect().foreach { r =>
+      val e = r.getAs[Double]("est_jaccard")
+      assert(e >= 0.0 && e <= 1.0 && (e * 16) == math.round(e * 16))
+    }
+  }
+}
