@@ -117,6 +117,25 @@ object Scalars {
         |o_orderkey % 7 AS key_mod7
         |FROM orders ORDER BY o_orderkey"""))),
 
+    Q("scalar_bitwise",
+      (s, dir) => Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("low_byte"),
+          col("o_orderkey").bitwiseOR(lit(4096L)).as("with_flag"),
+          col("o_orderkey").bitwiseXOR(lit(255L)).as("xored"),
+          shiftleft(col("o_orderkey"), 2).as("shl2"),
+          shiftright(col("o_orderkey"), 3).as("shr3"),
+          bit_count(col("o_orderkey")).cast("long").as("popcount"))
+        .orderBy(col("o_orderkey")),
+      Some(sql("""SELECT o_orderkey,
+        |o_orderkey & 255 AS low_byte,
+        |o_orderkey | 4096 AS with_flag,
+        |xor(o_orderkey, 255) AS xored,
+        |o_orderkey << 2 AS shl2,
+        |o_orderkey >> 3 AS shr3,
+        |bit_count(o_orderkey)::BIGINT AS popcount
+        |FROM orders ORDER BY o_orderkey"""))),
+
     Q("scalar_conditional",
       (s, dir) => Tables.table(s, dir, "customer")
         .select(col("c_custkey"), col("c_acctbal"),

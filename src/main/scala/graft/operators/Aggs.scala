@@ -194,6 +194,24 @@ object Aggs {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority"""))),
 
+    // Pivot (explicit value list so the output schema is static — the
+    // only shape that scales: no second pass to discover columns).
+    Q("agg_pivot",
+      (s, dir) => Tables.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("O"), lit(0L)).as("cnt_o"),
+          coalesce(col("F"), lit(0L)).as("cnt_f"),
+          coalesce(col("P"), lit(0L)).as("cnt_p"))
+        .orderBy(col("o_orderpriority")),
+      Some(sql("""SELECT o_orderpriority,
+        |count(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS cnt_o,
+        |count(*) FILTER (WHERE o_orderstatus = 'F')::BIGINT AS cnt_f,
+        |count(*) FILTER (WHERE o_orderstatus = 'P')::BIGINT AS cnt_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
     // D4: collections only ever emitted sorted; joined to a string so the
     // driver's column hash sees a scalar (list physical-type friction).
     Q("agg_collect_sorted",

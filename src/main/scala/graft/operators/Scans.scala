@@ -65,5 +65,16 @@ object Scans {
           .orderBy(col("n_nationkey"))
       },
       None),
+
+    Q("source_orc_roundtrip",
+      (s, dir) => {
+        val nation = Tables.table(s, dir, "nation")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_orc").resolve("nation").toString
+        nation.write.mode("overwrite").orc(path)
+        s.read.schema(nation.schema).orc(path)
+          .orderBy(col("n_nationkey"))
+      },
+      None),
   )
 }

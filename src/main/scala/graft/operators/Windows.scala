@@ -143,6 +143,23 @@ object Windows {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY l_partkey"""))),
 
+    // Value-based RANGE frame (vs the ROWS frames above): orders within
+    // 5000 of the current price. Range frames are tie-order-insensitive by
+    // construction, so no tie-break is needed inside the frame.
+    Q("window_range_frame",
+      (s, dir) => Tables.table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          expr("""count(*) OVER (PARTITION BY o_custkey
+            |  ORDER BY o_totalprice
+            |  RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)"""
+            .stripMargin).cast("long").as("cnt_in_band"))
+        .orderBy(col("o_custkey"), col("o_orderkey")),
+      Some(sql("""SELECT o_custkey, o_orderkey, o_totalprice,
+        |count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |  RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)::BIGINT
+        |  AS cnt_in_band
+        |FROM orders ORDER BY o_custkey, o_orderkey"""))),
+
     Q("topk_per_group",
       (s, dir) => {
         val w = Window.partitionBy(col("o_custkey"))
