@@ -253,8 +253,13 @@ object PipelineOps {
 
     // IVF approximate nearest neighbors: label-centroid codebook (10
     // lists), every vector assigned to its nearest list, queries probe the
-    // nprobe=2 nearest lists and rank candidates by cosine. LSH/IVF recall
-    // is < 1 by design → no oracle; recall vs brute force is unit-tested.
+    // nprobe=3 nearest lists and rank candidates by cosine. IVF recall is
+    // < 1 by design → no oracle; recall vs brute force is unit-tested.
+    // NOTE the fixture embeddings are unclustered (near-uniform), the worst
+    // case for any partitioning index — measured recall ≈ nprobe/nlists.
+    // On real clustered embeddings the same shape concentrates neighbors
+    // in few lists; the code path (tiny broadcast codebook, probe-bounded
+    // candidate scan) is what matters at 100 TB.
     Q("vec_ann_ivf",
       (s, dir) => {
         graft.plans.GraftFunctions.register(s)
@@ -287,14 +292,14 @@ object PipelineOps {
           .withColumn("rn", row_number().over(wAssign))
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("list_id"))
-        val qProbe = e.filter(col("vec_id") < 5)
+        val qProbe = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("u").as("qu"))
           .crossJoin(broadcast(cent))
           .withColumn("sim", dotc(col("qu"), col("cu")))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("q_id"))
               .orderBy(col("sim").desc, col("list_id").asc)))
-          .filter(col("rn") <= 2)
+          .filter(col("rn") <= 3)
           .select(col("q_id"), col("qu"), col("list_id"))
         val wTop = Window.partitionBy(col("q_id"))
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
