@@ -176,29 +176,25 @@ object TextOps {
     // oracle (D3); Jaccard-estimate property is ScalaCheck-tested.
     Q("text_minhash_neardup",
       (s, dir) => {
-        val sk = sketches(s, dir)
-        val bands = sk.select(col("doc_id"),
+        // The minhash array rides through the band explode so the pair
+        // join yields both sketches directly — 2 sketch pipelines instead
+        // of 4 and no post-candidate re-join (see PLANS.md).
+        val bands = sketches(s, dir).select(col("doc_id"), col("mh"),
           posexplode(expr(
             s"""transform(sequence(0, ${NUM_HASHES / BAND_ROWS - 1}),
                |  b -> xxhash64(b, element_at(mh, b * $BAND_ROWS + 1),
                |                element_at(mh, b * $BAND_ROWS + 2)))"""
               .stripMargin)).as(Seq("band", "band_hash")))
-        val cand = bands.as("x").join(bands.as("y"),
+        bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band")
               && col("x.band_hash") === col("y.band_hash")
               && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        cand
-          .join(sk.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")),
-            "doc_a")
-          .join(sk.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")),
-            "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            (aggregate(zip_with(col("mh_a"), col("mh_b"),
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            (aggregate(zip_with(col("x.mh"), col("y.mh"),
               (x, y) => when(x === y, 1).otherwise(0)),
               lit(0), (a, x) => a + x).cast("double") / NUM_HASHES)
               .as("est_jaccard"))
+          .distinct()
           .orderBy(col("doc_a"), col("doc_b"))
       },
       None),
