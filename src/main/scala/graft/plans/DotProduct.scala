@@ -93,6 +93,7 @@ case class DotProduct(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotDescriptor)
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }
 
@@ -103,7 +104,13 @@ object GraftFunctions {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1)))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
+    // Running-session path for the optimizer rule (extensions can only be
+    // injected at session build time; extraOptimizations works post-hoc).
+    if (!spark.experimental.extraOptimizations.contains(RewriteHofDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteHofDotProduct
+  }
 }
