@@ -17,6 +17,7 @@ object Registry {
       operators.TextOps.qs ++
       operators.VecOps.qs ++
       operators.PipelineOps.qs ++
+      operators.TypedOps.qs ++
       functions.ExtOps.qs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Typed Dataset[T] surface: the same flagship Q1 semantics expressed
+  * through case-class Encoders and typed operators (`as[T]`, typed
+  * `filter`, `groupByKey`), proving the engine's typed API carries the
+  * identical result contract as the untyped DataFrame algebra — it shares
+  * `agg_hash_groupby`'s oracle SQL verbatim.
+  *
+  * The typed lambda filter is the documented trade: it is opaque to
+  * Catalyst (no parquet pushdown), which is why the library's own
+  * operators stay in Column algebra; here the lambda runs AFTER a
+  * pushdown-friendly Column prefilter so the scan still skips row groups.
+  */
+final case class LineItem(
+    l_orderkey: Long, l_quantity: Double, l_extendedprice: Double,
+    l_discount: Double, l_tax: Double, l_returnflag: String,
+    l_linestatus: String)
+
+final case class FlagStatus(l_returnflag: String, l_linestatus: String)
+
+object TypedOps {
+
+  val qs: Seq[Q] = Seq(
+    Q("typed_q1_dataset",
+      (s, dir) => {
+        import s.implicits._
+        val typed = Tables.table(s, dir, "lineitem")
+          // Column prefilter keeps parquet pushdown...
+          .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+          .select("l_orderkey", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_returnflag", "l_linestatus")
+          .as[LineItem]
+          // ...and the typed lambda demonstrates Dataset[T] semantics
+          // (fixtures have only positive quantities, so the oracle is
+          // unaffected).
+          .filter((r: LineItem) => r.l_quantity > 0)
+        typed.groupByKey(r => FlagStatus(r.l_returnflag, r.l_linestatus))
+          .agg(
+            Det.dsum(col("l_quantity"), 2).as("sum_qty").as[Double],
+            Det.dsum(col("l_extendedprice"), 2).as("sum_base_price")
+              .as[Double],
+            Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+              4).as("sum_disc_price").as[Double],
+            Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * (lit(1) + col("l_tax")), 6).as("sum_charge").as[Double],
+            Det.davg(col("l_quantity"), 2).as("avg_qty").as[Double],
+            Det.davg(col("l_extendedprice"), 2).as("avg_price").as[Double],
+            Det.davg(col("l_discount"), 2).as("avg_disc").as[Double],
+            count(lit(1)).as("count_order").as[Long])
+          .toDF("key", "sum_qty", "sum_base_price", "sum_disc_price",
+            "sum_charge", "avg_qty", "avg_price", "avg_disc", "count_order")
+          .select(col("key.l_returnflag").as("l_returnflag"),
+            col("key.l_linestatus").as("l_linestatus"),
+            col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
+            col("sum_charge"), col("avg_qty"), col("avg_price"),
+            col("avg_disc"), col("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      // Same semantics, same oracle as the untyped flagship.
+      Some(Aggs.q1Oracle)),
+  )
+}
