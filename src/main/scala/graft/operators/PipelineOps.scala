@@ -201,7 +201,7 @@ object PipelineOps {
     // product. Exact bigint set arithmetic; division on identical doubles.
     Q("text_ngram_jaccard",
       (s, dir) => {
-        val sh = Tables.table(s, dir, "documents")
+        val shAll = Tables.table(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .filter(size(col("w")) >= 3)
           .select(col("doc_id"), explode(expr(
@@ -210,6 +210,15 @@ object PipelineOps {
               |                 element_at(w, i + 2)))""".stripMargin))
             .as("s"))
           .distinct()
+        // Frequency cap: a shingle shared by d docs contributes O(d²)
+        // candidate pairs — ubiquitous "stop-shingles" would be quadratic
+        // hotspots at corpus scale and carry no dedup signal. (No-op on
+        // the fixtures: max shingle df is 25 at sf0.1.)
+        val sh = shAll
+          .withColumn("sdf", count(lit(1)).over(
+            Window.partitionBy(col("s"))))
+          .filter(col("sdf") <= 1000)
+          .drop("sdf")
         val sizes = sh.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n"))
         val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
@@ -229,7 +238,7 @@ object PipelineOps {
             col("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(sql("""WITH sh AS (
+      Some(sql("""WITH sh_all AS (
         |  SELECT DISTINCT doc_id, ws[k] || ' ' || ws[k+1] || ' ' || ws[k+2]
         |    AS s
         |  FROM (SELECT doc_id, ws,
@@ -237,6 +246,11 @@ object PipelineOps {
         |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
         |              FROM documents WHERE len(string_split(text, ' ')) >= 3)
         |       )),
+        |sh AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS sdf
+        |    FROM sh_all)
+        |  WHERE sdf <= 1000),
         |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -185,7 +185,15 @@ object TextOps {
                |  b -> xxhash64(b, element_at(mh, b * $BAND_ROWS + 1),
                |                element_at(mh, b * $BAND_ROWS + 2)))"""
               .stripMargin)).as(Seq("band", "band_hash")))
-        bands.as("x").join(bands.as("y"),
+        // Skew guard (see scaladoc): degenerate band buckets are dropped
+        // before the pair join — no-op on the fixtures, load-bearing at
+        // corpus scale.
+        val capped = bands
+          .withColumn("bsz", count(lit(1)).over(
+            Window.partitionBy(col("band"), col("band_hash"))))
+          .filter(col("bsz") <= 1000)
+          .drop("bsz")
+        capped.as("x").join(capped.as("y"),
             col("x.band") === col("y.band")
               && col("x.band_hash") === col("y.band_hash")
               && col("x.doc_id") < col("y.doc_id"))
