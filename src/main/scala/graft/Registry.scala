@@ -18,6 +18,7 @@ object Registry {
       operators.VecOps.qs ++
       operators.PipelineOps.qs ++
       operators.TypedOps.qs ++
+      operators.Layouts.qs ++
       functions.ExtOps.qs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators — the two biggest 100 TB levers that the
+  * query-shape keys can't show:
+  *
+  *  - **partition pruning**: data written `partitionBy(lang)` lets a
+  *    `lang = 'fr'` read skip every other partition directory at the
+  *    planner level (`PartitionFilters` in the scan, asserted in
+  *    PlanSpec) — at 100 TB this is the difference between scanning a
+  *    shard and scanning the lake;
+  *  - **bucketed co-located join**: both join sides written
+  *    `bucketBy(8, key)` join with NO shuffle on the key — the sort-merge
+  *    join reads bucket files pairwise. Pre-bucketing fact tables on
+  *    their join keys amortizes one shuffle across every future join.
+  */
+object Layouts {
+  import Det._
+
+  val qs: Seq[Q] = Seq(
+    // Write documents partitioned by lang, read back only the 'fr'
+    // partition. Result equals a plain filter on the source (the oracle),
+    // but the plan touches one partition directory.
+    Q("sink_partitioned_pruning",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_part").resolve("docs").toString
+        docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+        s.read.parquet(path)
+          .filter(col("lang") === "fr")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(sql("""SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'fr' ORDER BY doc_id"""))),
+
+    // Customer ⋈ orders with both sides bucketed (+sorted) on the join
+    // key in the session catalog: the sort-merge join consumes bucket
+    // files directly — zero hash-partition exchanges (PlanSpec asserts).
+    Q("join_bucketed_colocated",
+      (s, dir) => {
+        // A fresh session has an empty catalog but the managed-table dirs
+        // may survive from a previous JVM — drop both, then clear the
+        // leftover locations so saveAsTable never hits
+        // LOCATION_ALREADY_EXISTS.
+        val wh = java.nio.file.Paths.get(java.net.URI.create(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        Seq("graft_cust_bucketed", "graft_ord_bucketed").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = wh.resolve(t)
+          if (java.nio.file.Files.exists(loc)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+              .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+        }
+        Tables.table(s, dir, "customer").write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("graft_cust_bucketed")
+        Tables.table(s, dir, "orders").write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("graft_ord_bucketed")
+        s.table("graft_cust_bucketed").hint("merge")
+          .join(s.table("graft_ord_bucketed"),
+            col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(dsum(col("o_totalprice"), 2).as("total_spend"),
+            count(lit(1)).as("order_cnt"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(sql(s"""SELECT c_custkey, c_name,
+        |${sqlDsum("o_totalprice", 2)} AS total_spend,
+        |count(*)::BIGINT AS order_cnt
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey"""))),
+  )
+}

@@ -61,6 +61,21 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("events_json_enrich").contains("BroadcastHashJoin"))
   }
 
+  test("sink_partitioned_pruning prunes to the one lang partition") {
+    val df = Registry.queries("sink_partitioned_pruning")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p.take(2000))
+  }
+
+  test("bucketed join runs with no hash-partition exchange") {
+    val df = Registry.queries("join_bucketed_colocated")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      p.take(3000))
+  }
+
   test("native graft_dot equals the HOF fold bit-for-bit") {
     graft.plans.GraftFunctions.register(spark)
     val df = Tables.table(spark, sf, "embeddings")
