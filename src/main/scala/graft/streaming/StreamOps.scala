@@ -15,6 +15,15 @@ final case class Ev(event_id: Long, ts_us: Long, user_id: Long,
 final case class LatestEv(user_id: Long, event_type: String,
     event_id: Long, ts_us: Long, value: Double)
 
+/** Open-session state for the custom sessionizer: value is accumulated in
+  * exact integer cents (the streaming analogue of Det.dsum). */
+final case class OpenSession(start_us: Long, last_us: Long, ev_cnt: Long,
+    sum_cents: Long)
+
+/** A closed session emitted by [[StreamOps.sessionizeWithState]]. */
+final case class ClosedSession(user_id: Long, start_us: Long,
+    span_us: Long, ev_cnt: Long, sum_value: Double)
+
 /** Structured Streaming twins of the §2.1-H batch operators
   * (SURVEY §2.9 / §7.1 slice 5).
   *
@@ -55,6 +64,48 @@ object StreamOps {
         .as("sum_value"))
       .select(col("user_id"), Det.second(col("sw.start")).as("session_start"),
         col("ev_cnt"), col("sum_value"))
+
+  /** Gap-based sessionization with fully custom state
+    * (`flatMapGroupsWithState`) — unlike `session_window` this controls
+    * exactly what is kept per key (O(1): the one open session) and what is
+    * emitted (each session the moment a later event closes it).
+    *
+    * Events may arrive unordered within a micro-batch (sorted here); a
+    * production deployment adds `GroupStateTimeout.EventTimeTimeout` +
+    * watermark to flush sessions that never see a successor event — the
+    * tests flush with a sentinel instead, keeping the operator logic
+    * timeout-free and deterministic.
+    */
+  def sessionizeWithState(events: Dataset[Ev],
+      gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[OpenSession]) =>
+          val closed = Seq.newBuilder[ClosedSession]
+          var open = state.getOption
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val cents = math.round(e.value * 100)
+            open match {
+              case Some(s) if e.ts_us - s.last_us <= gapUs =>
+                open = Some(OpenSession(s.start_us, e.ts_us,
+                  s.ev_cnt + 1, s.sum_cents + cents))
+              case Some(s) =>
+                closed += ClosedSession(uid, s.start_us,
+                  s.last_us - s.start_us, s.ev_cnt, s.sum_cents / 100.0)
+                open = Some(OpenSession(e.ts_us, e.ts_us, 1, cents))
+              case None =>
+                open = Some(OpenSession(e.ts_us, e.ts_us, 1, cents))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
 
   /** CDC keep-latest per (user_id, event_type) with explicit state
     * (`mapGroupsWithState`) — the streaming twin of `events_dedup_latest`,

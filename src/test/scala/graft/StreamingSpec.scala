@@ -58,6 +58,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer matches batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // stream arrival order = event-time order; a far-future sentinel per
+    // user closes every real session (production would use an
+    // EventTimeTimeout instead)
+    val rows = eventRows().sortBy(e => (e.ts_us, e.event_id))
+    val maxUs = rows.map(_.ts_us).max
+    val sentinels = rows.map(_.user_id).distinct.map(u =>
+      Ev(-1L, maxUs + 10L * 86400L * 1000000L, u, "sentinel", 0.0))
+    val stream = MemoryStream[Ev]
+    val q = graft.streaming.StreamOps.sessionizeWithState(stream.toDS())
+      .writeStream.format("memory").queryName("fmgws_test")
+      .outputMode("append").start()
+    try {
+      rows.grouped(300).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+      stream.addData(sentinels)
+      q.processAllAvailable()
+      val streamed = spark.table("fmgws_test")
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("start_us"), col("span_us"),
+          col("ev_cnt"), col("sum_value")))).as("sessions"))
+      // batch truth recomputed with session starts
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val gapUs = 30L * 60 * 1000000
+      val batch = Tables.table(spark, sf, "events")
+        .withColumn("new_s", when(col("ts_us") - lag("ts_us", 1).over(w)
+          > gapUs || lag("ts_us", 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("sid", sum("new_s").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(min("ts_us").as("start_us"),
+          (max("ts_us") - min("ts_us")).as("span_us"),
+          count(lit(1)).as("ev_cnt"),
+          (sum(expr("cast(round(value * 100) as bigint)")) / 100.0)
+            .as("sum_value"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("start_us"), col("span_us"),
+          col("ev_cnt"), col("sum_value")))).as("sessions"))
+      val diff = streamed.as("s").join(batch.as("b"), "user_id")
+        .filter(col("s.sessions") =!= col("b.sessions")).count()
+      assert(diff === 0)
+      assert(streamed.count() === batch.count())
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keep-latest matches batch events_dedup_latest") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
