@@ -329,6 +329,32 @@ object PipelineOps {
       },
       None),
 
+    // End-to-end dedup pipeline composition: exact-hash canonical keep +
+    // near-dup drop from the banded-minhash candidates (est >= 0.875 — at
+    // least 14/16 minhashes agree). Single-pass deterministic drop rule:
+    // the higher doc_id of every strong candidate pair is dropped. Shapes:
+    // hash-groupBy (shuffle on content hash) + LSH band join — nothing
+    // quadratic, the composition a 100 TB corpus dedup actually runs.
+    // Sketch-dependent → no oracle; keep-set invariants are unit-tested.
+    Q("pipeline_dedup_keep",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val exactCanonical = docs
+          .groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val nearDrops = TextOps.neardupCandidates(s, dir)
+          .filter(col("est_jaccard") >= 0.875)
+          .select(col("doc_b").as("doc_id"))
+          .distinct()
+        docs
+          .join(exactCanonical, Seq("doc_id"), "left_semi")
+          .join(nearDrops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
     // Multimodal plumbing: documents as opaque binary + typed metadata.
     // The "decode" (width/height/frames) is a deterministic STUB derived
     // from the content hash — codec libs are not in this container; a real

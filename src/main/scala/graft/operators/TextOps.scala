@@ -175,36 +175,43 @@ object TextOps {
     // MinHash + banded LSH near-dup candidates. Hash-seed-dependent → no
     // oracle (D3); Jaccard-estimate property is ScalaCheck-tested.
     Q("text_minhash_neardup",
-      (s, dir) => {
-        // The minhash array rides through the band explode so the pair
-        // join yields both sketches directly — 2 sketch pipelines instead
-        // of 4 and no post-candidate re-join (see PLANS.md).
-        val bands = sketches(s, dir).select(col("doc_id"), col("mh"),
-          posexplode(expr(
-            s"""transform(sequence(0, ${NUM_HASHES / BAND_ROWS - 1}),
-               |  b -> xxhash64(b, element_at(mh, b * $BAND_ROWS + 1),
-               |                element_at(mh, b * $BAND_ROWS + 2)))"""
-              .stripMargin)).as(Seq("band", "band_hash")))
-        // Skew guard (see scaladoc): degenerate band buckets are dropped
-        // before the pair join — no-op on the fixtures, load-bearing at
-        // corpus scale.
-        val capped = bands
-          .withColumn("bsz", count(lit(1)).over(
-            Window.partitionBy(col("band"), col("band_hash"))))
-          .filter(col("bsz") <= 1000)
-          .drop("bsz")
-        capped.as("x").join(capped.as("y"),
-            col("x.band") === col("y.band")
-              && col("x.band_hash") === col("y.band_hash")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            (aggregate(zip_with(col("x.mh"), col("y.mh"),
-              (x, y) => when(x === y, 1).otherwise(0)),
-              lit(0), (a, x) => a + x).cast("double") / NUM_HASHES)
-              .as("est_jaccard"))
-          .distinct()
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, dir) => neardupCandidates(s, dir)
+        .orderBy(col("doc_a"), col("doc_b")),
       None),
   )
+
+  /** Banded-LSH near-dup candidate pairs with minhash-estimated Jaccard —
+    * shared by the `text_minhash_neardup` query and the composed
+    * `pipeline_dedup_keep`.
+    *
+    * The minhash array rides through the band explode so the pair join
+    * yields both sketches directly — 2 sketch pipelines instead of 4 and
+    * no post-candidate re-join (see PLANS.md). Skew guard: degenerate band
+    * buckets are dropped before the pair join — no-op on the fixtures,
+    * load-bearing at corpus scale.
+    */
+  private[operators] def neardupCandidates(
+      s: SparkSession, dir: String): DataFrame = {
+    val bands = sketches(s, dir).select(col("doc_id"), col("mh"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${NUM_HASHES / BAND_ROWS - 1}),
+           |  b -> xxhash64(b, element_at(mh, b * $BAND_ROWS + 1),
+           |                element_at(mh, b * $BAND_ROWS + 2)))"""
+          .stripMargin)).as(Seq("band", "band_hash")))
+    val capped = bands
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("band_hash"))))
+      .filter(col("bsz") <= 1000)
+      .drop("bsz")
+    capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band")
+          && col("x.band_hash") === col("y.band_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (aggregate(zip_with(col("x.mh"), col("y.mh"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (a, x) => a + x).cast("double") / NUM_HASHES)
+          .as("est_jaccard"))
+      .distinct()
+  }
 }

@@ -79,67 +79,66 @@ object VecOps {
         |FROM e CROSS JOIN a
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"""))),
 
-    // Similarity search: 3 nearest vectors to each label centroid, as
-    // agg (centroid) + join + top-k. Cross-row sums are decimal-exact.
+    // Similarity search: 3 nearest vectors to each label centroid.
+    // Centroid components come from exact decimal sums (partition-order
+    // independent), then get REASSEMBLED into one array per label so each
+    // vector costs a single fused-dot fold against the broadcast 10-row
+    // codebook — instead of an explode-join carrying 64 rows per vector
+    // through two shuffles. The oracle assembles `list(ccomp ORDER BY
+    // pos)` and folds identically.
     Q("vec_knn_per_label",
       (s, dir) => {
-        val comps = Tables.table(s, dir, "embeddings")
-          .select(col("vec_id"), col("label"),
-            posexplode(embD(col("embedding"))).as(Seq("pos", "comp")))
-        val cent = comps.groupBy(col("label"), col("pos"))
+        graft.plans.GraftFunctions.register(s)
+        val e = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), embD(col("embedding")).as("v"))
+        val cent = e
+          .select(col("label"), posexplode(col("v")).as(Seq("pos", "comp")))
+          .groupBy(col("label"), col("pos"))
           .agg((sum(col("comp").cast(DecimalType(18, 9))).cast("double")
             / count(lit(1))).as("ccomp"))
-        val cn = cent.groupBy(col("label"))
-          .agg(sum((col("ccomp") * col("ccomp")).cast(DecimalType(28, 14)))
-            .cast("double").as("cn2"))
-        val dots = comps.join(cent, Seq("label", "pos"))
-          .groupBy(col("vec_id"), col("label"))
-          .agg(sum((col("comp") * col("ccomp")).cast(DecimalType(28, 14)))
-            .cast("double").as("dotv"),
-            sum((col("comp") * col("comp")).cast(DecimalType(28, 14)))
-              .cast("double").as("vn2"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("ccomp"))))
+            .as("pc"))
+          .select(col("label").as("c_label"),
+            expr("transform(pc, x -> x.ccomp)").as("cu"))
         val w = Window.partitionBy(col("label"))
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
-        dots.join(broadcast(cn), "label")
+        e.join(broadcast(cent), col("label") === col("c_label"))
           .select(col("label").cast("long").as("label"), col("vec_id"),
-            (col("dotv") / (sqrt(col("vn2")) * sqrt(col("cn2"))))
-              .as("cos_sim"))
+            (dot(col("v"), col("cu"))
+              / (sqrt(dot(col("v"), col("v")))
+                * sqrt(dot(col("cu"), col("cu"))))).as("cos_sim"))
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
           .select(col("label"), col("rn"), col("vec_id"), col("cos_sim"))
           .orderBy(col("label"), col("rn"))
       },
-      Some(sql("""WITH comps AS (
-        |  SELECT vec_id, label,
+      Some(sql(s"""WITH comps AS (
+        |  SELECT label,
         |    unnest(generate_series(1, len(embedding))) AS pos,
         |    unnest(embedding::DOUBLE[]) AS comp
         |  FROM embeddings),
-        |cent AS (
+        |centc AS (
         |  SELECT label, pos,
         |    (CAST(sum(CAST(comp AS DECIMAL(18,9))) AS DOUBLE) / count(*))
         |      AS ccomp
         |  FROM comps GROUP BY label, pos),
-        |cn AS (
-        |  SELECT label,
-        |    CAST(sum(CAST(ccomp * ccomp AS DECIMAL(28,14))) AS DOUBLE)
-        |      AS cn2
-        |  FROM cent GROUP BY label),
-        |dots AS (
-        |  SELECT c.vec_id, c.label,
-        |    CAST(sum(CAST(c.comp * t.ccomp AS DECIMAL(28,14))) AS DOUBLE)
-        |      AS dotv,
-        |    CAST(sum(CAST(c.comp * c.comp AS DECIMAL(28,14))) AS DOUBLE)
-        |      AS vn2
-        |  FROM comps c JOIN cent t ON c.label = t.label AND c.pos = t.pos
-        |  GROUP BY c.vec_id, c.label),
+        |cent AS (
+        |  SELECT label AS c_label, list(ccomp ORDER BY pos) AS cu
+        |  FROM centc GROUP BY label),
         |scored AS (
-        |  SELECT d.label::BIGINT AS label, d.vec_id,
-        |    (d.dotv / (sqrt(d.vn2) * sqrt(cn.cn2))) AS cos_sim,
-        |    row_number() OVER (PARTITION BY d.label
-        |      ORDER BY (d.dotv / (sqrt(d.vn2) * sqrt(cn.cn2))) DESC,
-        |        d.vec_id ASC) AS rn
-        |  FROM dots d JOIN cn ON d.label = cn.label)
-        |SELECT label, rn, vec_id, cos_sim FROM scored
+        |  SELECT e.label::BIGINT AS label, e.vec_id,
+        |    (${sqlDot("e.embedding::DOUBLE[]", "c.cu")}
+        |     / (sqrt(${sqlDot("e.embedding::DOUBLE[]",
+                "e.embedding::DOUBLE[]")})
+        |        * sqrt(${sqlDot("c.cu", "c.cu")}))) AS cos_sim
+        |  FROM embeddings e JOIN cent c ON e.label = c.c_label),
+        |ranked AS (
+        |  SELECT label, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        |  FROM scored)
+        |SELECT label, rn, vec_id, cos_sim FROM ranked
         |WHERE rn <= 3 ORDER BY label, rn"""))),
 
     // Near-dup pairs above cosine 0.3, label-blocked (exact, oracle-checked;

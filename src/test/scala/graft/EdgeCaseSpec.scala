@@ -99,6 +99,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(math.abs(out - 4.0) < 1e-9)
   }
 
+  test("pipeline_dedup_keep: kept set has no exact dups, drops near-dups") {
+    val kept = Registry.queries("pipeline_dedup_keep")(spark, sf)
+    val keptIds = kept.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptIds.nonEmpty)
+    // no two kept docs share a content hash
+    val docs = Tables.table(spark, sf, "documents")
+    val dupHashes = docs
+      .filter(col("doc_id").isin(keptIds.toSeq.map(Long.box): _*))
+      .groupBy(sha2(col("text"), 256)).count()
+      .filter(col("count") > 1).count()
+    assert(dupHashes === 0)
+    // the higher doc of every strong near-dup candidate pair is dropped
+    Registry.queries("text_minhash_neardup")(spark, sf)
+      .filter(col("est_jaccard") >= 0.875).collect().foreach { r =>
+        assert(!keptIds.contains(r.getAs[Long]("doc_b")),
+          s"near-dup ${r.getAs[Long]("doc_b")} should have been dropped")
+      }
+  }
+
   test("minhash est_jaccard of identical docs is exactly 1") {
     val cand = Registry.queries("text_minhash_neardup")(spark, sf)
     // candidates at est 1.0 exist in the fixture corpus (near-identical
