@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
   * the north star's "dedup, similarity search, multimodal columns, text
   * analysis" surface a 100 TB corpus pipeline actually needs.
   *
+  * Literature: SimHash is Charikar (STOC 2002) as deployed in Manku et
+  * al. (WWW 2007); IVF coarse quantization follows the inverted-file
+  * shape of Sivic & Zisserman (ICCV 2003) / Jégou et al. (PAMI 2011).
+  *
   * Design notes:
   *  - every text op is a single scan + narrow transforms (+ one shuffle
   *    where grouped) — the shapes that scale linearly;

@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
 /** §2.1-I — text / LLM-data-pipeline operators over `documents`
   * (SURVEY.md:265-273; mandated by the north star: dedup + text analysis).
   *
+  * Literature: MinHash resemblance sketches are Broder (1997, "On the
+  * resemblance and containment of documents"); banded LSH candidate
+  * generation follows Gionis, Indyk & Motwani (VLDB 1999) as popularized
+  * in Mining of Massive Datasets ch. 3.
+  *
   * Tokenization is whitespace `split` (the corpus has no punctuation).
   * TF-IDF is pure DataFrame algebra (two aggregations + a join + a window),
   * no MLlib. MinHash near-dup is the LSH-banded shape (VERDICT r1): shingle

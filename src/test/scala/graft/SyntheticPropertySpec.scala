@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests on CONTROLLED synthetic tables written to temp parquet
+  * and fed through the same registered query entry points (SURVEY §5.4) —
+  * the fixtures can't isolate known-Jaccard pairs or known session gaps. */
+class SyntheticPropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpSf(): String =
+    java.nio.file.Files.createTempDirectory("graft_synth").toString
+
+  test("minhash candidates track constructed shingle-Jaccard pairs") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 2000).map(i => s"w$i")
+    // base docs of 62 distinct words; partner shares a prefix of `m` words
+    // → shingle overlap ≈ (m-2)/(2*60-(m-2)) controllable via m
+    val pairs = Seq(56, 40, 10) // high / medium / low overlap
+    val docs = pairs.zipWithIndex.flatMap { case (m, i) =>
+      val a = rnd.shuffle(vocab).take(62)
+      val bTail = rnd.shuffle(vocab.filterNot(a.contains)).take(62 - m)
+      val b = a.take(m) ++ bTail
+      Seq((i * 2L, a.mkString(" ")), (i * 2L + 1, b.mkString(" ")))
+    }
+    val dir = tmpSf()
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+
+    val cand = Registry.queries("text_minhash_neardup")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    // true shingle jaccard, same tokenization
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val byId = docs.toMap
+    pairs.zipWithIndex.foreach { case (m, i) =>
+      val j = {
+        val (sa, sb) = (shingles(byId(i * 2L)), shingles(byId(i * 2L + 1)))
+        sa.intersect(sb).size.toDouble / sa.union(sb).size
+      }
+      val est = cand.get((i * 2L, i * 2L + 1))
+      if (j >= 0.7)
+        assert(est.isDefined, s"pair with J=$j must be a candidate")
+      est.foreach(e => assert(math.abs(e - j) <= 0.4,
+        s"m=$m: est=$e vs exact=$j"))
+    }
+  }
+
+  test("sessionization on constructed gaps matches hand-computed sessions") {
+    val minUs = 60L * 1000000
+    // user 1: gaps 10m,40m,10m → sessions of 2,2 events
+    // user 2: single event → 1 session
+    // user 3: gaps exactly 30m (in-session), 30m+1s (split) → 2 sessions
+    val base = 1700000000L * 1000000
+    val evs = Seq(
+      (1L, 1L, base), (2L, 1L, base + 10 * minUs),
+      (3L, 1L, base + 50 * minUs), (4L, 1L, base + 60 * minUs),
+      (5L, 2L, base),
+      (6L, 3L, base), (7L, 3L, base + 30 * minUs),
+      (8L, 3L, base + 60 * minUs + 1000000))
+    val dir = tmpSf()
+    evs.toDF("event_id", "user_id", "us")
+      .withColumn("ts", col("us") * 1000) // INT64 nanos, like the fixture
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.5))
+      .withColumn("props", lit("""{"k": 1}"""))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+
+    val out = Registry.queries("events_sessionization")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("ev_cnt"), r.getAs[Long]("span_us")))
+    val expected = Seq(
+      (1L, 1L, 2L, 10 * minUs), (1L, 2L, 2L, 10 * minUs),
+      (2L, 1L, 1L, 0L),
+      (3L, 1L, 2L, 30 * minUs), (3L, 2L, 1L, 0L))
+    assert(out.toSeq.sorted === expected.sorted)
+  }
+
+  test("funnel detects exactly the users with ordered stage times") {
+    val base = 1700000000L * 1000000
+    val m = 60L * 1000000
+    val evs = Seq(
+      // user 1: view < click < purchase → in funnel
+      (1L, 1L, base, "view"), (2L, 1L, base + m, "click"),
+      (3L, 1L, base + 2 * m, "purchase"),
+      // user 2: purchase before click → out
+      (4L, 2L, base, "view"), (5L, 2L, base + m, "purchase"),
+      (6L, 2L, base + 2 * m, "click"),
+      // user 3: missing purchase → out
+      (7L, 3L, base, "view"), (8L, 3L, base + m, "click"))
+    val dir = tmpSf()
+    evs.toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", col("us") * 1000)
+      .withColumn("value", lit(0.5))
+      .withColumn("props", lit("""{"k": 2}"""))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val users = Registry.queries("events_funnel")(spark, dir)
+      .collect().map(_.getAs[Long]("user_id")).toSeq
+    assert(users === Seq(1L))
+  }
+}
