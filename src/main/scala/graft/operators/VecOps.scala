@@ -91,11 +91,18 @@ object VecOps {
         graft.plans.GraftFunctions.register(s)
         val e = Tables.table(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), embD(col("embedding")).as("v"))
+        // Exact cross-row mean of float-derived comps: comp·2^53 is an
+        // exact INTEGER double for every practical float (float mantissa
+        // 24 bits), so the decimal cast has no rounding boundary at all —
+        // unlike a fixed-scale snap, where a float whose shortest decimal
+        // repr ends in '5' at the snap digit rounds differently in Spark
+        // (shortest-repr) vs DuckDB (binary value); that bit us at sf0.1.
+        val P53 = 9007199254740992.0 // 2^53
         val cent = e
           .select(col("label"), posexplode(col("v")).as(Seq("pos", "comp")))
           .groupBy(col("label"), col("pos"))
-          .agg((sum(col("comp").cast(DecimalType(18, 9))).cast("double")
-            / count(lit(1))).as("ccomp"))
+          .agg((sum((col("comp") * P53).cast(DecimalType(38, 0)))
+            .cast("double") / P53 / count(lit(1))).as("ccomp"))
           .groupBy(col("label"))
           .agg(array_sort(collect_list(struct(col("pos"), col("ccomp"))))
             .as("pc"))
@@ -120,8 +127,8 @@ object VecOps {
         |  FROM embeddings),
         |centc AS (
         |  SELECT label, pos,
-        |    (CAST(sum(CAST(comp AS DECIMAL(18,9))) AS DOUBLE) / count(*))
-        |      AS ccomp
+        |    (CAST(sum(CAST(comp * 9007199254740992.0 AS DECIMAL(38,0)))
+        |          AS DOUBLE) / 9007199254740992.0 / count(*)) AS ccomp
         |  FROM comps GROUP BY label, pos),
         |cent AS (
         |  SELECT label AS c_label, list(ccomp ORDER BY pos) AS cu
