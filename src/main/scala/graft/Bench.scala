@@ -23,17 +23,49 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
+    // Per-query shuffle/spill accounting (written to bench_detail.json,
+    // NOT the driver's stdout line): the scale story is shuffle bytes as
+    // much as seconds.
+    val metrics = new org.apache.spark.scheduler.SparkListener {
+      val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+      val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+      val spilled = new java.util.concurrent.atomic.AtomicLong
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          spilled.addAndGet(m.diskBytesSpilled)
+        }
+      }
+      def snapshot(): (Long, Long, Long) =
+        (shuffleWrite.get, shuffleRead.get, spilled.get)
+    }
+    spark.sparkContext.addSparkListener(metrics)
+    val detail = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      Thread.sleep(150) // let listener events drain (bus is private API)
+      val before = metrics.snapshot()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(150)
+      val after = metrics.snapshot()
+      detail += s"""  "$name": {"sec": ${if (ok) elapsed else -1.0}, """ +
+        s""""shuffle_write_bytes": ${after._1 - before._1}, """ +
+        s""""shuffle_read_bytes": ${after._2 - before._2}, """ +
+        s""""disk_spill_bytes": ${after._3 - before._3}}"""
       name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_detail.json"),
+      detail.result().mkString("{\n", ",\n", "\n}\n"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
