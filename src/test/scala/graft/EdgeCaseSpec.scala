@@ -93,6 +93,16 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out(2).getDouble(0) === 0.0)
   }
 
+  test("graft_dot rejects non-array arguments with a typed error") {
+    graft.plans.GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Tables.table(spark, sf, "embeddings")
+        .select(call_function("graft_dot", col("vec_id"), col("embedding")))
+        .collect()
+    }
+    assert(e.getMessage.contains("graft_dot expects array"))
+  }
+
   test("GeoMean: known value and empty-group safety") {
     val geo = udaf(functions.ExtOps.GeoMean)
     val out = Seq(2.0, 8.0).toDF("v").agg(geo(col("v"))).head.getDouble(0)
