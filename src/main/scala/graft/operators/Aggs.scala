@@ -194,6 +194,40 @@ object Aggs {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority"""))),
 
+    // Pearson correlation + sample covariance from exact decimal sums —
+    // same order-independence argument as agg_stats' variance (builtin
+    // corr/covar accumulate doubles in partition order and would not
+    // hash-match; this formula is bit-identical cross-engine).
+    Q("agg_corr_cov",
+      (s, dir) => {
+        val li = Tables.table(s, dir, "lineitem")
+        val n = count(lit(1))
+        val sx = dsum(col("l_quantity"), 2)
+        val sy = dsum(col("l_extendedprice"), 2)
+        val sxx = dsum(col("l_quantity") * col("l_quantity"), 4)
+        val syy = dsum(col("l_extendedprice") * col("l_extendedprice"), 4)
+        val sxy = dsum(col("l_quantity") * col("l_extendedprice"), 4)
+        li.groupBy(col("l_returnflag"))
+          .agg(n.as("cnt"),
+            ((sxy - sx * sy / n) / (n - lit(1))).as("cov_qty_price"),
+            ((n * sxy - sx * sy)
+              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+              .as("corr_qty_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(sql(s"""SELECT l_returnflag, count(*)::BIGINT AS cnt,
+        |((${sqlDsum("l_quantity * l_extendedprice", 4)} -
+        |  ${sqlDsum("l_quantity", 2)} * ${sqlDsum("l_extendedprice", 2)}
+        |  / count(*)) / (count(*) - 1)) AS cov_qty_price,
+        |((count(*) * ${sqlDsum("l_quantity * l_extendedprice", 4)} -
+        |  ${sqlDsum("l_quantity", 2)} * ${sqlDsum("l_extendedprice", 2)})
+        | / sqrt((count(*) * ${sqlDsum("l_quantity * l_quantity", 4)} -
+        |    ${sqlDsum("l_quantity", 2)} * ${sqlDsum("l_quantity", 2)}) *
+        |   (count(*) * ${sqlDsum("l_extendedprice * l_extendedprice", 4)} -
+        |    ${sqlDsum("l_extendedprice", 2)} * ${sqlDsum("l_extendedprice", 2)})))
+        |  AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
+
     // Pivot (explicit value list so the output schema is static — the
     // only shape that scales: no second pass to discover columns).
     Q("agg_pivot",

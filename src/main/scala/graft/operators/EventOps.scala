@@ -135,6 +135,35 @@ object EventOps {
         |HAVING v_us < c_us AND c_us < p_us
         |ORDER BY user_id"""))),
 
+    // Weekly cohort retention: users active in ISO week w who are also
+    // active in week w+1 (both engines truncate weeks to Monday).
+    Q("events_retention",
+      (s, dir) => {
+        val uw = Tables.table(s, dir, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts_t")).as("wk"))
+          .distinct()
+        val nxt = uw.select(col("user_id").as("n_user"),
+          col("wk").as("n_wk"))
+        uw.join(nxt, col("user_id") === col("n_user")
+            && col("n_wk") === col("wk") + expr("INTERVAL 7 DAYS"), "left")
+          .groupBy(day(col("wk")).as("week_start"))
+          .agg(countDistinct(col("user_id")).as("active_users"),
+            countDistinct(col("n_user")).as("retained_users"))
+          .orderBy(col("week_start"))
+      },
+      Some(sql(s"""WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    date_trunc('week', ts::TIMESTAMP) AS wk
+        |  FROM events)
+        |SELECT ${sqlDay("uw.wk")} AS week_start,
+        |  count(DISTINCT uw.user_id)::BIGINT AS active_users,
+        |  count(DISTINCT nxt.user_id)::BIGINT AS retained_users
+        |FROM uw LEFT JOIN uw nxt
+        |  ON uw.user_id = nxt.user_id
+        |  AND nxt.wk = uw.wk + INTERVAL 7 DAY
+        |GROUP BY uw.wk ORDER BY week_start"""))),
+
     Q("events_json_enrich",
       (s, dir) => Tables.table(s, dir, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))

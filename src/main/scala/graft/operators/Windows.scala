@@ -143,6 +143,25 @@ object Windows {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY l_partkey"""))),
 
+    // Distribution functions: tie-stable by definition (like rank), and
+    // their doubles derive from identical integer rank/count arithmetic.
+    Q("window_distribution",
+      (s, dir) => {
+        val byPrice = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").asc)
+        Tables.table(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            percent_rank().over(byPrice).as("pct_rank"),
+            cume_dist().over(byPrice).as("cume"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some(sql("""SELECT o_custkey, o_orderkey, o_totalprice,
+        |percent_rank() OVER w AS pct_rank,
+        |cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC)
+        |ORDER BY o_custkey, o_orderkey"""))),
+
     // Value-based RANGE frame (vs the ROWS frames above): orders within
     // 5000 of the current price. Range frames are tie-order-insensitive by
     // construction, so no tie-break is needed inside the frame.
