@@ -19,6 +19,7 @@ object Registry {
       operators.PipelineOps.qs ++
       operators.TypedOps.qs ++
       operators.Layouts.qs ++
+      operators.MultiModal.qs ++
       functions.ExtOps.qs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>

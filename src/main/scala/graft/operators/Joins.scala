@@ -46,6 +46,22 @@ object Joins {
         |l_quantity FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY o_orderkey, l_linenumber, o_orderstatus, l_quantity"""))),
 
+    // Shuffled hash join (third equi-join physical strategy): build a hash
+    // table per partition instead of sorting — wins when one side is much
+    // smaller per partition but too big to broadcast whole.
+    Q("join_shuffle_hash",
+      (s, dir) => Tables.table(s, dir, "supplier").hint("shuffle_hash")
+        .join(Tables.table(s, dir, "lineitem"),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("line_cnt"),
+          dsum(col("l_extendedprice"), 2).as("total_price"))
+        .orderBy(col("s_suppkey")),
+      Some(sql(s"""SELECT s_suppkey, s_name, count(*)::BIGINT AS line_cnt,
+        |${sqlDsum("l_extendedprice", 2)} AS total_price
+        |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey"""))),
+
     // TPC-H Q3 shape: revenue of BUILDING-segment orders taken before a
     // date with lines shipped after it, top 10.
     Q("join_multiway_star",

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Decoded multimodal record: opaque binary payload → typed metadata.
+  * In production `width/height/frames` come from the codec; here the
+  * decode is a deterministic STUB (content-hash-derived — no codec libs in
+  * this container) with the identical signature and batch shape. */
+final case class MmMeta(doc_id: Long, n_bytes: Long, kind: String,
+    meta_width: Long, meta_height: Long, meta_frames: Long)
+
+/** Multimodal decode via `mapPartitions` — the Scala analogue of
+  * `mapInPandas` batch decoding: one decoder instantiation per partition,
+  * rows streamed through it, typed case-class output schema. This is the
+  * shape a real image/audio/video decode runs in (codec state is
+  * per-partition, not per-row); the stub only replaces the innermost
+  * "bytes → metadata" call.
+  *
+  * `mm_decode_partitions` must agree row-for-row with the pure-SQL
+  * `mm_binary_meta` (MultiModalSpec asserts it), proving the stub and the
+  * expression pipeline implement the same contract.
+  */
+object MultiModal {
+
+  /** Per-partition "decoder": deterministic metadata from content bytes.
+    * Real deployments replace ONLY this function with the codec call. */
+  private def decodeStub(payload: Array[Byte]): (String, Long, Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    val wh = java.lang.Long.parseLong(hex.take(15), 16)
+    val kind = (wh % 3) match {
+      case 0 => "image"
+      case 1 => "audio"
+      case _ => "video"
+    }
+    (kind, 32L + wh % 480, 32L + (wh / 480) % 480, 1L + wh % 30)
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("mm_decode_partitions",
+      (s, dir) => {
+        import s.implicits._
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("bin"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            // per-partition decoder state lives here (stubbed)
+            rows.map { case (docId, bin) =>
+              val (kind, w, h, f) = decodeStub(bin)
+              MmMeta(docId, bin.length.toLong, kind, w, h, f)
+            }
+          }
+          .toDF()
+          .orderBy(col("doc_id"))
+      },
+      // Same contract as mm_binary_meta's expression pipeline; md5 and the
+      // hash-derived fake metadata are engine-identical, so the SQL twin
+      // holds for the mapPartitions implementation too.
+      Some(graft.Det.sql(s"""SELECT doc_id,
+        |octet_length(encode(text))::BIGINT AS n_bytes,
+        |CASE WHEN CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |       % 3 = 0 THEN 'image'
+        |     WHEN CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |       % 3 = 1 THEN 'audio'
+        |     ELSE 'video' END AS kind,
+        |32 + CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |  % 480 AS meta_width,
+        |32 + (CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |  // 480) % 480 AS meta_height,
+        |1 + CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |  % 30 AS meta_frames
+        |FROM documents ORDER BY doc_id"""))),
+  )
+}

@@ -37,6 +37,20 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("join_cross_theta").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("join_shuffle_hash respects the shuffle_hash hint") {
+    assert(planOf("join_shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
+  test("mapPartitions decode agrees row-for-row with the SQL expression twin") {
+    val viaPartitions = Registry.queries("mm_decode_partitions")(spark, sf)
+      .collect().toSeq
+    val viaExprs = Registry.queries("mm_binary_meta")(spark, sf)
+      .select("doc_id", "n_bytes", "kind", "meta_width", "meta_height",
+        "meta_frames")
+      .collect().toSeq
+    assert(viaPartitions === viaExprs)
+  }
+
   test("global_topk fuses to TakeOrderedAndProject (no full sort)") {
     assert(planOf("global_topk").contains("TakeOrderedAndProject"))
     assert(planOf("sort_multikey").contains("TakeOrderedAndProject"))
