@@ -333,6 +333,98 @@ object PipelineOps {
       },
       None),
 
+    // Corpus tokenization: frequency-ranked vocabulary (id 1 = most
+    // frequent, ties broken by word) and each document re-encoded as its
+    // token-id sequence — the vocab-build + encode step of a training-data
+    // pipeline. Two shuffles (vocab agg, doc re-assembly); the vocab is
+    // dimension-sized and would broadcast at scale.
+    Q("text_tokenize_ids",
+      (s, dir) => {
+        val tokens = Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        val vocab = tokens.groupBy(col("word"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("id", row_number().over(
+            Window.orderBy(col("cnt").desc, col("word").asc)).cast("long"))
+          .select(col("word"), col("id"))
+        tokens.join(broadcast(vocab), "word")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            concat_ws(",", expr(
+              "transform(array_sort(collect_list(struct(pos, id))), x -> cast(x.id as string))"))
+              .as("ids_csv"))
+          .orderBy(col("doc_id"))
+      },
+      Some(sql("""WITH tokens AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, len(string_split(text, ' ')) - 1))
+        |      AS pos,
+        |    unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT word, row_number() OVER (ORDER BY count(*) DESC, word ASC)
+        |    AS id
+        |  FROM tokens GROUP BY word)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  string_agg(id, ',' ORDER BY pos) AS ids_csv
+        |FROM tokens JOIN vocab USING (word)
+        |GROUP BY doc_id ORDER BY doc_id"""))),
+
+    // Sequence packing: each document's token-id sequence split into
+    // fixed-length chunks of 32 (context-length packing for training).
+    Q("text_chunk_pack",
+      (s, dir) => {
+        val tokens = Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        val vocab = tokens.groupBy(col("word"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("id", row_number().over(
+            Window.orderBy(col("cnt").desc, col("word").asc)).cast("long"))
+          .select(col("word"), col("id"))
+        tokens.join(broadcast(vocab), "word")
+          .groupBy(col("doc_id"))
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(pos, id))), x -> x.id)")
+            .as("ids"))
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, (size(ids) + 31) div 32 - 1),
+              |  i -> slice(ids, i * 32 + 1, 32))""".stripMargin))
+            .as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), col("chunk_idx").cast("long")
+            .as("chunk_idx"),
+            size(col("chunk")).cast("long").as("chunk_len"),
+            concat_ws(",", expr("transform(chunk, x -> cast(x as string))"))
+              .as("chunk_csv"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some(sql("""WITH tokens AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, len(string_split(text, ' ')) - 1))
+        |      AS pos,
+        |    unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT word, row_number() OVER (ORDER BY count(*) DESC, word ASC)
+        |    AS id
+        |  FROM tokens GROUP BY word),
+        |seqs AS (
+        |  SELECT doc_id, list(id ORDER BY pos) AS ids
+        |  FROM tokens JOIN vocab USING (word) GROUP BY doc_id),
+        |chunked AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, (len(ids) + 31) // 32 - 1))
+        |      AS chunk_idx,
+        |    ids
+        |  FROM seqs)
+        |SELECT doc_id, chunk_idx,
+        |  len(ids[chunk_idx * 32 + 1 : (chunk_idx + 1) * 32])::BIGINT
+        |    AS chunk_len,
+        |  array_to_string(ids[chunk_idx * 32 + 1 : (chunk_idx + 1) * 32],
+        |    ',') AS chunk_csv
+        |FROM chunked ORDER BY doc_id, chunk_idx"""))),
+
     // End-to-end dedup pipeline composition: exact-hash canonical keep +
     // near-dup drop from the banded-minhash candidates (est >= 0.875 — at
     // least 14/16 minhashes agree). Single-pass deterministic drop rule:
