@@ -28,24 +28,27 @@ object TextOps {
   private val NUM_HASHES = 16
   private val BAND_ROWS = 2 // 8 bands × 2 rows: LSH threshold ≈ (1/8)^(1/2) ≈ 0.35
 
-  /** (doc_id, mh: array[16] of min-hashes over 3-word shingles). */
+  /** (doc_id, mh: array[16] of min-hashes over 3-word shingles).
+    *
+    * Computed entirely per row — shingle set and the 16 minima are array
+    * expressions over the document's own tokens, so sketching is a
+    * ZERO-SHUFFLE map stage (the earlier explode→distinct→groupBy
+    * formulation paid a full shuffle of every (doc, shingle) pair; at
+    * corpus scale that shuffle is the sketch cost). Values are identical:
+    * same xxhash64 per shingle, same per-doc minima.
+    */
   private def sketches(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.table(s, dir, "documents")
-    val shingled = docs
+    val mhExprs = (0 until NUM_HASHES).map(i =>
+      expr(s"array_min(transform(sh, x -> xxhash64($i, x)))"))
+    Tables.table(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, greatest(size(w) - 2, 1)),
+      .withColumn("sh", expr(
+        """array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)),
           |  i -> concat_ws(' ', element_at(w, i),
           |                 element_at(w, least(i + 1, size(w))),
-          |                 element_at(w, least(i + 2, size(w)))))"""
-          .stripMargin)).as("shingle"))
-      .distinct()
-    val mhCols = (0 until NUM_HASHES)
-      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
-    shingled.groupBy(col("doc_id"))
-      .agg(mhCols.head, mhCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NUM_HASHES).map(i => col(s"mh$i")): _*).as("mh"))
+          |                 element_at(w, least(i + 2, size(w))))))"""
+          .stripMargin))
+      .select(col("doc_id"), array(mhExprs: _*).as("mh"))
   }
 
   val qs: Seq[Q] = Seq(
