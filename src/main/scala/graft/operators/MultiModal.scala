@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{Det, Q, Tables}
 import org.apache.spark.sql.functions._
 
 /** Decoded multimodal record: opaque binary payload → typed metadata.
@@ -38,6 +38,42 @@ object MultiModal {
   }
 
   val qs: Seq[Q] = Seq(
+    // Transform planning over decoded metadata: aspect-preserving resize
+    // to fit 224×224 and uniform 8-frame sampling — pure integer
+    // arithmetic (exact in both engines), downstream of the (stubbed)
+    // decode. The actual pixel/audio resample would run inside the same
+    // mapPartitions stage as the decode.
+    Q("mm_transform_plan",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .withColumn("wh", expr(
+          "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn("w", lit(32L) + pmod(col("wh"), lit(480)))
+        .withColumn("h", lit(32L) + pmod(expr("wh DIV 480"), lit(480)))
+        .withColumn("n_frames", lit(1L) + pmod(col("wh"), lit(30)))
+        .select(col("doc_id"), col("w").as("src_w"), col("h").as("src_h"),
+          col("n_frames"),
+          expr("(w * 224) DIV greatest(w, h)").as("fit_w"),
+          expr("(h * 224) DIV greatest(w, h)").as("fit_h"),
+          expr("""concat_ws(',', transform(sequence(0, 7),
+            |  i -> cast((i * n_frames) DIV 8 as string)))""".stripMargin)
+            .as("sampled_frames"))
+        .orderBy(col("doc_id")),
+      Some(Det.sql("""WITH meta AS (
+        |  SELECT doc_id,
+        |    32 + CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |      % 480 AS w,
+        |    32 + (CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |      // 480) % 480 AS h,
+        |    1 + CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |      % 30 AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, w AS src_w, h AS src_h, n_frames,
+        |  (w * 224) // greatest(w, h) AS fit_w,
+        |  (h * 224) // greatest(w, h) AS fit_h,
+        |  array_to_string(list_transform(generate_series(0, 7),
+        |    i -> (i * n_frames) // 8), ',') AS sampled_frames
+        |FROM meta ORDER BY doc_id"""))),
+
     Q("mm_decode_partitions",
       (s, dir) => {
         import s.implicits._
