@@ -14,6 +14,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet is INT64 TIMESTAMP(NANOS); declared up front so
+      // the session behavior is explicit, not a hidden mutation
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm every query's codegen/JIT at the smallest SF outside the timed
@@ -21,7 +24,8 @@ object Bench {
     // queries and would otherwise be billed to whichever SF runs first.
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, warmDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => () }
     }
     // Per-query shuffle/spill accounting (written to bench_detail.json,
     // NOT the driver's stdout line): the scale story is shuffle bytes as
@@ -48,7 +52,9 @@ object Bench {
       Thread.sleep(150) // let listener events drain (bus is private API)
       val before = metrics.snapshot()
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      // toRdd executes THIS physical plan (sorts, projections and all);
+      // df.count() would let Catalyst prune the operator under test.
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val elapsed = (System.nanoTime() - t0) / 1e9

@@ -23,8 +23,11 @@ object Registry {
       functions.ExtOps.qs
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
-      org.apache.spark.sql.DataFrame] =
+      org.apache.spark.sql.DataFrame] = {
+    require(all.map(_.key).distinct.size == all.size,
+      "duplicate query keys: " + all.map(_.key).diff(all.map(_.key).distinct))
     all.map(q => q.key -> q.build).toMap
+  }
 
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.key -> _)).toMap

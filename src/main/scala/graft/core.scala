@@ -38,6 +38,10 @@ object Tables {
     * (SURVEY §7.4 R1). Queries must never emit raw `ts`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Also declared in the Verify/Bench/test session builders; this set is
+    // a defensive fallback for externally-built sessions (driver smoke).
+    // NOTE it is session-wide: other INT64(NANOS) parquet reads in the
+    // same session will also come back as raw longs.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000"))

@@ -72,7 +72,7 @@ object EventOps {
           .orderBy(col("user_id"), col("session_id"))
       },
       Some(sql(s"""WITH flagged AS (
-        |  SELECT user_id, value, ${sqlMicros("ts")} AS us,
+        |  SELECT user_id, event_id, value, ${sqlMicros("ts")} AS us,
         |    CASE WHEN ${sqlMicros("ts")}
         |           - lag(${sqlMicros("ts")}, 1) OVER w > ${30L * 60 * 1000000}
         |         OR lag(${sqlMicros("ts")}, 1) OVER w IS NULL
@@ -82,7 +82,8 @@ object EventOps {
         |    ORDER BY ${sqlMicros("ts")} ASC, event_id ASC)),
         |sessions AS (
         |  SELECT user_id, value, us,
-        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us ASC
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, event_id ASC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |      AS session_id
         |  FROM flagged)

@@ -26,8 +26,8 @@ object Layouts {
     Q("sink_partitioned_pruning",
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_part").resolve("docs").toString
+        val path = System.getProperty("java.io.tmpdir") +
+          s"/graft_rt_part_${dir.hashCode}"
         docs.write.mode("overwrite").partitionBy("lang").parquet(path)
         s.read.parquet(path)
           .filter(col("lang") === "fr")

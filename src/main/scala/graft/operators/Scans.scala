@@ -47,8 +47,10 @@ object Scans {
     Q("source_csv_roundtrip",
       (s, dir) => {
         val nation = Tables.table(s, dir, "nation")
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_csv").resolve("nation").toString
+        // fixed per-(sf,format) path: repeated builds overwrite instead
+        // of accumulating temp copies across bench/verify runs
+        val path = System.getProperty("java.io.tmpdir") +
+          s"/graft_rt_csv_${dir.hashCode}"
         nation.write.mode("overwrite").option("header", "true").csv(path)
         s.read.schema(nation.schema).option("header", "true").csv(path)
           .orderBy(col("n_nationkey"))
@@ -58,8 +60,10 @@ object Scans {
     Q("source_json_roundtrip",
       (s, dir) => {
         val nation = Tables.table(s, dir, "nation")
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_json").resolve("nation").toString
+        // fixed per-(sf,format) path: repeated builds overwrite instead
+        // of accumulating temp copies across bench/verify runs
+        val path = System.getProperty("java.io.tmpdir") +
+          s"/graft_rt_json_${dir.hashCode}"
         nation.write.mode("overwrite").json(path)
         s.read.schema(nation.schema).json(path)
           .orderBy(col("n_nationkey"))
@@ -69,8 +73,10 @@ object Scans {
     Q("source_orc_roundtrip",
       (s, dir) => {
         val nation = Tables.table(s, dir, "nation")
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_orc").resolve("nation").toString
+        // fixed per-(sf,format) path: repeated builds overwrite instead
+        // of accumulating temp copies across bench/verify runs
+        val path = System.getProperty("java.io.tmpdir") +
+          s"/graft_rt_orc_${dir.hashCode}"
         nation.write.mode("overwrite").orc(path)
         s.read.schema(nation.schema).orc(path)
           .orderBy(col("n_nationkey"))

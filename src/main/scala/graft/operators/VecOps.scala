@@ -184,8 +184,8 @@ object VecOps {
         |WHERE ${sqlDot("a.u", "b.u")} > 0.3
         |ORDER BY label, a_id, b_id"""))),
 
-    // Scalable near-dup: sign-random-projection LSH buckets (16-bit
-    // signature over 8 deterministic pseudo-planes), pairs compared only
+    // Scalable near-dup: sign-random-projection LSH buckets (8-bit
+    // signature over 8 deterministic pseudo-planes, ~256 buckets), pairs compared only
     // within a bucket — the 100 TB path (no oracle: LSH recall < 1 by
     // design; bucketing quality is unit-tested instead).
     Q("vec_neardup_lsh",

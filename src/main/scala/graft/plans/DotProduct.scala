@@ -43,14 +43,22 @@ case class DotProduct(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean =
     elemType(e).contains(FloatType)
 
+  // Semantics match the HOF twin exactly so the optimizer rewrite is
+  // value-preserving on EVERY input, not just well-formed ones:
+  // zip_with pads unequal lengths with nulls and a null element poisons
+  // the + fold to NULL — so unequal lengths or any null element → NULL.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (lf, rf) = (isFloat(left), isFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -69,10 +77,18 @@ case class DotProduct(left: Expression, right: Expression)
       val getR =
         if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $getL * $getR;
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    $s += $getL * $getR;
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

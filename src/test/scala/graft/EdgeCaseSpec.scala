@@ -75,7 +75,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(avg === 3.0)
   }
 
-  test("graft_dot: null array yields null, empty arrays yield 0") {
+  test("graft_dot matches HOF semantics on nulls and unequal lengths") {
     graft.plans.GraftFunctions.register(spark)
     val schema = StructType(Seq(
       StructField("a", ArrayType(DoubleType)),
@@ -84,13 +84,23 @@ class EdgeCaseSpec extends AnyFunSuite {
       spark.sparkContext.parallelize(Seq(
         Row(Seq(1.0, 2.0), Seq(3.0, 4.0)),
         Row(null, Seq(1.0)),
-        Row(Seq.empty[Double], Seq.empty[Double]))),
+        Row(Seq.empty[Double], Seq.empty[Double]),
+        Row(Seq(1.0, 2.0, 3.0), Seq(1.0, 1.0)), // unequal → NULL (zip pads)
+        Row(Seq[Any](1.0, null, 3.0), Seq(1.0, 1.0, 1.0)))), // null elem → NULL
       schema)
-    val out = df.select(call_function("graft_dot", col("a"), col("b")))
+    val out = df.select(
+      call_function("graft_dot", col("a"), col("b")).as("native"),
+      expr("""aggregate(zip_with(a, b, (x, y) -> x * y),
+        |cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin).as("hof"))
       .collect()
     assert(out(0).getDouble(0) === 11.0)
     assert(out(1).isNullAt(0))
     assert(out(2).getDouble(0) === 0.0)
+    assert(out(3).isNullAt(0) && out(3).isNullAt(1)) // both NULL: equivalent
+    assert(out(4).isNullAt(0) && out(4).isNullAt(1))
+    // every row: native == hof (incl. null equality)
+    out.foreach(r => assert(r.isNullAt(0) === r.isNullAt(1)
+      && (r.isNullAt(0) || r.getDouble(0) === r.getDouble(1))))
   }
 
   test("graft_dot rejects non-array arguments with a typed error") {
