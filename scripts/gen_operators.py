@@ -1,0 +1,33 @@
+#!/usr/bin/env python3
+"""Regenerate OPERATORS.md: every registered Q key -> defining file:line,
+with oracle status taken from the latest Verify dump's oracle_sql.json."""
+import json
+import os
+import re
+import sys
+
+out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
+entries = []
+for root, _, files in os.walk("src/main/scala/graft"):
+    for f in files:
+        if not f.endswith(".scala"):
+            continue
+        p = os.path.join(root, f)
+        for i, line in enumerate(open(p), 1):
+            m = re.search(r'Q\("([a-z0-9_]+)"', line)
+            if m:
+                entries.append((m.group(1), f"{p}:{i}"))
+oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+entries.sort()
+with open("OPERATORS.md", "w") as out:
+    out.write("# OPERATORS — generated key → implementation index\n\n")
+    out.write(
+        f"{len(entries)} declared query keys "
+        f"({sum(1 for k, _ in entries if k in oracle)} with DuckDB oracle "
+        f"SQL, {sum(1 for k, _ in entries if k not in oracle)} rows-only + "
+        "unit-tested). Regenerate: `python3 scripts/gen_operators.py`.\n\n")
+    out.write("| key | defined at | oracle |\n|---|---|---|\n")
+    for k, loc in entries:
+        mark = "✅" if k in oracle else "⛔ (tests)"
+        out.write(f"| `{k}` | `{loc}` | {mark} |\n")
+print(f"{len(entries)} keys -> OPERATORS.md")
