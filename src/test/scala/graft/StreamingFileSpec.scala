@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end file-source streaming: readStream over a growing parquet
+  * directory → transform → exactly-once parquet sink with checkpoint
+  * recovery across a query restart (the deployment shape of the
+  * streaming twins; MemoryStream covers semantics, this covers the
+  * source/sink/checkpoint machinery). */
+class StreamingFileSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("parquet->parquet streaming is exactly-once across restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream")
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    val events = Tables.table(spark, sf, "events")
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+    val chunks = events.collect().grouped(400).toSeq
+    def writeChunk(i: Int): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(chunks(i).toSeq, 1), events.schema)
+        .write.mode("append").parquet(src)
+
+    def startQuery() = spark.readStream.schema(events.schema).parquet(src)
+      .filter(col("event_type") === "purchase")
+      .withColumn("value_cents",
+        expr("cast(round(value * 100) as bigint)"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    writeChunk(0)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    writeChunk(1)
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint; only the new chunk may be processed
+    writeChunk(2)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.parquet(out)
+    val expected = events.filter(col("event_type") === "purchase")
+    assert(streamed.count() === expected.count(), "exactly-once violated")
+    assert(streamed.join(expected, Seq("event_id"), "left_anti")
+      .count() === 0)
+    assert(streamed.agg(sum("value_cents")).head.getLong(0) ===
+      expected.agg(sum(expr("cast(round(value * 100) as bigint)")))
+        .head.getLong(0))
+  }
+}
