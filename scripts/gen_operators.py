@@ -7,6 +7,7 @@ import re
 import sys
 
 out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
+os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 entries = []
 for root, _, files in os.walk("src/main/scala/graft"):
     for f in files:
@@ -17,6 +18,8 @@ for root, _, files in os.walk("src/main/scala/graft"):
             m = re.search(r'Q\("([a-z0-9_]+)"', line)
             if m:
                 entries.append((m.group(1), f"{p}:{i}"))
+if not entries:
+    sys.exit("no Q(...) definitions found - wrong working tree?")
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 entries.sort()
 with open("OPERATORS.md", "w") as out:

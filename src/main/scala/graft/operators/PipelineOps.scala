@@ -40,6 +40,23 @@ object PipelineOps {
   private def sqlWh(w: String): String =
     s"CAST(concat('0x', substring(md5($w), 1, 15)) AS BIGINT)"
 
+  /** Context length used by text_chunk_pack (and its roundtrip test). */
+  private[graft] val CHUNK_LEN = 32
+
+  /** Frequency-ranked vocabulary: id 1 = most frequent, ties by word —
+    * shared by text_tokenize_ids, text_chunk_pack, and the roundtrip test
+    * so the ranking rule cannot drift between them. */
+  private[graft] def vocabOf(tokens: DataFrame): DataFrame =
+    tokens.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word").asc)).cast("long"))
+      .select(col("word"), col("id"))
+
+  private[graft] def tokensOf(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
@@ -167,14 +184,13 @@ object PipelineOps {
         |FROM documents ORDER BY doc_id"""))),
 
     // 32-bit SimHash over md5-derived word hashes (+ top-16-bit band for
-    // bucketed near-dup joins). Word hashes are materialized once per doc,
-    // then folded per bit.
+    // bucketed near-dup joins), computed as explode + 32 codegen'd
+    // sum-aggregates so the per-word hash is evaluated ONCE. (A nested
+    // per-bit HOF fold looks elegant but Catalyst inlines the hash
+    // projection into all 32 folds — 32x the md5 work, interpreted;
+    // that was 14 s at sf0.1 vs ~1 s for this shape.)
     Q("text_simhash",
       (s, dir) => {
-        // Explode + 32 codegen'd sum-aggregates: the per-word md5 hash is
-        // computed ONCE per word. (The earlier nested-HOF fold looked
-        // elegant but Catalyst inlined the hash projection into all 32
-        // folds — 32x the md5 work, interpreted; 14s -> sub-second.)
         val words = Tables.table(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
           .select(col("doc_id"), expr(whExpr("w")).as("wh"))
@@ -185,8 +201,11 @@ object PipelineOps {
           .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << (31 - j)}L " +
             "ELSE 0L END)")
           .mkString(" + ")
-        words.groupBy(col("doc_id"))
-          .agg(bitCols.head, bitCols.tail: _*)
+        // left join from documents so a NULL/absent-token doc still emits
+        // (doc_id, 0, 0) exactly like the oracle's CASE over NULL sums
+        Tables.table(s, dir, "documents").select(col("doc_id"))
+          .join(words.groupBy(col("doc_id"))
+            .agg(bitCols.head, bitCols.tail: _*), Seq("doc_id"), "left")
           .select(col("doc_id"), expr(sigExpr).as("simhash32"))
           .withColumn("band16", expr("shiftright(simhash32, 16)"))
           .orderBy(col("doc_id"))
@@ -350,14 +369,8 @@ object PipelineOps {
     // dimension-sized and would broadcast at scale.
     Q("text_tokenize_ids",
       (s, dir) => {
-        val tokens = Tables.table(s, dir, "documents")
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-        val vocab = tokens.groupBy(col("word"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("id", row_number().over(
-            Window.orderBy(col("cnt").desc, col("word").asc)).cast("long"))
-          .select(col("word"), col("id"))
+        val tokens = tokensOf(s, dir)
+        val vocab = vocabOf(tokens)
         tokens.join(broadcast(vocab), "word")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"),
@@ -385,22 +398,18 @@ object PipelineOps {
     // fixed-length chunks of 32 (context-length packing for training).
     Q("text_chunk_pack",
       (s, dir) => {
-        val tokens = Tables.table(s, dir, "documents")
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-        val vocab = tokens.groupBy(col("word"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("id", row_number().over(
-            Window.orderBy(col("cnt").desc, col("word").asc)).cast("long"))
-          .select(col("word"), col("id"))
+        val tokens = tokensOf(s, dir)
+        val vocab = vocabOf(tokens)
         tokens.join(broadcast(vocab), "word")
           .groupBy(col("doc_id"))
           .agg(expr(
             "transform(array_sort(collect_list(struct(pos, id))), x -> x.id)")
             .as("ids"))
           .select(col("doc_id"), posexplode(expr(
-            """transform(sequence(0, (size(ids) + 31) div 32 - 1),
-              |  i -> slice(ids, i * 32 + 1, 32))""".stripMargin))
+            s"""transform(sequence(0, (size(ids) + ${CHUNK_LEN - 1})
+               |    div $CHUNK_LEN - 1),
+               |  i -> slice(ids, i * $CHUNK_LEN + 1, $CHUNK_LEN))"""
+              .stripMargin))
             .as(Seq("chunk_idx", "chunk")))
           .select(col("doc_id"), col("chunk_idx").cast("long")
             .as("chunk_idx"),

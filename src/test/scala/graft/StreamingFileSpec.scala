@@ -31,17 +31,22 @@ class StreamingFileSpec extends AnyFunSuite {
       .option("path", out).option("checkpointLocation", ckpt)
       .outputMode("append").start()
 
+    assert(chunks.size >= 2, "fixture too small to exercise a restart")
+    // all but the last chunk before the restart, the last one after;
+    // the source dir must exist before the stream starts
     writeChunk(0)
     val q1 = startQuery()
-    q1.processAllAvailable()
-    writeChunk(1)
-    q1.processAllAvailable()
-    q1.stop()
+    try {
+      q1.processAllAvailable()
+      chunks.indices.drop(1).dropRight(1).foreach { i =>
+        writeChunk(i)
+        q1.processAllAvailable()
+      }
+    } finally q1.stop()
     // restart from the checkpoint; only the new chunk may be processed
-    writeChunk(2)
+    writeChunk(chunks.size - 1)
     val q2 = startQuery()
-    q2.processAllAvailable()
-    q2.stop()
+    try q2.processAllAvailable() finally q2.stop()
 
     val streamed = spark.read.parquet(out)
     val expected = events.filter(col("event_type") === "purchase")

@@ -10,15 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class TokenizeRoundtripSpec extends AnyFunSuite {
   import TestSpark._
 
-  private def vocab = {
-    val tokens = Tables.table(spark, sf, "documents")
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-    tokens.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .withColumn("id", row_number().over(
-        Window.orderBy(col("cnt").desc, col("word").asc)).cast("long"))
-      .select(col("id"), col("word"))
-  }
+  private def vocab = graft.operators.PipelineOps.vocabOf(
+    graft.operators.PipelineOps.tokensOf(spark, sf))
 
   test("text_tokenize_ids decodes back to the original text") {
     val ids = Registry.queries("text_tokenize_ids")(spark, sf)
@@ -54,7 +47,7 @@ class TokenizeRoundtripSpec extends AnyFunSuite {
           .as("joined_csv"))
     val bad = reassembled.join(ids, "doc_id")
       .filter(col("total_len") =!= col("n_tokens")
-        || col("max_len") > 32
+        || col("max_len") > graft.operators.PipelineOps.CHUNK_LEN
         || col("joined_csv") =!= col("ids_csv"))
       .count()
     assert(bad === 0)
