@@ -298,6 +298,42 @@ object PipelineOps {
         |WHERE (CAST(inter_cnt AS DOUBLE) / (sa.n + sb.n - inter_cnt)) > 0.5
         |ORDER BY doc_a, doc_b"""))),
 
+    // Fuzzy near-dup via edit distance on document prefixes, blocked by
+    // (lang, length-bucket) — the classic cheap-blocking + expensive-
+    // verify dedup shape (never all-pairs; bucket sizes bound the O(b²)
+    // verify work). Exact integer distance → oracle-checked.
+    Q("text_editdist_pairs",
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") / 20).cast("long").as("len_bucket"),
+            substring(col("text"), 1, 40).as("prefix"))
+        val a = d.select(col("doc_id").as("doc_a"), col("lang"),
+          col("len_bucket"), col("prefix").as("pa"))
+        val b = d.select(col("doc_id").as("doc_b"),
+          col("lang").as("b_lang"), col("len_bucket").as("b_bucket"),
+          col("prefix").as("pb"))
+        a.join(b, col("lang") === col("b_lang")
+            && col("len_bucket") === col("b_bucket")
+            && col("doc_a") < col("doc_b"))
+          .withColumn("edit_dist",
+            levenshtein(col("pa"), col("pb")).cast("long"))
+          .filter(col("edit_dist") <= 20)
+          .select(col("lang"), col("doc_a"), col("doc_b"), col("edit_dist"))
+          .orderBy(col("lang"), col("doc_a"), col("doc_b"))
+      },
+      Some(sql("""WITH d AS (
+        |  SELECT doc_id, lang, n_chars // 20 AS len_bucket,
+        |    substring(text, 1, 40) AS prefix
+        |  FROM documents)
+        |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(a.prefix, b.prefix)::BIGINT AS edit_dist
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+        |  AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 20
+        |ORDER BY a.lang, doc_a, doc_b"""))),
+
     // IVF approximate nearest neighbors: label-centroid codebook (10
     // lists), every vector assigned to its nearest list, queries probe the
     // nprobe=3 nearest lists and rank candidates by cosine. IVF recall is
