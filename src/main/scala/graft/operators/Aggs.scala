@@ -194,6 +194,21 @@ object Aggs {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority"""))),
 
+    // Weighted mean (price weighted by quantity) from exact decimal sums.
+    Q("agg_weighted_avg",
+      (s, dir) => Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg((dsum(col("l_extendedprice") * col("l_quantity"), 4)
+          / dsum(col("l_quantity"), 2)).as("qty_weighted_price"),
+          dsum(col("l_quantity"), 2).as("total_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(sql(s"""SELECT l_returnflag, l_linestatus,
+        |(${sqlDsum("l_extendedprice * l_quantity", 4)}
+        | / ${sqlDsum("l_quantity", 2)}) AS qty_weighted_price,
+        |${sqlDsum("l_quantity", 2)} AS total_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus"""))),
+
     // Pearson correlation + sample covariance from exact decimal sums —
     // same order-independence argument as agg_stats' variance (builtin
     // corr/covar accumulate doubles in partition order and would not

@@ -136,6 +136,37 @@ object EventOps {
         |HAVING v_us < c_us AND c_us < p_us
         |ORDER BY user_id"""))),
 
+    // Last-touch attribution: each purchase attributed to the user's most
+    // recent STRICTLY-PRIOR view (frame ends 1 row before current) —
+    // conditional max over a trailing frame, one shuffle on user_id.
+    Q("events_attribution",
+      (s, dir) => {
+        val trail = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.table(s, dir, "events")
+          .withColumn("last_view_us",
+            max(when(col("event_type") === "view", col("ts_us"))).over(trail))
+          .filter(col("event_type") === "purchase"
+            && col("last_view_us").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            col("ts_us").as("purchase_us"), col("last_view_us"),
+            (col("ts_us") - col("last_view_us")).as("view_to_buy_us"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some(sql(s"""SELECT user_id, event_id, purchase_us, last_view_us,
+        |(purchase_us - last_view_us) AS view_to_buy_us FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    ${sqlMicros("ts")} AS purchase_us,
+        |    max(CASE WHEN event_type = 'view' THEN ${sqlMicros("ts")} END)
+        |      OVER (PARTITION BY user_id
+        |        ORDER BY ${sqlMicros("ts")} ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_view_us
+        |  FROM events)
+        |WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+        |ORDER BY user_id, event_id"""))),
+
     // Weekly cohort retention: users active in ISO week w who are also
     // active in week w+1 (both engines truncate weeks to Monday).
     Q("events_retention",

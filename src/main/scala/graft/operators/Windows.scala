@@ -179,6 +179,39 @@ object Windows {
         |  AS cnt_in_band
         |FROM orders ORDER BY o_custkey, o_orderkey"""))),
 
+    // Share-of-total: per-nation revenue as a fraction of the global sum
+    // via an unpartitioned window over the pre-aggregated (tiny) series —
+    // exact decimal sums on both levels, division on identical doubles.
+    Q("window_share_of_total",
+      (s, dir) => {
+        val perNation = Tables.table(s, dir, "supplier")
+          .join(broadcast(Tables.table(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.table(s, dir, "lineitem"),
+            col("s_suppkey") === col("l_suppkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice"), 2).as("revenue"))
+        val all = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        perNation
+          .select(col("n_name"), col("revenue"),
+            (col("revenue") / sum(col("revenue")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(all)
+              .cast("double")).as("revenue_share"))
+          .orderBy(col("n_name"))
+      },
+      Some(sql(s"""WITH per_nation AS (
+        |  SELECT n_name, ${sqlDsum("l_extendedprice", 2)} AS revenue
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  GROUP BY n_name)
+        |SELECT n_name, revenue,
+        |  (revenue / CAST(sum(CAST(revenue AS DECIMAL(18,2))) OVER (
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |   AS DOUBLE)) AS revenue_share
+        |FROM per_nation ORDER BY n_name"""))),
+
     Q("topk_per_group",
       (s, dir) => {
         val w = Window.partitionBy(col("o_custkey"))
