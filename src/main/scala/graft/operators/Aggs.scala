@@ -194,6 +194,23 @@ object Aggs {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority"""))),
 
+    // Fixed-width histogram of order values (bucket = 25k): integer
+    // bucketing on both engines (floor semantics identical for positives).
+    Q("agg_histogram",
+      // explicit floor on both sides: DuckDB's double->BIGINT cast ROUNDS
+      // while Spark's truncates — floor is the common semantic
+      (s, dir) => Tables.table(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 25000).as("price_bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice"), 2).as("bucket_total"))
+        .orderBy(col("price_bucket")),
+      Some(sql(s"""SELECT CAST(floor(o_totalprice / 25000) AS BIGINT)
+        |  AS price_bucket,
+        |count(*)::BIGINT AS cnt,
+        |${sqlDsum("o_totalprice", 2)} AS bucket_total
+        |FROM orders GROUP BY CAST(floor(o_totalprice / 25000) AS BIGINT)
+        |ORDER BY price_bucket"""))),
+
     // Weighted mean (price weighted by quantity) from exact decimal sums.
     Q("agg_weighted_avg",
       (s, dir) => Tables.table(s, dir, "lineitem")

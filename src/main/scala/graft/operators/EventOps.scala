@@ -136,6 +136,21 @@ object EventOps {
         |HAVING v_us < c_us AND c_us < p_us
         |ORDER BY user_id"""))),
 
+    // Daily active users + event volume — the dashboard staple.
+    Q("events_daily_active",
+      (s, dir) => Tables.table(s, dir, "events")
+        .groupBy(day(col("ts_t")).as("day"))
+        .agg(countDistinct(col("user_id")).as("dau"),
+          count(lit(1)).as("events"),
+          dsum(col("value"), 2).as("day_value"))
+        .orderBy(col("day")),
+      Some(sql(s"""SELECT ${sqlDay("ts::TIMESTAMP")} AS day,
+        |count(DISTINCT user_id)::BIGINT AS dau,
+        |count(*)::BIGINT AS events,
+        |${sqlDsum("value", 2)} AS day_value
+        |FROM events GROUP BY ${sqlDay("ts::TIMESTAMP")}
+        |ORDER BY day"""))),
+
     // Last-touch attribution: each purchase attributed to the user's most
     // recent STRICTLY-PRIOR view (frame ends 1 row before current) —
     // conditional max over a trailing frame, one shuffle on user_id.
