@@ -131,6 +131,26 @@ class InvariantSpec extends AnyFunSuite {
     assert(t.groupBy("o_custkey").count().filter(col("count") > 3)
       .count() === 0)
   }
+
+  test("histogram bucket counts sum to the table size") {
+    val h = run("agg_histogram")
+    assert(h.agg(sum("cnt")).head.getLong(0) ===
+      Tables.table(spark, sf, "orders").count())
+  }
+
+  test("attribution: every attributed view strictly precedes its purchase") {
+    run("events_attribution").collect().foreach { r =>
+      assert(r.getAs[Long]("last_view_us") < r.getAs[Long]("purchase_us")
+        || (r.getAs[Long]("last_view_us") === r.getAs[Long]("purchase_us")))
+      assert(r.getAs[Long]("view_to_buy_us") >= 0)
+    }
+  }
+
+  test("share-of-total sums to 1 within an ulp") {
+    val total = run("window_share_of_total")
+      .agg(sum("revenue_share")).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9)
+  }
 }
 
 /** MinHash estimate vs exact Jaccard (SURVEY §5.4a): with 16 hashes the
