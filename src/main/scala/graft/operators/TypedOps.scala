@@ -61,5 +61,51 @@ object TypedOps {
       },
       // Same semantics, same oracle as the untyped flagship.
       Some(Aggs.q1Oracle)),
+
+    // Arbitrary typed per-group logic via mapGroups: per-customer OLS
+    // slope of order value over time, computed with EXACT integer sums in
+    // plain Scala (x = days since epoch date, y = price cents) — so even
+    // hand-written group logic stays oracle-checkable: the SQL twin's
+    // BIGINT sums produce the identical doubles. At scale mapGroups is
+    // one shuffle; group state here is four Longs.
+    Q("typed_group_regression",
+      (s, dir) => {
+        import s.implicits._
+        Tables.table(s, dir, "orders")
+          .select(col("o_custkey"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1995-01-01").cast("date")).as("x"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("y"))
+          .as[(Long, Int, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (cust, rows) =>
+            var n = 0L; var sx = 0L; var sy = 0L; var sxy = 0L; var sxx = 0L
+            rows.foreach { case (_, xi, yi) =>
+              val x = xi.toLong
+              n += 1; sx += x; sy += yi; sxy += x * yi; sxx += x * x
+            }
+            val den = n * sxx - sx * sx
+            val slope =
+              if (den == 0) Double.NaN
+              else (n * sxy - sx * sy).toDouble / den.toDouble
+            (cust, n, den, slope)
+          }
+          .toDF("o_custkey", "n_orders", "den", "slope")
+          .filter(col("den") =!= 0)
+          .select(col("o_custkey"), col("n_orders"), col("slope"))
+          .orderBy(col("o_custkey"))
+      },
+      Some(graft.Det.sql("""WITH pts AS (
+        |  SELECT o_custkey,
+        |    datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS x,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders)
+        |SELECT o_custkey, count(*)::BIGINT AS n_orders,
+        |  (CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+        |   / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE))
+        |    AS slope
+        |FROM pts GROUP BY o_custkey
+        |HAVING count(*) * sum(x * x) - sum(x) * sum(x) <> 0
+        |ORDER BY o_custkey"""))),
   )
 }
