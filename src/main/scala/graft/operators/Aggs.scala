@@ -194,6 +194,20 @@ object Aggs {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority"""))),
 
+    // Boolean aggregates: universal/existential predicates per group.
+    Q("agg_bool",
+      (s, dir) => Tables.table(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(expr("bool_and(s_acctbal > 0)").as("all_positive"),
+          expr("bool_or(s_acctbal < 0)").as("any_negative"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("s_nationkey")),
+      Some(sql("""SELECT s_nationkey,
+        |bool_and(s_acctbal > 0) AS all_positive,
+        |bool_or(s_acctbal < 0) AS any_negative,
+        |count(*)::BIGINT AS cnt
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))),
+
     // Fixed-width histogram of order values (bucket = 25k): integer
     // bucketing on both engines (floor semantics identical for positives).
     Q("agg_histogram",

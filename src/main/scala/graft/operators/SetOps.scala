@@ -70,6 +70,22 @@ object SetOps {
       Some(sql(s"""SELECT o_custkey FROM
         |(($urgentSql) UNION ($highSql)) ORDER BY o_custkey"""))),
 
+    // Multiset semantics: duplicates preserved per-occurrence (a customer
+    // with 3 urgent and 1 high-value order keeps 2 copies in EXCEPT ALL).
+    Q("set_except_all",
+      (s, dir) => urgent(s, dir).select(col("o_custkey"))
+        .exceptAll(highValue(s, dir).select(col("o_custkey")))
+        .orderBy(col("o_custkey")),
+      Some(sql(s"""SELECT o_custkey FROM
+        |(($urgentSql) EXCEPT ALL ($highSql)) ORDER BY o_custkey"""))),
+
+    Q("set_intersect_all",
+      (s, dir) => urgent(s, dir).select(col("o_custkey"))
+        .intersectAll(highValue(s, dir).select(col("o_custkey")))
+        .orderBy(col("o_custkey")),
+      Some(sql(s"""SELECT o_custkey FROM
+        |(($urgentSql) INTERSECT ALL ($highSql)) ORDER BY o_custkey"""))),
+
     Q("set_intersect",
       (s, dir) => urgent(s, dir).select(col("o_custkey"))
         .intersect(highValue(s, dir).select(col("o_custkey")))

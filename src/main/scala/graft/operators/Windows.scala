@@ -179,6 +179,32 @@ object Windows {
         |  AS cnt_in_band
         |FROM orders ORDER BY o_custkey, o_orderkey"""))),
 
+    // nth_value over a fully tie-broken frame: the 2nd-cheapest line's
+    // supplier per part (NULL where a part has a single line).
+    Q("window_nth_value",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_partkey"))
+          .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc, col("l_suppkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.table(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            nth_value(col("l_suppkey"), 2).over(w).as("second_supp"),
+            nth_value(col("l_extendedprice"), 2).over(w)
+              .as("second_price"))
+          .distinct()
+          .orderBy(col("l_partkey"))
+      },
+      Some(sql("""SELECT DISTINCT l_partkey,
+        |nth_value(l_suppkey, 2) OVER w AS second_supp,
+        |nth_value(l_extendedprice, 2) OVER w AS second_price
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_partkey
+        |  ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC,
+        |    l_suppkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_partkey"""))),
+
     // Share-of-total: per-nation revenue as a fraction of the global sum
     // via an unpartitioned window over the pre-aggregated (tiny) series —
     // exact decimal sums on both levels, division on identical doubles.
