@@ -118,9 +118,9 @@ object Det {
   def sqlSecond(e: String): String = s"strftime($e, '%Y-%m-%d %H:%M:%S')"
 
   /** Event-time in integer microseconds — the only deterministic way to
-    * compare/subtract event timestamps cross-engine (Spark truncates the
-    * parquet ns to µs; the oracle casts `ts::TIMESTAMP` to match). */
-  def micros(c: Column): Column = unix_micros(c)
+    * compare/subtract event timestamps cross-engine. The Spark side reads
+    * the exact integer `ts_us` from [[Tables.events]]; the oracle casts
+    * `ts::TIMESTAMP` (ns→µs truncation) to match. */
   def sqlMicros(e: String): String = s"epoch_us(($e)::TIMESTAMP)"
 
   /** Normalize a multi-line oracle SQL literal to one line (keeps
