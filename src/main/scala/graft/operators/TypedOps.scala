@@ -78,21 +78,19 @@ object TypedOps {
             expr("cast(round(o_totalprice * 100) as bigint)").as("y"))
           .as[(Long, Int, Long)]
           .groupByKey(_._1)
-          .mapGroups { (cust, rows) =>
+          .flatMapGroups { (cust, rows) =>
             var n = 0L; var sx = 0L; var sy = 0L; var sxy = 0L; var sxx = 0L
             rows.foreach { case (_, xi, yi) =>
               val x = xi.toLong
               n += 1; sx += x; sy += yi; sxy += x * yi; sxx += x * x
             }
             val den = n * sxx - sx * sx
-            val slope =
-              if (den == 0) Double.NaN
-              else (n * sxy - sx * sy).toDouble / den.toDouble
-            (cust, n, den, slope)
+            // HAVING den <> 0: groups with a degenerate x-spread emit nothing
+            if (den == 0) Iterator.empty
+            else Iterator((cust, n,
+              (n * sxy - sx * sy).toDouble / den.toDouble))
           }
-          .toDF("o_custkey", "n_orders", "den", "slope")
-          .filter(col("den") =!= 0)
-          .select(col("o_custkey"), col("n_orders"), col("slope"))
+          .toDF("o_custkey", "n_orders", "slope")
           .orderBy(col("o_custkey"))
       },
       Some(graft.Det.sql("""WITH pts AS (

@@ -138,15 +138,19 @@ class InvariantSpec extends AnyFunSuite {
       Tables.table(spark, sf, "orders").count())
   }
 
-  test("attribution: every attributed view strictly precedes its purchase") {
-    run("events_attribution").collect().foreach { r =>
-      assert(r.getAs[Long]("last_view_us") < r.getAs[Long]("purchase_us")
-        || (r.getAs[Long]("last_view_us") === r.getAs[Long]("purchase_us")))
-      assert(r.getAs[Long]("view_to_buy_us") >= 0)
+  test("attribution: attributed view is at-or-before its purchase") {
+    // the frame is rows-strictly-prior, so a ts-tied view with a lower
+    // event_id may legitimately yield last_view_us == purchase_us
+    val rows = run("events_attribution").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("last_view_us") <= r.getAs[Long]("purchase_us"))
+      assert(r.getAs[Long]("view_to_buy_us") ===
+        r.getAs[Long]("purchase_us") - r.getAs[Long]("last_view_us"))
     }
   }
 
-  test("share-of-total sums to 1 within an ulp") {
+  test("share-of-total sums to 1 within 1e-9") {
     val total = run("window_share_of_total")
       .agg(sum("revenue_share")).head.getDouble(0)
     assert(math.abs(total - 1.0) < 1e-9)
