@@ -117,6 +117,28 @@ object Scalars {
         |o_orderkey % 7 AS key_mod7
         |FROM orders ORDER BY o_orderkey"""))),
 
+    // Trig battery: radians() is the same x*pi/180 double multiply in both
+    // engines, so sin/cos/atan2 receive identical inputs; results rounded
+    // to 6dp for the cross-libm last-ulp (same rule as ln/exp).
+    Q("scalar_trig",
+      (s, dir) => Tables.table(s, dir, "orders")
+        .withColumn("deg", pmod(col("o_orderkey"), lit(360)).cast("double"))
+        .select(col("o_orderkey"), col("deg"),
+          round(sin(radians(col("deg"))), 6).as("sin_r6"),
+          round(cos(radians(col("deg"))), 6).as("cos_r6"),
+          round(atan2(col("deg"), lit(180.0)), 6).as("atan2_r6"),
+          round(degrees(radians(col("deg"))), 6).as("deg_roundtrip"))
+        .orderBy(col("o_orderkey")),
+      Some(sql("""SELECT o_orderkey,
+        |CAST(o_orderkey % 360 AS DOUBLE) AS deg,
+        |round(sin(radians(CAST(o_orderkey % 360 AS DOUBLE))), 6) AS sin_r6,
+        |round(cos(radians(CAST(o_orderkey % 360 AS DOUBLE))), 6) AS cos_r6,
+        |round(atan2(CAST(o_orderkey % 360 AS DOUBLE), 180.0), 6)
+        |  AS atan2_r6,
+        |round(degrees(radians(CAST(o_orderkey % 360 AS DOUBLE))), 6)
+        |  AS deg_roundtrip
+        |FROM orders ORDER BY o_orderkey"""))),
+
     Q("scalar_bitwise",
       (s, dir) => Tables.table(s, dir, "orders")
         .select(col("o_orderkey"),

@@ -136,6 +136,44 @@ object EventOps {
         |HAVING v_us < c_us AND c_us < p_us
         |ORDER BY user_id"""))),
 
+    // Per-user z-score of event values (feature standardization): mean
+    // and population variance from exact decimal window sums over the
+    // user's full frame — identical doubles feed the same (v-mu)/sigma.
+    Q("events_zscore",
+      (s, dir) => {
+        val u = Window.partitionBy(col("user_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.table(s, dir, "events")
+          .withColumn("n", count(lit(1)).over(u))
+          .withColumn("s1", sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(u)
+            .cast("double"))
+          .withColumn("s2", sum((col("value") * col("value"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4))).over(u)
+            .cast("double"))
+          .withColumn("mu", col("s1") / col("n"))
+          .withColumn("sigma",
+            sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n")))
+          .filter(col("n") >= 2 && col("sigma") > 0)
+          .select(col("event_id"), col("user_id"), col("value"),
+            ((col("value") - col("mu")) / col("sigma")).as("zscore"))
+          .orderBy(col("event_id"))
+      },
+      Some(sql("""SELECT event_id, user_id, value,
+        |((value - s1 / n) /
+        | sqrt((s2 - s1 * s1 / n) / n)) AS zscore
+        |FROM (
+        |  SELECT event_id, user_id, value,
+        |    count(*) OVER u AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER u AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(18,4))) OVER u AS DOUBLE)
+        |      AS s2
+        |  FROM events
+        |  WINDOW u AS (PARTITION BY user_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |WHERE n >= 2 AND sqrt((s2 - s1 * s1 / n) / n) > 0
+        |ORDER BY event_id"""))),
+
     // Daily active users + event volume — the dashboard staple.
     Q("events_daily_active",
       (s, dir) => Tables.table(s, dir, "events")
