@@ -155,6 +155,30 @@ class InvariantSpec extends AnyFunSuite {
       .agg(sum("revenue_share")).head.getDouble(0)
     assert(math.abs(total - 1.0) < 1e-9)
   }
+
+  test("trig battery satisfies sin^2 + cos^2 = 1 (to rounding)") {
+    run("scalar_trig").collect().foreach { r =>
+      val s2c2 = math.pow(r.getAs[Double]("sin_r6"), 2) +
+        math.pow(r.getAs[Double]("cos_r6"), 2)
+      assert(math.abs(s2c2 - 1.0) < 1e-5) // inputs rounded to 6dp
+      assert(r.getAs[Double]("deg_roundtrip") === r.getAs[Double]("deg"))
+    }
+  }
+
+  test("z-scores are standardized: per-user mean ~0, population var ~1") {
+    val byUser = run("events_zscore")
+      .groupBy("user_id")
+      .agg(avg("zscore").as("mu"),
+        (sum(expr("zscore * zscore")) / count(lit(1))).as("var2"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .collect()
+    assert(byUser.nonEmpty)
+    byUser.foreach { r =>
+      assert(math.abs(r.getAs[Double]("mu")) < 1e-6)
+      assert(math.abs(r.getAs[Double]("var2") - 1.0) < 1e-6)
+    }
+  }
 }
 
 /** MinHash estimate vs exact Jaccard (SURVEY §5.4a): with 16 hashes the
