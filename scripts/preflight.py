@@ -27,6 +27,101 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# --- Transcendental / derived-double boundary audit (VERDICT r2 #3) -------
+#
+# CORRECTNESS_r02 lesson: the driver's oracle build computes trig MATERIALLY
+# differently (≫ulp) from every engine on this box, while its ln/exp/sqrt
+# are bit-identical — empirically, scalar_math's ln outputs sit 1.7e-7
+# round-6 units from a decision boundary at sf0.1 and still hash-matched.
+# Two consequences, enforced here:
+#
+#  1. CATEGORICAL BAN: trig-family functions must never appear in declared
+#     oracle SQL (no boundary margin makes them safe). This is the check
+#     that would have flagged scalar_trig before round 2 declared it.
+#  2. NEAR-BOUNDARY ULP CHECK: every key whose oracle rounds an
+#     engine-computed double chain (ln/exp or fma-contractable rational
+#     arithmetic) must keep each raw value either EXACTLY on a round-N
+#     boundary (identical doubles tie-round identically on both engines)
+#     or > 32 ulps away from it — a few-ulp libm/contraction divergence
+#     must not be able to flip the rounded digit.
+#
+# AUDITS: key -> (sql producing the RAW (pre-round) double column `x`
+# over the bare fixture tables, round scale N). Keep in sync with the
+# round(...) sites in src/main/scala/graft (grep for `round(` there).
+TRIG_BAN_RE = r"\b(sin|cos|tan|asin|acos|atan|atan2|cot)\s*\("
+
+AUDITS = {
+    "scalar_math:ln": ("SELECT ln(o_totalprice) AS x FROM orders", 6),
+    "scalar_math:exp":
+        ("SELECT exp(o_totalprice/500000.0) AS x FROM orders", 6),
+    "text_tf_idf": ("""
+        WITH tokens AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
+                        FROM documents),
+        tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf
+               FROM tokens GROUP BY doc_id, word),
+        df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+        n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+        SELECT tf.tf * ln(n.n_docs / df.df) AS x
+        FROM tf JOIN df USING (word) CROSS JOIN n""", 6),
+    # text_quality_score was audited here until it failed the check (rows
+    # within ulps of a round-6 boundary); it now rounds via exact integer
+    # half-up division, so there is no double chain left to audit.
+    "udaf_geomean": ("""
+        SELECT exp(CAST(sum(CAST(round(ln(l_extendedprice)*1e12) AS BIGINT))
+               AS DOUBLE)/1e12/count(*)) AS x
+        FROM lineitem GROUP BY l_returnflag""", 4),
+    "agg_corr_cov:corr": ("""
+        SELECT (count(*)*CAST(sum(CAST(l_quantity*l_extendedprice
+                 AS DECIMAL(28,4))) AS DOUBLE)
+              - CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+               *CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE))
+             / sqrt((count(*)*CAST(sum(CAST(l_quantity*l_quantity
+                 AS DECIMAL(28,4))) AS DOUBLE)
+              - CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)**2)
+             * (count(*)*CAST(sum(CAST(l_extendedprice*l_extendedprice
+                 AS DECIMAL(28,4))) AS DOUBLE)
+              - CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2)))
+                 AS DOUBLE)**2)) AS x
+        FROM lineitem GROUP BY l_returnflag""", 8),
+    "agg_corr_cov:cov": ("""
+        SELECT (CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(28,4)))
+                 AS DOUBLE)
+              - CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+               *CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+               /count(*)) / (count(*)-1) AS x
+        FROM lineitem GROUP BY l_returnflag""", 8),
+}
+
+
+def audit(con, oracle):
+    """Returns the number of audit failures (0 == safe)."""
+    import re
+    fails = 0
+    for key, sql in sorted(oracle.items()):
+        m = re.search(TRIG_BAN_RE, sql, re.IGNORECASE)
+        if m:
+            print(f"AUDIT-FAIL {key:24s} oracle SQL uses {m.group(1)}() — "
+                  f"trig is not hash-checkable across oracle builds")
+            fails += 1
+    for name, (q, s) in AUDITS.items():
+        row = con.execute(f"""
+            WITH raw AS (SELECT x * power(10, {s}) AS y FROM ({q})
+                         WHERE x IS NOT NULL AND isfinite(x)),
+            d AS (SELECT y, abs(abs(y - floor(y)) - 0.5) AS dist FROM raw)
+            SELECT count(*) AS n,
+              count(*) FILTER (WHERE dist > 0 AND
+                dist < 32 * abs(y) * 2.220446049250313e-16) AS danger,
+              min(dist) AS mind
+            FROM d""").fetchone()
+        n, danger, mind = row
+        if n == 0 or danger > 0:
+            print(f"AUDIT-FAIL {name:24s} rows={n} near-boundary={danger} "
+                  f"min_dist={mind if mind is not None else 'n/a'}")
+            fails += 1
+        else:
+            print(f"audit {name:24s} rows={n} min_dist_r{s}={mind:.3e}")
+    return fails
+
 
 def compare(key, sdf, odf):
     problems = []
@@ -109,6 +204,7 @@ def main():
     for key in missing:
         print(f"FAIL {key:28s} oracle declared but no Verify output")
         n_fail += 1
+    n_fail += audit(con, oracle)
     print(f"\n{n_pass} pass / {n_fail} fail (sf={sf})")
     sys.exit(1 if n_fail else 0)
 

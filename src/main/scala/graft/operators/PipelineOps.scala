@@ -104,7 +104,13 @@ object PipelineOps {
         |FROM scored ORDER BY doc_id"""))),
 
     // Quality scoring: token stats + stopword ratio + type/token ratio,
-    // combined into one bounded score (round 6 on identical doubles).
+    // combined into one bounded score. The score is rational —
+    //   0.4·d/n + 0.3·(1 − s/n) + 0.3·min(n,100)/100
+    //   = (400·d + 300·(n−s) + 3·min(n,100)·n) / (1000·n)
+    // — so the round-6 value is computed by exact integer half-up
+    // division, never a double chain: the preflight boundary audit showed
+    // the double formulation parks rows within ulps of a round-6 boundary,
+    // where one fma-contracting oracle build would flip them.
     Q("text_quality_score",
       (s, dir) => {
         val stop = Seq("the", "a", "of", "and", "is", "to", "in")
@@ -115,16 +121,18 @@ object PipelineOps {
             size(array_distinct(col("w"))).cast("long"))
           .withColumn("n_stop",
             size(filter(col("w"), x => x.isin(stop: _*))).cast("long"))
+          .withColumn("qnum",
+            lit(400L) * col("n_distinct")
+              + lit(300L) * (col("n_tokens") - col("n_stop"))
+              + lit(3L) * least(col("n_tokens"), lit(100L))
+                * col("n_tokens"))
           .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
             col("n_stop"),
             ((col("n_chars") - (col("n_tokens") - lit(1L)))
               .cast("double") / col("n_tokens")).as("avg_token_len"),
-            round(lit(0.4) * (col("n_distinct").cast("double")
-                / col("n_tokens"))
-              + lit(0.3) * (lit(1.0) - col("n_stop").cast("double")
-                / col("n_tokens"))
-              + lit(0.3) * least(col("n_tokens").cast("double") / 100.0,
-                lit(1.0)), 6).as("quality_r6"))
+            // half-up round to 6dp of qnum/(1000·n), all in BIGINT
+            (expr("(2000 * qnum + n_tokens) div (2 * n_tokens)")
+              .cast("double") / lit(1000000.0)).as("quality_r6"))
           .orderBy(col("doc_id"))
       },
       Some(sql("""WITH b AS (
@@ -136,15 +144,17 @@ object PipelineOps {
         |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
         |    CAST(len(list_filter(w, x -> x IN
         |      ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stop
-        |  FROM b)
+        |  FROM b),
+        |q AS (
+        |  SELECT *, 400 * n_distinct + 300 * (n_tokens - n_stop)
+        |    + 3 * least(n_tokens, 100) * n_tokens AS qnum
+        |  FROM m)
         |SELECT doc_id, n_tokens, n_distinct, n_stop,
         |  (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens)
         |    AS avg_token_len,
-        |  round(0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
-        |    + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
-        |    + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6)
-        |    AS quality_r6
-        |FROM m ORDER BY doc_id"""))),
+        |  (CAST((2000 * qnum + n_tokens) // (2 * n_tokens) AS DOUBLE)
+        |    / 1000000.0) AS quality_r6
+        |FROM q ORDER BY doc_id"""))),
 
     // Token counting: whitespace tokens + BPE-ish consonant-vowel subword
     // units (same leftmost-greedy regex subset in Java and RE2, D6).
