@@ -47,9 +47,19 @@ object Bench {
         (shuffleWrite.get, shuffleRead.get, spilled.get)
     }
     spark.sparkContext.addSparkListener(metrics)
+    // Drain the listener bus before sampling counters so one query's bytes
+    // never bleed into the next entry. LiveListenerBus#waitUntilEmpty is
+    // private[spark] — reached reflectively; if the internal API moves, the
+    // fixed-sleep fallback makes attribution approximate (ADVICE r2).
+    def drainListeners(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(150) }
     val detail = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      Thread.sleep(150) // let listener events drain (bus is private API)
+      drainListeners()
       val before = metrics.snapshot()
       val t0 = System.nanoTime()
       // toRdd executes THIS physical plan (sorts, projections and all);
@@ -58,7 +68,7 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(150)
+      drainListeners()
       val after = metrics.snapshot()
       detail += s"""  "$name": {"sec": ${if (ok) elapsed else -1.0}, """ +
         s""""shuffle_write_bytes": ${after._1 - before._1}, """ +
