@@ -19,6 +19,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Native functions + rewrites active from the first warmup plan, so
+    // every timed query runs the same plan it ran during warmup.
+    plans.GraftFunctions.register(spark)
     // Warm every query's codegen/JIT at the smallest SF outside the timed
     // region: first-touch codegen costs seconds for the lambda-heavy
     // queries and would otherwise be billed to whichever SF runs first.

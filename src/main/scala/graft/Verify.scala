@@ -17,6 +17,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Native functions + rewrites (graft_dot, TopKPerGroup) active for the
+    // whole run — plan choice must not depend on query iteration order.
+    plans.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -238,8 +238,13 @@ object Windows {
         |   AS DOUBLE)) AS revenue_share
         |FROM per_nation ORDER BY n_name"""))),
 
+    // Planned natively: RewriteTopKPerGroup + TopKStrategy turn this
+    // Window(row_number)+WindowGroupLimit shape into the two-phase heap
+    // operator (graft/plans/TopKPerGroup.scala) — formulation stays
+    // declarative, results bit-identical (PlanSpec proves both).
     Q("topk_per_group",
       (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
         val w = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         Tables.table(s, dir, "orders")

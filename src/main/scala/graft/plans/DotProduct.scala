@@ -110,6 +110,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotDescriptor)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    ext.injectOptimizerRule(_ => RewriteTopKPerGroup)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
 
@@ -123,10 +125,17 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
-    // Running-session path for the optimizer rule (extensions can only be
-    // injected at session build time; extraOptimizations works post-hoc).
+    // Running-session path for the optimizer rules and planner strategy
+    // (extensions can only be injected at session build time;
+    // experimental.extraOptimizations/extraStrategies work post-hoc).
     if (!spark.experimental.extraOptimizations.contains(RewriteHofDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteHofDotProduct
+    if (!spark.experimental.extraOptimizations.contains(RewriteTopKPerGroup))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteTopKPerGroup
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
   }
 }

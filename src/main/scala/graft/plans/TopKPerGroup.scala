@@ -1,0 +1,199 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Native whole-operator top-k-per-group — the last rung of the extension
+  * ladder (SURVEY §2.1-K escalation c): a custom `LogicalPlan` node, a
+  * `Rule[LogicalPlan]` that recognizes the declarative idiom, a
+  * `SparkStrategy`, and a two-phase `SparkPlan` pair.
+  *
+  * Queries keep the idiomatic formulation —
+  * `row_number().over(partitionBy(g).orderBy(o)) … filter(rn <= k)` — and
+  * Spark's own `InferWindowGroupLimit` marks the limit in the optimized
+  * plan. [[RewriteTopKPerGroup]] then replaces the
+  * `Window(row_number) ∘ WindowGroupLimit` pair with [[TopKPerGroup]], and
+  * [[TopKStrategy]] plans it as
+  *
+  * {{{ TopKFinalExec (heap per group, emits rank)
+  *       ShuffleExchange(hash by group)   — inserted by EnsureRequirements
+  *         TopKPartialExec (heap per group, map-side)     }}}
+  *
+  * Each phase keeps one k-bounded binary heap per group (O(n log k), no
+  * per-partition sort), so the exchange carries at most k rows per group
+  * per map partition — at 100 TB that is the difference between shuffling
+  * the fact table and shuffling ≈k·groups rows. Rank assignment follows
+  * `row_number` semantics exactly; the engine's D7 rule (total order within
+  * groups) makes it deterministic, and the rewrite preserves the rank
+  * attribute's exprId so enclosing projections/filters resolve unchanged —
+  * results are bit-identical to the stock window path (oracle-checked via
+  * `topk_per_group` and `events_dedup_latest`).
+  */
+case class TopKPerGroup(
+    partitionSpec: Seq[Expression],
+    orderSpec: Seq[SortOrder],
+    limit: Int,
+    rankAttr: Attribute,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): TopKPerGroup = copy(child = newChild)
+}
+
+/** Rewrites `Window(Seq(rn = row_number() over spec), part, order,
+  * WindowGroupLimit(part, order, row_number, k, child))` to
+  * [[TopKPerGroup]]. Conservative on purpose: exactly one window
+  * expression, `RowNumber` only (rank/dense_rank tie semantics differ from
+  * the heap's), matching partition/order specs on both nodes. */
+object RewriteTopKPerGroup extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Window(
+        Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+        part, order,
+        WindowGroupLimit(lPart, lOrder, _: RowNumber, k, child), _)
+      if part.length == lPart.length &&
+        part.zip(lPart).forall { case (a, b) => a.semanticEquals(b) } &&
+        order.length == lOrder.length &&
+        order.zip(lOrder).forall { case (a, b) => a.semanticEquals(b) } =>
+      TopKPerGroup(part, order, k, alias.toAttribute, child)
+  }
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(part, order, k, rankAttr, child) =>
+      TopKFinalExec(part, order, k, rankAttr,
+        TopKPartialExec(part, order, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Shared heap logic: one k-bounded max-heap (worst candidate at head) per
+  * group key held in the partition. Rows are unsafe-copied only when
+  * retained; evicted rows are never materialized. */
+private[plans] object TopKHeaps {
+  def perGroup(
+      iter: Iterator[InternalRow],
+      groupProj: UnsafeProjection,
+      ordering: Ordering[InternalRow],
+      k: Int): java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]] = {
+    // worst-first comparator: head of the queue is the eviction candidate
+    val worstFirst = ordering.reverse
+    val heaps =
+      new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = groupProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[InternalRow](k, worstFirst)
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size < k) heap.add(row.copy())
+      else if (ordering.compare(row, heap.peek()) < 0) {
+        heap.poll()
+        heap.add(row.copy())
+      }
+    }
+    heaps
+  }
+}
+
+/** Map-side candidate pruning: emits each group's (unordered) top-k
+  * candidates from this input partition. No required distribution — runs
+  * before the exchange. */
+case class TopKPartialExec(
+    partitionSpec: Seq[Expression],
+    orderSpec: Seq[SortOrder],
+    limit: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val k = limit
+    val part = partitionSpec
+    val order = orderSpec
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val groupProj = UnsafeProjection.create(part, childOutput)
+      val ordering = GenerateOrdering.generate(order, childOutput)
+      val heaps = TopKHeaps.perGroup(iter, groupProj, ordering, k)
+      val it = heaps.values().iterator()
+      new Iterator[InternalRow] {
+        private var cur: java.util.Iterator[InternalRow] =
+          java.util.Collections.emptyIterator()
+        override def hasNext: Boolean = {
+          while (!cur.hasNext && it.hasNext) cur = it.next().iterator()
+          cur.hasNext
+        }
+        override def next(): InternalRow = cur.next()
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): TopKPartialExec = copy(child = newChild)
+}
+
+/** Reduce-side: groups are clustered here (EnsureRequirements inserts the
+  * hash exchange), so each group's heap sees all its candidates; emits the
+  * k best per group in order with their `row_number` rank appended. */
+case class TopKFinalExec(
+    partitionSpec: Seq[Expression],
+    orderSpec: Seq[SortOrder],
+    limit: Int,
+    rankAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partitionSpec.isEmpty) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(partitionSpec) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val k = limit
+    val part = partitionSpec
+    val order = orderSpec
+    val childOutput = child.output
+    val outputAttrs = output
+    child.execute().mapPartitions { iter =>
+      val groupProj = UnsafeProjection.create(part, childOutput)
+      val ordering = GenerateOrdering.generate(order, childOutput)
+      val heaps = TopKHeaps.perGroup(iter, groupProj, ordering, k)
+      val toUnsafe = UnsafeProjection.create(outputAttrs, outputAttrs)
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      val groups = heaps.values().iterator()
+      new Iterator[InternalRow] {
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!cur.hasNext && groups.hasNext) {
+            val sorted = groups.next().toArray(Array.empty[InternalRow])
+              .sorted(ordering)
+            var rank = 0
+            cur = sorted.iterator.map { row =>
+              rank += 1
+              rankRow.setInt(0, rank)
+              toUnsafe(joined(row, rankRow))
+            }
+          }
+          cur.hasNext
+        }
+        override def next(): InternalRow = cur.next()
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): TopKFinalExec = copy(child = newChild)
+}

@@ -90,6 +90,60 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  // Runs `f` with the graft TopK rewrite/strategy stripped from the shared
+  // session, restoring them afterwards (register() is idempotent).
+  private def withoutNativeTopK[T](f: => T): T = {
+    val exp = spark.experimental
+    val (prevO, prevS) = (exp.extraOptimizations, exp.extraStrategies)
+    exp.extraOptimizations =
+      prevO.filterNot(_ == graft.plans.RewriteTopKPerGroup)
+    exp.extraStrategies = prevS.filterNot(_ == graft.plans.TopKStrategy)
+    try f finally {
+      exp.extraOptimizations = prevO
+      exp.extraStrategies = prevS
+    }
+  }
+
+  // The stock window formulation of topk_per_group, sans self-registration.
+  private def stockTopK() = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.table(spark, sf, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  test("native TopKPerGroup strategy engages and matches the stock window path") {
+    val stockRows = withoutNativeTopK {
+      val stock = stockTopK()
+      assert(stock.queryExecution.executedPlan.toString.contains(
+        "WindowGroupLimit"), "stock path must plan the window operator")
+      stock.collect().toSeq
+    }
+    val native = Registry.queries("topk_per_group")(spark, sf)
+    val p = native.queryExecution.executedPlan.toString
+    assert(p.contains("TopKFinal") && p.contains("TopKPartial"), p.take(3000))
+    assert(!p.contains("WindowGroupLimit"), p.take(3000))
+    // the exchange sits between partial and final: map-side pruning shape
+    assert(p.indexOf("TopKPartial") > p.indexOf("TopKFinal"), p.take(3000))
+    // bit-identical results, including the rank column
+    assert(native.collect().toSeq === stockRows)
+  }
+
+  test("native TopKPerGroup also serves the dedup-latest (k=1) shape") {
+    graft.plans.GraftFunctions.register(spark)
+    val stockRows = withoutNativeTopK {
+      Registry.queries("events_dedup_latest")(spark, sf).collect().toSeq
+    }
+    val native = Registry.queries("events_dedup_latest")(spark, sf)
+    assert(native.queryExecution.executedPlan.toString.contains("TopKFinal"))
+    assert(native.collect().toSeq === stockRows)
+  }
+
   test("native graft_dot equals the HOF fold bit-for-bit") {
     graft.plans.GraftFunctions.register(spark)
     val df = Tables.table(spark, sf, "embeddings")
