@@ -264,5 +264,50 @@ object EventOps {
         |${sqlDsum("value", 2)} AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment"""))),
+
+    // SCD type-2 from a change stream: collapse each user's event_type
+    // history into validity intervals [valid_from_us, valid_to_us) — the
+    // CDC→dimension materialization every warehouse pipeline runs. Two
+    // windows: change-point detection via lag over the raw stream, then
+    // lead over the surviving change points for interval ends. Total order
+    // (ts_us, event_id) makes tie handling deterministic (D7); the open
+    // interval's valid_to_us is NULL.
+    Q("events_scd2",
+      (s, dir) => {
+        val e = Tables.table(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts_us"),
+            col("event_id"))
+        val wAll = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val changes = e
+          .withColumn("prev_type", lag(col("event_type"), 1).over(wAll))
+          .filter(col("prev_type").isNull
+            || col("prev_type") =!= col("event_type"))
+        val wChg = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        changes
+          .withColumn("version", row_number().over(wChg).cast("long"))
+          .withColumn("valid_to_us", lead(col("ts_us"), 1).over(wChg))
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("ts_us").as("valid_from_us"), col("valid_to_us"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some(sql(s"""WITH e AS (
+        |  SELECT user_id, event_type, ${sqlMicros("ts")} AS ts_us, event_id
+        |  FROM events),
+        |chg AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, event_type, ts_us, event_id,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id) AS prev_type
+        |    FROM e)
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)::BIGINT AS version,
+        |  event_type, ts_us AS valid_from_us,
+        |  lead(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS valid_to_us
+        |FROM chg ORDER BY user_id, version"""))),
   )
 }

@@ -224,5 +224,35 @@ object Joins {
         |    ON e.user_id = o.o_custkey
         |    AND epoch_us(o.o_orderdate) <= ${sqlMicros("e.ts")})
         |WHERE rn = 1 ORDER BY event_id"""))),
+
+    // Salted skew join: the 100-TB pattern for a hot key. The fact side
+    // gets a row-derived salt in 0..7; the dimension is replicated 8× (one
+    // copy per salt) so one hot supplier's rows spread over 8 reducers
+    // instead of melting one. Semantically identical to the plain join —
+    // the oracle IS the plain join — while the Spark plan carries the
+    // salted shape (PlanSpec pins the 8× replication). AQE's skew handling
+    // covers sort-merge joins at runtime; explicit salting is the pattern
+    // for aggregating joins like this one, where the skew lands in the
+    // groupBy as well.
+    Q("join_skew_salted",
+      (s, dir) => {
+        val salts = 8
+        val li = Tables.table(s, dir, "lineitem")
+          .withColumn("salt", pmod(col("l_orderkey"), lit(salts.toLong)))
+        val sup = Tables.table(s, dir, "supplier")
+          .crossJoin(broadcast(
+            s.range(salts).select(col("id").as("salt_rep"))))
+        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+            && col("salt") === col("salt_rep"))
+          .groupBy(col("s_suppkey"), col("s_name"))
+          .agg(dsum(col("l_extendedprice"), 2).as("revenue"),
+            count(lit(1)).as("line_cnt"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(sql(s"""SELECT s_suppkey, s_name,
+        |${sqlDsum("l_extendedprice", 2)} AS revenue,
+        |count(*)::BIGINT AS line_cnt
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey"""))),
   )
 }

@@ -239,6 +239,145 @@ object PipelineOps {
         |SELECT doc_id, simhash32, simhash32 >> 16 AS band16
         |FROM sh ORDER BY doc_id"""))),
 
+    // Deterministic train/val/test split: md5-derived hash of doc_id mod
+    // 10 → 80/10/10. Hash-bucket assignment is the property a training
+    // pipeline needs from its splitter — reproducible on any engine, any
+    // cluster size, any row order, and stable when the corpus grows (a
+    // doc's split never changes). A narrow, shuffle-free projection.
+    Q("sample_hash_bucket",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .withColumn("bucket",
+          pmod(expr(whExpr("CAST(doc_id AS STRING)")), lit(10L)))
+        .select(col("doc_id"), col("lang"), col("bucket"),
+          when(col("bucket") === 0, "test")
+            .when(col("bucket") === 1, "val")
+            .otherwise("train").as("split"))
+        .orderBy(col("doc_id")),
+      Some(sql(s"""SELECT doc_id, lang,
+        |${sqlWh("CAST(doc_id AS VARCHAR)")} % 10 AS bucket,
+        |CASE WHEN ${sqlWh("CAST(doc_id AS VARCHAR)")} % 10 = 0 THEN 'test'
+        |     WHEN ${sqlWh("CAST(doc_id AS VARCHAR)")} % 10 = 1 THEN 'val'
+        |     ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id"""))),
+
+    // PII scrubbing: regex redaction of emails and long digit runs (D6
+    // regex subset — char classes and bounded repetition only). The
+    // fixture text is clean lowercase words, so deterministic synthetic
+    // PII is appended per row to give the scrubber real work; the op
+    // itself is the production shape: narrow regexp_replace chain on the
+    // scan, no shuffle.
+    Q("text_pii_scrub",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .withColumn("raw", concat(col("text"),
+          lit(" user"), col("doc_id").cast("string"),
+          lit("@mail.com code "),
+          (col("n_chars") * lit(7919L) + col("doc_id")).cast("string")))
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("raw"),
+              "[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<email>"),
+            "[0-9]{4,}", "<num>").as("scrubbed"))
+        .withColumn("n_email",
+          (size(split(col("scrubbed"), "<email>", -1)) - 1).cast("long"))
+        .withColumn("n_num",
+          (size(split(col("scrubbed"), "<num>", -1)) - 1).cast("long"))
+        .orderBy(col("doc_id")),
+      Some(sql("""WITH scrub AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' user' || CAST(doc_id AS VARCHAR) ||
+        |          '@mail.com code ' ||
+        |          CAST(n_chars * 7919 + doc_id AS VARCHAR),
+        |        '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<email>', 'g'),
+        |      '[0-9]{4,}', '<num>', 'g') AS scrubbed
+        |  FROM documents)
+        |SELECT doc_id, scrubbed,
+        |  (len(string_split(scrubbed, '<email>')) - 1)::BIGINT AS n_email,
+        |  (len(string_split(scrubbed, '<num>')) - 1)::BIGINT AS n_num
+        |FROM scrub ORDER BY doc_id"""))),
+
+    // Near-dup cluster assignment: connected components over the dedup
+    // candidate graph, Pregel-style min-label propagation. Edges are
+    // star edges to each bucket's min doc (doc → min of its sha256
+    // bucket, doc → min of its opening-3-token bucket) — LINEAR in corpus
+    // size, never all-pairs-within-bucket; components then merge docs
+    // transitively linked through either key (in production the same
+    // machinery runs over MinHash/SimHash candidate pairs). The driver
+    // loop is superstep-style: each iteration is one shuffle round, the
+    // convergence check reads back a single decimal sum, and labels only
+    // ever decrease so the sum strictly decreases until fixpoint; the
+    // oracle computes the same closure with a recursive CTE.
+    Q("text_dedup_cluster",
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), sha2(col("text"), 256).as("hk"),
+            expr("concat_ws(' ', slice(split(text, ' '), 1, 3))").as("pk"))
+        val hRoot = d.groupBy(col("hk")).agg(min(col("doc_id")).as("hroot"))
+        val pRoot = d.groupBy(col("pk")).agg(min(col("doc_id")).as("proot"))
+        val star = d.join(hRoot, "hk")
+          .select(col("doc_id"), col("hroot").as("nbr"))
+          .union(d.join(pRoot, "pk")
+            .select(col("doc_id"), col("proot").as("nbr")))
+          .filter(col("doc_id") =!= col("nbr"))
+        val undirected = star
+          .union(star.select(col("nbr").as("doc_id"), col("doc_id").as("nbr")))
+          .distinct()
+        def labelSum(df: DataFrame): java.math.BigDecimal =
+          df.agg(sum(col("label").cast(
+            org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+            .head.getDecimal(0)
+        var labels = d.select(col("doc_id"), col("doc_id").as("label"))
+        var prev: java.math.BigDecimal = null
+        var cur = labelSum(labels)
+        var iters = 0
+        while ((prev == null || prev.compareTo(cur) != 0) && iters < 25) {
+          val viaNbr = undirected
+            .join(labels.select(col("doc_id").as("nbr"), col("label")),
+              "nbr")
+            .select(col("doc_id"), col("label"))
+          labels = labels.union(viaNbr).groupBy(col("doc_id"))
+            .agg(min(col("label")).as("label"))
+            .localCheckpoint() // cut superstep lineage, keep plans bounded
+          prev = cur
+          cur = labelSum(labels)
+          iters += 1
+        }
+        require(prev != null && prev.compareTo(cur) == 0,
+          s"dedup cluster propagation did not converge in $iters rounds")
+        val sizes = labels.groupBy(col("label"))
+          .agg(count(lit(1)).as("cluster_size"))
+        labels.join(sizes, "label")
+          .select(col("doc_id"), col("label").as("cluster_id"),
+            col("cluster_size"))
+          .orderBy(col("doc_id"))
+      },
+      Some(sql("""WITH RECURSIVE d AS (
+        |  SELECT doc_id, sha256(text) AS hk,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+        |      AS pk
+        |  FROM documents),
+        |hr AS (SELECT hk, min(doc_id) AS r FROM d GROUP BY hk),
+        |pr AS (SELECT pk, min(doc_id) AS r FROM d GROUP BY pk),
+        |star AS (
+        |  SELECT d.doc_id AS a, hr.r AS b FROM d JOIN hr USING (hk)
+        |    WHERE d.doc_id <> hr.r
+        |  UNION
+        |  SELECT d.doc_id AS a, pr.r AS b FROM d JOIN pr USING (pk)
+        |    WHERE d.doc_id <> pr.r),
+        |e AS (SELECT a, b FROM star UNION SELECT b AS a, a AS b FROM star),
+        |reach(id, lab) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT e.a, r.lab FROM reach r JOIN e ON e.b = r.id),
+        |lbl AS (SELECT id AS doc_id, min(lab) AS cluster_id
+        |        FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+        |       FROM lbl GROUP BY cluster_id)
+        |SELECT doc_id, cluster_id, cluster_size
+        |FROM lbl JOIN sz USING (cluster_id)
+        |ORDER BY doc_id"""))),
+
     // Pairwise n-gram (3-shingle) Jaccard over shingle-bucket joins:
     // candidates come from shared shingles only — never an all-pairs
     // product. Exact bigint set arithmetic; division on identical doubles.

@@ -205,6 +205,93 @@ class InvariantSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("var2") - 1.0) < 1e-6)
     }
   }
+
+  test("hash-bucket split covers all docs with stable non-empty splits") {
+    val rows = run("sample_hash_bucket").collect()
+    assert(rows.length ===
+      Tables.table(spark, sf, "documents").count())
+    val bySplit = rows.groupBy(_.getAs[String]("split")).view
+      .mapValues(_.length).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val")
+      && bySplit("train") > bySplit("test"))
+    rows.foreach(r => assert((0L to 9L).contains(r.getAs[Long]("bucket"))))
+  }
+
+  test("pii scrub leaves no emails or long digit runs behind") {
+    val rows = run("text_pii_scrub").collect()
+    rows.foreach { r =>
+      val t = r.getAs[String]("scrubbed")
+      assert(!t.contains("@"), s"doc ${r.getAs[Long]("doc_id")}")
+      assert("[0-9]{4,}".r.findFirstIn(t).isEmpty)
+      assert(r.getAs[Long]("n_email") >= 1L)
+      assert(r.getAs[Long]("n_num") >= 1L)
+    }
+  }
+
+  test("dedup clusters: exact dups share a cluster; ids are component minima") {
+    val rows = run("text_dedup_cluster").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toMap
+    // docs sharing either edge key (content hash / opening 3-gram) must
+    // land in the same cluster
+    val d = Tables.table(spark, sf, "documents")
+    val keyGroups = Seq(
+      sha2(col("text"), 256),
+      expr("concat_ws(' ', slice(split(text, ' '), 1, 3))"))
+      .flatMap { k =>
+        d.groupBy(k).agg(collect_list(col("doc_id")).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .collect().map(_.getAs[scala.collection.Seq[Long]]("ids").toSeq)
+      }
+    assert(keyGroups.nonEmpty,
+      "fixtures are expected to contain at least one shared edge key")
+    keyGroups.foreach { ids =>
+      assert(ids.map(rows(_)._1).distinct.size === 1, s"group $ids split")
+    }
+    // cluster_id is the min doc_id of its members; sizes are consistent
+    rows.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min === cid)
+      assert(members.values.map(_._2).toSet === Set(members.size.toLong))
+    }
+  }
+
+  test("scd2 intervals tile each user's change history") {
+    val byUser = run("events_scd2").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq ===
+        (1L to sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // intervals abut exactly and consecutive types differ
+          assert(a.getAs[Long]("valid_to_us") ===
+            b.getAs[Long]("valid_from_us"), s"user $u gap")
+          assert(a.getAs[String]("event_type") !==
+            b.getAs[String]("event_type"))
+        case _ =>
+      }
+      // exactly the last interval is open
+      assert(sorted.count(_.isNullAt(sorted.head.fieldIndex("valid_to_us")))
+        === 1)
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to_us")))
+    }
+  }
+
+  test("salted join equals the unsalted join it replaces") {
+    import graft.Det
+    val plain = Tables.table(spark, sf, "lineitem")
+      .join(Tables.table(spark, sf, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(Det.dsum(col("l_extendedprice"), 2).as("revenue"),
+        count(lit(1)).as("line_cnt"))
+      .orderBy(col("s_suppkey"))
+      .collect().toSeq
+    assert(run("join_skew_salted").collect().toSeq === plain)
+  }
 }
 
 /** MinHash estimate vs exact Jaccard (SURVEY §5.4a): with 16 hashes the
