@@ -1,0 +1,35 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection tool: `runMain graft.Explain <key> [sfDir] [runs]`
+  * prints the formatted physical plan of a declared query and times
+  * `queryExecution.toRdd.count()` (the same action Bench measures) after
+  * one warmup, so a plan regression can be read next to its cost. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val key = args(0)
+    val sfDir =
+      if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    plans.GraftFunctions.register(spark)
+    val fn = SparkEntry.queries(key)
+    println(s"=== $key @ $sfDir")
+    fn(spark, sfDir).explain("formatted")
+    fn(spark, sfDir).queryExecution.toRdd.count() // warmup
+    (1 to runs).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).queryExecution.toRdd.count()
+      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

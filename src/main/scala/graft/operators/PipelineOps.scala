@@ -468,12 +468,23 @@ object PipelineOps {
             Window.partitionBy(col("lang"), col("len_bucket"))))
           .filter(col("bsize") <= 1000)
           .drop("bsize")
+        // The O(b²) levenshtein verify runs on the probe side of the
+        // broadcast join. Without the explicit repartition, AQE coalesces
+        // the (tiny, skinny) probe rows into ONE post-shuffle partition
+        // and the whole verify goes single-threaded (profiled: 7.5 s at
+        // sf0.1, all in one task's levenshteinDistance). An explicit
+        // partition count is exempt from AQE coalescing, so the verify
+        // spreads across the cluster; the shuffled rows are 4 narrow
+        // columns — the cheap side of the cheap-block/expensive-verify
+        // trade.
+        val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
         val a = d.select(col("doc_id").as("doc_a"), col("lang"),
           col("len_bucket"), col("prefix").as("pa"))
+          .repartition(nPart, col("doc_a"))
         val b = d.select(col("doc_id").as("doc_b"),
           col("lang").as("b_lang"), col("len_bucket").as("b_bucket"),
           col("prefix").as("pb"))
-        a.join(b, col("lang") === col("b_lang")
+        a.join(broadcast(b), col("lang") === col("b_lang")
             && col("len_bucket") === col("b_bucket")
             && col("doc_a") < col("doc_b"))
           .withColumn("edit_dist",
