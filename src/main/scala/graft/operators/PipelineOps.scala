@@ -239,6 +239,66 @@ object PipelineOps {
         |SELECT doc_id, simhash32, simhash32 >> 16 AS band16
         |FROM sh ORDER BY doc_id"""))),
 
+    // Count-min frequency sketch (Cormode & Muthukrishnan 2005), depth 2 ×
+    // width 4096, over the token stream — the sketch family's frequency
+    // member next to HLL (distinct) and percentile/minhash. Unlike most
+    // sketches this one IS oracle-checked: the hash rows are md5-derived
+    // (cross-engine identical), so the counter table and every estimate
+    // are deterministic BIGINTs. Scale shape: the sketch is a tiny
+    // fixed-size aggregate (2×4096 cells) built in one pass — queries then
+    // broadcast-join it, never re-scanning the corpus; the CM guarantee
+    // (est ≥ true, est ≤ true + εN w.h.p.) is unit-tested.
+    Q("text_countmin_topk",
+      (s, dir) => {
+        val tokens = Tables.table(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+        def bucket(j: Int, w: String) =
+          s"(${whExpr(s"concat('$j|', $w)")} % 4096)"
+        val counters = (0 to 1).map { j =>
+          tokens
+            .select(lit(j).as("row_id"), expr(bucket(j, "word")).as("bucket"))
+            .groupBy(col("row_id"), col("bucket"))
+            .agg(count(lit(1)).as("c"))
+        }.reduce(_ unionByName _)
+        val words = tokens.groupBy(col("word"))
+          .agg(count(lit(1)).as("true_cnt"))
+        words
+          .withColumn("b0", expr(bucket(0, "word")))
+          .withColumn("b1", expr(bucket(1, "word")))
+          .join(broadcast(counters.filter(col("row_id") === 0)
+            .select(col("bucket").as("b0"), col("c").as("c0"))), "b0")
+          .join(broadcast(counters.filter(col("row_id") === 1)
+            .select(col("bucket").as("b1"), col("c").as("c1"))), "b1")
+          .select(col("word"), col("true_cnt"),
+            least(col("c0"), col("c1")).as("cm_est"))
+          .withColumn("overcount", col("cm_est") - col("true_cnt"))
+          .orderBy(col("cm_est").desc, col("word").asc)
+          .limit(20)
+      },
+      Some(sql(s"""WITH tokens AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |counters AS (
+        |  SELECT 0 AS row_id, (${sqlWh("'0|' || word")} % 4096) AS bucket,
+        |    count(*)::BIGINT AS c
+        |  FROM tokens GROUP BY 2
+        |  UNION ALL
+        |  SELECT 1, (${sqlWh("'1|' || word")} % 4096), count(*)::BIGINT
+        |  FROM tokens GROUP BY 2),
+        |words AS (
+        |  SELECT word, count(*)::BIGINT AS true_cnt
+        |  FROM tokens GROUP BY word),
+        |wb AS (
+        |  SELECT word, true_cnt,
+        |    (${sqlWh("'0|' || word")} % 4096) AS b0,
+        |    (${sqlWh("'1|' || word")} % 4096) AS b1
+        |  FROM words)
+        |SELECT word, true_cnt, least(c0.c, c1.c) AS cm_est,
+        |  least(c0.c, c1.c) - true_cnt AS overcount
+        |FROM wb
+        |JOIN counters c0 ON c0.row_id = 0 AND c0.bucket = wb.b0
+        |JOIN counters c1 ON c1.row_id = 1 AND c1.bucket = wb.b1
+        |ORDER BY cm_est DESC, word ASC LIMIT 20"""))),
+
     // Deterministic train/val/test split: md5-derived hash of doc_id mod
     // 10 → 80/10/10. Hash-bucket assignment is the property a training
     // pipeline needs from its splitter — reproducible on any engine, any

@@ -280,6 +280,31 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min estimates dominate true counts within the CM bound") {
+    val n = Tables.table(spark, sf, "documents")
+      .select(explode(split(col("text"), " "))).count()
+    val rows = run("text_countmin_topk").collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val over = r.getAs[Long]("overcount")
+      assert(over >= 0L, "CM estimate must never undercount")
+      assert(over <= n / 1024,
+        s"overcount $over beyond the d=2 w=4096 bound for n=$n")
+    }
+  }
+
+  test("int8 quantization saturates at ±127 and stays in range") {
+    val rows = run("vec_quantize_int8").collect()
+    rows.filter(!_.isNullAt(1)).foreach { r =>
+      val (qMax, qMin) = (r.getAs[Long]("q_max"), r.getAs[Long]("q_min"))
+      assert(qMax <= 127L && qMin >= -127L)
+      // the max-|x| component maps to exactly ±127
+      assert(qMax === 127L || qMin === -127L)
+      assert(r.getAs[Long]("q_l1") >= math.max(math.abs(qMax),
+        math.abs(qMin)))
+    }
+  }
+
   test("salted join equals the unsalted join it replaces") {
     import graft.Det
     val plain = Tables.table(spark, sf, "lineitem")
