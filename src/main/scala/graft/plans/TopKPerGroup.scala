@@ -29,7 +29,11 @@ import org.apache.spark.sql.types.IntegerType
   * Each phase keeps one k-bounded binary heap per group (O(n log k), no
   * per-partition sort), so the exchange carries at most k rows per group
   * per map partition — at 100 TB that is the difference between shuffling
-  * the fact table and shuffling ≈k·groups rows. Rank assignment follows
+  * the fact table and shuffling ≈k·groups rows. Memory per partition is
+  * one k-row heap per group present — the same asymptotic footprint as a
+  * hash aggregate (stock WindowGroupLimit instead sorts each partition:
+  * less memory, more CPU; pick the heap shape only while k·groups fits,
+  * which is also when the operator wins). Rank assignment follows
   * `row_number` semantics exactly; the engine's D7 rule (total order within
   * groups) makes it deterministic, and the rewrite preserves the rank
   * attribute's exprId so enclosing projections/filters resolve unchanged —
