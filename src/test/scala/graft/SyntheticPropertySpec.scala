@@ -76,6 +76,61 @@ class SyntheticPropertySpec extends AnyFunSuite {
     assert(out.length === 3)
   }
 
+  test("dedup clusters merge transitively across different edge keys") {
+    // doc 0 and 1: identical text (content-hash edge)
+    // doc 1 and 2: different text, same opening 3-gram (prefix edge)
+    // doc 3: isolated
+    // → clusters {0,1,2} (id 0) and {3} (id 3), linked only transitively
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma completely different tail here"),
+      (3L, "omega psi chi phi upsilon tau"))
+    val dir = tmpSf()
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Registry.queries("text_dedup_cluster")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))
+      .toMap
+    assert(out(0L) === ((0L, 3L)))
+    assert(out(1L) === ((0L, 3L)))
+    assert(out(2L) === ((0L, 3L)), "transitive link via doc 1 must merge")
+    assert(out(3L) === ((3L, 1L)))
+  }
+
+  test("scd2 on a constructed change history emits exact intervals") {
+    val m = 60L * 1000000
+    val base = 1700000000L * 1000000
+    // user 1: view@0, view@1m (no change), click@2m, view@3m
+    // user 2: single purchase
+    val evs = Seq(
+      (1L, 1L, base, "view"), (2L, 1L, base + m, "view"),
+      (3L, 1L, base + 2 * m, "click"), (4L, 1L, base + 3 * m, "view"),
+      (5L, 2L, base, "purchase"))
+    val dir = tmpSf()
+    evs.toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", col("us") * 1000)
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("""{"k": 3}"""))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Registry.queries("events_scd2")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+        r.getAs[String]("event_type"), r.getAs[Long]("valid_from_us"),
+        Option(r.get(r.fieldIndex("valid_to_us"))).map(_.asInstanceOf[Long])))
+    val expected = Seq(
+      (1L, 1L, "view", base, Some(base + 2 * m)),   // repeat view collapsed
+      (1L, 2L, "click", base + 2 * m, Some(base + 3 * m)),
+      (1L, 3L, "view", base + 3 * m, None),
+      (2L, 1L, "purchase", base, None))
+    assert(out.toSeq.sortBy(t => (t._1, t._2)) === expected)
+  }
+
   test("sessionization on constructed gaps matches hand-computed sessions") {
     val minUs = 60L * 1000000
     // user 1: gaps 10m,40m,10m → sessions of 2,2 events
