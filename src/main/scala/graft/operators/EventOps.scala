@@ -265,6 +265,47 @@ object EventOps {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment"""))),
 
+    // Robust per-user outlier flagging: |value − median| > 3·MAD. Median
+    // and MAD interpolate identically in both engines on identical 2dp
+    // doubles ((a+b)/2 is a single add + exact halving — no libm, no fma
+    // pattern — so the raw comparison is deterministic; same class as
+    // events_zscore). Two grouped medians + two broadcast-size joins; at
+    // 100 TB the per-user aggregates are tiny next to the event scan.
+    Q("events_anomaly_mad",
+      (s, dir) => {
+        val e = Tables.table(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"))
+        val med = e.groupBy(col("user_id"))
+          .agg(median(col("value")).as("med"), count(lit(1)).as("n"))
+        val withMed = e.join(med, "user_id")
+          .withColumn("absdev", abs(col("value") - col("med")))
+        val mad = withMed.groupBy(col("user_id"))
+          .agg(median(col("absdev")).as("mad"))
+        withMed.join(mad, "user_id")
+          .filter(col("n") >= 5 && col("absdev") > col("mad") * 3.0)
+          // med interpolates 2dp values → exact 3dp multiple; absdev/mad
+          // → exact 4dp multiple. Snap (dexact), don't round: the values
+          // sit ~1e-12 from their decimal, never near a snap boundary.
+          .select(col("event_id"), col("user_id"), col("value"),
+            dexact(col("med"), 3).as("med_d3"),
+            dexact(col("mad"), 4).as("mad_d4"))
+          .orderBy(col("event_id"))
+      },
+      Some(sql(s"""WITH med AS (
+        |  SELECT user_id, median(value) AS med, count(*)::BIGINT AS n
+        |  FROM events GROUP BY user_id),
+        |wm AS (
+        |  SELECT e.event_id, e.user_id, e.value, m.med, m.n,
+        |    abs(e.value - m.med) AS absdev
+        |  FROM events e JOIN med m USING (user_id)),
+        |mad AS (SELECT user_id, median(absdev) AS mad
+        |        FROM wm GROUP BY user_id)
+        |SELECT event_id, user_id, value,
+        |  ${sqlDexact("med", 3)} AS med_d3, ${sqlDexact("mad", 4)} AS mad_d4
+        |FROM wm JOIN mad USING (user_id)
+        |WHERE n >= 5 AND absdev > 3 * mad
+        |ORDER BY event_id"""))),
+
     // SCD type-2 from a change stream: collapse each user's event_type
     // history into validity intervals [valid_from_us, valid_to_us) — the
     // CDC→dimension materialization every warehouse pipeline runs. Two

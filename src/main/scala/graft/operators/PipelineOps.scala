@@ -239,6 +239,62 @@ object PipelineOps {
         |SELECT doc_id, simhash32, simhash32 >> 16 AS band16
         |FROM sh ORDER BY doc_id"""))),
 
+    // DSIR-flavored importance score (after Xie et al. 2023: importance
+    // resampling via hashed-ngram likelihood ratios): how target-like is
+    // each document, with lang='en' docs as the target domain and the full
+    // corpus as source. Kept EXACT instead of log-ratio: per bigram b the
+    // cross-multiplied integer cnt_t(b)·N_s − cnt_s(b)·N_t has the sign of
+    // the likelihood ratio vs 1, and the per-doc sum of exact integers is
+    // oracle-checkable where Σ ln(p_t/p_s) would be libm-fragile. Shapes:
+    // bigram dictionaries are groupBy aggregates joined back to the doc
+    // token stream (linear, shuffle-partitioned by bigram); corpus totals
+    // are 1-row broadcasts. NOTE Long headroom: cnt·N ≤ ~4e18 caps the
+    // corpus near 2e9 bigrams — past that, switch the sum to
+    // DECIMAL(38,0) (Det.dsum pattern).
+    Q("text_importance_score",
+      (s, dir) => {
+        val bg = Tables.table(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"), col("lang"), explode(expr(
+            """transform(sequence(1, size(w) - 1),
+              |  i -> concat(element_at(w, i), ' ',
+              |              element_at(w, i + 1)))""".stripMargin))
+            .as("b"))
+        val cs = bg.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+        val ct = bg.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+        val ns = bg.agg(count(lit(1)).as("ns"))
+        val nt = bg.filter(col("lang") === "en")
+          .agg(count(lit(1)).as("nt"))
+        bg.join(cs, "b").join(ct, Seq("b"), "left")
+          .crossJoin(broadcast(ns)).crossJoin(broadcast(nt))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(coalesce(col("ct"), lit(0L)) * col("ns")
+              - col("cs") * col("nt")).as("target_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some(sql("""WITH w AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, ws[k] || ' ' || ws[k+1] AS b
+        |  FROM (SELECT doc_id, lang, ws,
+        |          unnest(generate_series(1, len(ws) - 1)) AS k
+        |        FROM w WHERE len(ws) >= 2)),
+        |cs AS (SELECT b, count(*)::BIGINT AS cs FROM bg GROUP BY b),
+        |ct AS (SELECT b, count(*)::BIGINT AS ct FROM bg
+        |       WHERE lang = 'en' GROUP BY b),
+        |ns AS (SELECT count(*)::BIGINT AS ns FROM bg),
+        |nt AS (SELECT count(*)::BIGINT AS nt FROM bg WHERE lang = 'en')
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  CAST(sum(coalesce(ct.ct, 0) * ns.ns - cs.cs * nt.nt) AS BIGINT)
+        |    AS target_score
+        |FROM bg JOIN cs USING (b) LEFT JOIN ct USING (b)
+        |CROSS JOIN ns CROSS JOIN nt
+        |GROUP BY doc_id ORDER BY doc_id"""))),
+
     // Count-min frequency sketch (Cormode & Muthukrishnan 2005), depth 2 ×
     // width 4096, over the token stream — the sketch family's frequency
     // member next to HLL (distinct) and percentile/minhash. Unlike most

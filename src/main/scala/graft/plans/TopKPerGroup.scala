@@ -83,24 +83,29 @@ object TopKStrategy extends SparkStrategy {
 
 /** Shared heap logic: one k-bounded max-heap (worst candidate at head) per
   * group key held in the partition. Rows are unsafe-copied only when
-  * retained; evicted rows are never materialized. */
+  * retained; evicted rows are never materialized. Consumes `iter` until
+  * exhaustion or until the table holds `maxGroups` groups AND the next row
+  * starts a new group (the caller then drains and calls again). */
 private[plans] object TopKHeaps {
   def perGroup(
       iter: Iterator[InternalRow],
       groupProj: UnsafeProjection,
       ordering: Ordering[InternalRow],
-      k: Int): java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]] = {
+      k: Int,
+      maxGroups: Int = Int.MaxValue): java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]] = {
     // worst-first comparator: head of the queue is the eviction candidate
     val worstFirst = ordering.reverse
     val heaps =
       new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]
-    while (iter.hasNext) {
+    var full = false
+    while (iter.hasNext && !full) {
       val row = iter.next()
       val key = groupProj(row)
       var heap = heaps.get(key)
       if (heap == null) {
         heap = new java.util.PriorityQueue[InternalRow](k, worstFirst)
         heaps.put(key.copy(), heap)
+        if (heaps.size >= maxGroups) full = true
       }
       if (heap.size < k) heap.add(row.copy())
       else if (ordering.compare(row, heap.peek()) < 0) {
@@ -114,7 +119,16 @@ private[plans] object TopKHeaps {
 
 /** Map-side candidate pruning: emits each group's (unordered) top-k
   * candidates from this input partition. No required distribution — runs
-  * before the exchange. */
+  * before the exchange.
+  *
+  * Memory is HARD-BOUNDED: once the heap table reaches
+  * `graft.topk.partialFlushGroups` distinct groups (default 131072), the
+  * current heaps are flushed downstream and the table restarts. A flush
+  * only weakens map-side pruning (a group may forward more than k
+  * candidates from this partition); the final phase re-heaps everything
+  * per group, so correctness never depends on the cap — the 100-TB
+  * many-distinct-groups case degrades toward a plain shuffle instead of
+  * OOMing. */
 case class TopKPartialExec(
     partitionSpec: Seq[Expression],
     orderSpec: Seq[SortOrder],
@@ -127,20 +141,22 @@ case class TopKPartialExec(
     val part = partitionSpec
     val order = orderSpec
     val childOutput = child.output
+    val flushGroups =
+      conf.getConfString("graft.topk.partialFlushGroups", "131072").toInt
     child.execute().mapPartitions { iter =>
       val groupProj = UnsafeProjection.create(part, childOutput)
       val ordering = GenerateOrdering.generate(order, childOutput)
-      val heaps = TopKHeaps.perGroup(iter, groupProj, ordering, k)
-      val it = heaps.values().iterator()
-      new Iterator[InternalRow] {
-        private var cur: java.util.Iterator[InternalRow] =
-          java.util.Collections.emptyIterator()
-        override def hasNext: Boolean = {
-          while (!cur.hasNext && it.hasNext) cur = it.next().iterator()
-          cur.hasNext
+      val chunks: Iterator[Iterator[InternalRow]] =
+        new Iterator[Iterator[InternalRow]] {
+          override def hasNext: Boolean = iter.hasNext
+          override def next(): Iterator[InternalRow] = {
+            val heaps = TopKHeaps.perGroup(
+              iter, groupProj, ordering, k, maxGroups = flushGroups)
+            import scala.jdk.CollectionConverters._
+            heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
+          }
         }
-        override def next(): InternalRow = cur.next()
-      }
+      chunks.flatten
     }
   }
 

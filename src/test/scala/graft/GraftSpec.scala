@@ -305,6 +305,30 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("MAD outliers actually exceed 3x their user's MAD") {
+    val rows = run("events_anomaly_mad").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // med_d3/mad_d4 are exact snaps of the raw med/mad (multiples of
+      // 0.005/0.0025), so the recomputed inequality must hold exactly
+      val dev = math.abs(r.getAs[Double]("value") - r.getAs[Double]("med_d3"))
+      assert(dev > 3.0 * r.getAs[Double]("mad_d4") - 1e-9)
+    }
+  }
+
+  test("importance score separates the target domain by language") {
+    val scores = run("text_importance_score")
+      .join(Tables.table(spark, sf, "documents").select("doc_id", "lang"),
+        "doc_id")
+      .groupBy("lang").agg(avg(col("target_score")).as("m"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Double]("m"))
+      .toMap
+    assert(scores("en") > 0, s"target-domain mean must be positive: $scores")
+    scores.filter(_._1 != "en").foreach { case (l, m) =>
+      assert(m < scores("en"), s"$l mean $m should be below en")
+    }
+  }
+
   test("salted join equals the unsalted join it replaces") {
     import graft.Det
     val plain = Tables.table(spark, sf, "lineitem")

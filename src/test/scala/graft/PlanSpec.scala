@@ -134,6 +134,18 @@ class PlanSpec extends AnyFunSuite {
     assert(native.collect().toSeq === stockRows)
   }
 
+  test("partial flush cap only weakens pruning, never correctness") {
+    val stockRows = withoutNativeTopK { stockTopK().collect().toSeq }
+    spark.conf.set("graft.topk.partialFlushGroups", "4")
+    try {
+      // hundreds of customer groups per partition → many forced flushes
+      val native = Registry.queries("topk_per_group")(spark, sf)
+      assert(native.queryExecution.executedPlan.toString
+        .contains("TopKPartial"))
+      assert(native.collect().toSeq === stockRows)
+    } finally spark.conf.unset("graft.topk.partialFlushGroups")
+  }
+
   test("native TopKPerGroup also serves the dedup-latest (k=1) shape") {
     graft.plans.GraftFunctions.register(spark)
     val stockRows = withoutNativeTopK {
