@@ -48,7 +48,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # AUDITS: key -> (sql producing the RAW (pre-round) double column `x`
 # over the bare fixture tables, round scale N). Keep in sync with the
 # round(...) sites in src/main/scala/graft (grep for `round(` there).
-TRIG_BAN_RE = r"\b(sin|cos|tan|asin|acos|atan|atan2|cot)\s*\("
+# The ban covers the whole approximated-libm hazard class, not just
+# circular trig: hyperbolics, inverse hyperbolics, and gamma-family
+# functions diverge across builds the same way. ln/exp/sqrt stay allowed —
+# empirically bit-identical across every oracle build seen (SURVEY §9 R8) —
+# and are distance-audited below instead.
+TRIG_BAN_RE = (r"\b(sinh|cosh|tanh|asinh|acosh|atanh|sin|cos|tan|asin"
+               r"|acos|atan2|atan|cot|lgamma|gamma|erfc|erf)\s*\(")
 
 AUDITS = {
     "scalar_math:ln": ("SELECT ln(o_totalprice) AS x FROM orders", 6),

@@ -43,8 +43,14 @@ object ExtOps {
       else (hi, lo)
 
     def reduce(b: (Long, Long, Long), x: Double): (Long, Long, Long) = {
-      // |lo| < 1e18 and |row| ≤ 3.5e13 — the Long add cannot overflow
-      val (h, l) = carry(b._1, b._2 + math.round(math.log(x) * 1e12))
+      val pico = math.log(x) * 1e12
+      // ln(x ≤ 0) = -Inf/NaN would round to Long.MinValue and silently
+      // destroy the limb invariant — fail loudly instead, matching the
+      // oracle twin where CAST(-Inf AS BIGINT) errors.
+      require(java.lang.Double.isFinite(pico),
+        s"GeoMean requires positive finite input, got $x")
+      // |lo| < 1e18 and |row| ≤ ~3.5e13 — the Long add cannot overflow
+      val (h, l) = carry(b._1, b._2 + math.round(pico))
       (h, l, b._3 + 1)
     }
     def merge(a: (Long, Long, Long), b: (Long, Long, Long)):

@@ -225,15 +225,15 @@ object Joins {
         |    AND epoch_us(o.o_orderdate) <= ${sqlMicros("e.ts")})
         |WHERE rn = 1 ORDER BY event_id"""))),
 
-    // Salted skew join: the 100-TB pattern for a hot key. The fact side
-    // gets a row-derived salt in 0..7; the dimension is replicated 8× (one
-    // copy per salt) so one hot supplier's rows spread over 8 reducers
-    // instead of melting one. Semantically identical to the plain join —
+    // Salted skew join: the 100-TB pattern for a hot key in a SHUFFLE
+    // join. The fact side gets a row-derived salt in 0..7; the dimension
+    // is replicated 8× (one copy per salt); the join is hinted
+    // shuffle_hash so both sides hash-partition on (key, salt) — one hot
+    // supplier's rows land on 8 different reducers instead of melting
+    // one. (With a broadcast join salting would be inert: there is no
+    // key-shuffle to spread.) Semantically identical to the plain join —
     // the oracle IS the plain join — while the Spark plan carries the
-    // salted shape (PlanSpec pins the 8× replication). AQE's skew handling
-    // covers sort-merge joins at runtime; explicit salting is the pattern
-    // for aggregating joins like this one, where the skew lands in the
-    // groupBy as well.
+    // salted shape (PlanSpec pins the salted partitioning keys).
     Q("join_skew_salted",
       (s, dir) => {
         val salts = 8
@@ -242,7 +242,8 @@ object Joins {
         val sup = Tables.table(s, dir, "supplier")
           .crossJoin(broadcast(
             s.range(salts).select(col("id").as("salt_rep"))))
-        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+        li.join(sup.hint("shuffle_hash"),
+            col("l_suppkey") === col("s_suppkey")
             && col("salt") === col("salt_rep"))
           .groupBy(col("s_suppkey"), col("s_name"))
           .agg(dsum(col("l_extendedprice"), 2).as("revenue"),

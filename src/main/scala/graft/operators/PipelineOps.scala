@@ -248,9 +248,12 @@ object PipelineOps {
     // oracle-checkable where Σ ln(p_t/p_s) would be libm-fragile. Shapes:
     // bigram dictionaries are groupBy aggregates joined back to the doc
     // token stream (linear, shuffle-partitioned by bigram); corpus totals
-    // are 1-row broadcasts. NOTE Long headroom: cnt·N ≤ ~4e18 caps the
-    // corpus near 2e9 bigrams — past that, switch the sum to
-    // DECIMAL(38,0) (Det.dsum pattern).
+    // are 1-row broadcasts. Products and the per-doc sum run in
+    // DECIMAL(38,0) — cnt·N alone saturates a Long near 2e9 corpus
+    // bigrams, and Spark's sum(Long) would wrap SILENTLY where the
+    // oracle's HUGEINT stays exact. The final BIGINT cast assumes the
+    // net per-doc score fits (it does by many orders at any realistic
+    // per-doc bigram count).
     Q("text_importance_score",
       (s, dir) => {
         val bg = Tables.table(s, dir, "documents")
@@ -267,12 +270,14 @@ object PipelineOps {
         val ns = bg.agg(count(lit(1)).as("ns"))
         val nt = bg.filter(col("lang") === "en")
           .agg(count(lit(1)).as("nt"))
+        val dec = org.apache.spark.sql.types.DecimalType(19, 0)
         bg.join(cs, "b").join(ct, Seq("b"), "left")
           .crossJoin(broadcast(ns)).crossJoin(broadcast(nt))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
-            sum(coalesce(col("ct"), lit(0L)) * col("ns")
-              - col("cs") * col("nt")).as("target_score"))
+            sum(coalesce(col("ct"), lit(0L)).cast(dec) * col("ns").cast(dec)
+              - col("cs").cast(dec) * col("nt").cast(dec))
+              .cast("long").as("target_score"))
           .orderBy(col("doc_id"))
       },
       Some(sql("""WITH w AS (
@@ -452,8 +457,18 @@ object PipelineOps {
             .join(labels.select(col("doc_id").as("nbr"), col("label")),
               "nbr")
             .select(col("doc_id"), col("label"))
-          labels = labels.union(viaNbr).groupBy(col("doc_id"))
+          val oneHop = labels.union(viaNbr).groupBy(col("doc_id"))
             .agg(min(col("label")).as("label"))
+          // pointer doubling — label := label(label) — halves the
+          // remaining chain length each round, so convergence is
+          // O(log diameter) supersteps, not O(diameter): a 25-round cap
+          // covers diameters past 2^24 instead of crashing at ~24 hops.
+          // (Labels are always existing doc_ids, so the self-join is
+          // total; label(label) ≤ label keeps the decrease monotone.)
+          labels = oneHop.as("l1")
+            .join(oneHop.select(col("doc_id").as("label"),
+              col("label").as("label2")), "label")
+            .select(col("doc_id"), col("label2").as("label"))
             .localCheckpoint() // cut superstep lineage, keep plans bounded
           prev = cur
           cur = labelSum(labels)
@@ -592,7 +607,11 @@ object PipelineOps {
         // partition count is exempt from AQE coalescing, so the verify
         // spreads across the cluster; the shuffled rows are 4 narrow
         // columns — the cheap side of the cheap-block/expensive-verify
-        // trade.
+        // trade. NOTE the broadcast(b) hint below pins a deterministic
+        // fast plan at bench scale but ships the whole capped doc set; at
+        // true corpus scale drop the hint — the planner's shuffle join
+        // partitions by (lang, len_bucket), where the 1000-doc bucket cap
+        // bounds every reducer's verify work.
         val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
         val a = d.select(col("doc_id").as("doc_a"), col("lang"),
           col("len_bucket"), col("prefix").as("pa"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window, WindowGroupLimit}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.IntegerType
@@ -59,22 +59,45 @@ case class TopKPerGroup(
   * expression, `RowNumber` only (rank/dense_rank tie semantics differ from
   * the heap's), matching partition/order specs on both nodes. */
 object RewriteTopKPerGroup extends Rule[LogicalPlan] {
+
+  /** The raw optimized shape the native operator serves. */
+  private[plans] object Shape {
+    def unapply(plan: LogicalPlan): Option[
+        (Seq[Expression], Seq[SortOrder], Int, Attribute, LogicalPlan)] =
+      plan match {
+        case Window(
+            Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+            part, order,
+            WindowGroupLimit(lPart, lOrder, _: RowNumber, k, child), _)
+          if part.length == lPart.length &&
+            part.zip(lPart).forall { case (a, b) => a.semanticEquals(b) } &&
+            order.length == lOrder.length &&
+            order.zip(lOrder).forall { case (a, b) => a.semanticEquals(b) } =>
+          Some((part, order, k, alias.toAttribute, child))
+        case _ => None
+      }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case Window(
-        Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
-        part, order,
-        WindowGroupLimit(lPart, lOrder, _: RowNumber, k, child), _)
-      if part.length == lPart.length &&
-        part.zip(lPart).forall { case (a, b) => a.semanticEquals(b) } &&
-        order.length == lOrder.length &&
-        order.zip(lOrder).forall { case (a, b) => a.semanticEquals(b) } =>
-      TopKPerGroup(part, order, k, alias.toAttribute, child)
+    case Shape(part, order, k, rankAttr, child) =>
+      TopKPerGroup(part, order, k, rankAttr, child)
   }
 }
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(part, order, k, rankAttr, child) =>
+      TopKFinalExec(part, order, k, rankAttr,
+        TopKPartialExec(part, order, k, planLater(child))) :: Nil
+    // The injectOptimizerRule extension point runs in the operator-
+    // optimization batch, BEFORE Spark's own InferWindowGroupLimit has
+    // created the WindowGroupLimit node — so on the
+    // spark.sql.extensions=GraftExtensions path the rewrite above never
+    // sees its pattern. Strategies always see the fully optimized plan,
+    // so the raw pair is matched here too; the logical-node path remains
+    // for the running-session route (experimental.extraOptimizations runs
+    // last) where the swap is visible in the optimized plan.
+    case RewriteTopKPerGroup.Shape(part, order, k, rankAttr, child) =>
       TopKFinalExec(part, order, k, rankAttr,
         TopKPartialExec(part, order, k, planLater(child))) :: Nil
     case _ => Nil
@@ -103,7 +126,10 @@ private[plans] object TopKHeaps {
       val key = groupProj(row)
       var heap = heaps.get(key)
       if (heap == null) {
-        heap = new java.util.PriorityQueue[InternalRow](k, worstFirst)
+        // initial capacity grows on demand — preallocating k slots per
+        // group would be O(groups × k) memory before any row is retained
+        heap = new java.util.PriorityQueue[InternalRow](
+          math.max(1, math.min(k, 16)), worstFirst)
         heaps.put(key.copy(), heap)
         if (heaps.size >= maxGroups) full = true
       }
@@ -176,8 +202,11 @@ case class TopKFinalExec(
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
 
+  // Empty partitionSpec = GLOBAL top-k: all candidates must meet in one
+  // partition (AllTuples), exactly like stock WindowExec — Unspecified
+  // here would leave each input partition emitting its own "global" top k.
   override def requiredChildDistribution: Seq[Distribution] =
-    if (partitionSpec.isEmpty) UnspecifiedDistribution :: Nil
+    if (partitionSpec.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(partitionSpec) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {

@@ -146,6 +146,47 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.topk.partialFlushGroups")
   }
 
+  test("GLOBAL (unpartitioned) top-k gathers all tuples before the final heap") {
+    graft.plans.GraftFunctions.register(spark)
+    def globalTopK() = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.table(spark, sf, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("rn"))
+    }
+    val stockRows = withoutNativeTopK { globalTopK().collect().toSeq }
+    val native = globalTopK()
+    val rows = native.collect().toSeq
+    // exactly 3 globally-ranked rows — NOT 3 per input partition
+    assert(rows === stockRows)
+    assert(rows.map(_.getAs[Long]("rn")) === Seq(1L, 2L, 3L))
+  }
+
+  test("TopKStrategy plans the raw optimized shape (extensions path)") {
+    // On the spark.sql.extensions path the injected optimizer rule runs
+    // before InferWindowGroupLimit, so the strategy must recognize the
+    // raw Window+WindowGroupLimit pair without the custom logical node.
+    val optimized = withoutNativeTopK { stockTopK().queryExecution.optimizedPlan }
+    // the planner applies strategies per node — hand it the Window node
+    val windows = optimized.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "precondition: stock plan keeps the Window node")
+    val planned = graft.plans.TopKStrategy(windows.head)
+    assert(planned.exists(_.toString.contains("TopKFinal")),
+      s"strategy must match the raw shape:\n${windows.head}")
+  }
+
+  test("salted join shuffles on the salted key (ShuffledHashJoin)") {
+    val df = Registry.queries("join_skew_salted")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(p.contains("salt"), p.take(3000))
+  }
+
   test("native TopKPerGroup also serves the dedup-latest (k=1) shape") {
     graft.plans.GraftFunctions.register(spark)
     val stockRows = withoutNativeTopK {
