@@ -306,6 +306,44 @@ object EventOps {
         |WHERE n >= 5 AND absdev > 3 * mad
         |ORDER BY event_id"""))),
 
+    // First-order Markov transition matrix over each user's event-type
+    // sequence: P(to | from) estimated as exact counts + one double
+    // division (deterministic on identical longs). lead() over the D7
+    // total order; transition counting is one window pass + one groupBy.
+    Q("events_markov_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val trans = Tables.table(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts_us"),
+            col("event_id"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val totals = trans.groupBy(col("from_type"))
+          .agg(sum(col("cnt")).as("from_total"))
+        trans.join(totals, "from_type")
+          .select(col("from_type"), col("to_type"), col("cnt"),
+            (col("cnt").cast("double") / col("from_total")).as("prob"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some(sql(s"""WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ${sqlMicros("ts")}, event_id) AS to_type
+        |  FROM events),
+        |trans AS (
+        |  SELECT event_type AS from_type, to_type, count(*)::BIGINT AS cnt
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT from_type, CAST(sum(cnt) AS BIGINT) AS from_total
+        |  FROM trans GROUP BY from_type)
+        |SELECT from_type, to_type, cnt,
+        |  (CAST(cnt AS DOUBLE) / from_total) AS prob
+        |FROM trans JOIN totals USING (from_type)
+        |ORDER BY from_type, to_type"""))),
+
     // SCD type-2 from a change stream: collapse each user's event_type
     // history into validity intervals [valid_from_us, valid_to_us) — the
     // CDC→dimension materialization every warehouse pipeline runs. Two

@@ -300,6 +300,44 @@ object PipelineOps {
         |CROSS JOIN ns CROSS JOIN nt
         |GROUP BY doc_id ORDER BY doc_id"""))),
 
+    // Overlapping context chunking: window 32 tokens, stride 24 (8-token
+    // overlap) — the train-data prep shape where adjacent chunks share
+    // context so no span is split across a boundary without overlap.
+    // Complements text_chunk_pack (greedy non-overlapping packing). One
+    // generator per doc, no shuffle; chunk content is witnessed by an
+    // md5 over the joined tokens (cross-engine identical). NOTE Spark's
+    // slice(arr, start, LENGTH) vs DuckDB's list_slice(l, start, END):
+    // the oracle uses chunk_start + 31.
+    Q("text_chunk_overlap",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), col("w"),
+          posexplode(expr("sequence(1, greatest(size(w), 1), 24)"))
+            .as(Seq("idx0", "chunk_start")))
+        .select(col("doc_id"),
+          (col("idx0") + 1).cast("long").as("chunk_idx"),
+          col("chunk_start").cast("long").as("chunk_start"),
+          expr("slice(w, chunk_start, 32)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          size(col("chunk")).cast("long").as("chunk_len"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(sql("""WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |st AS (
+        |  SELECT doc_id, ws,
+        |    unnest(generate_series(1, greatest(len(ws), 1), 24))
+        |      AS chunk_start
+        |  FROM w)
+        |SELECT doc_id,
+        |  ((chunk_start - 1) // 24 + 1)::BIGINT AS chunk_idx,
+        |  chunk_start::BIGINT AS chunk_start,
+        |  len(list_slice(ws, chunk_start, chunk_start + 31))::BIGINT
+        |    AS chunk_len,
+        |  md5(array_to_string(list_slice(ws, chunk_start, chunk_start + 31),
+        |    ' ')) AS chunk_md5
+        |FROM st ORDER BY doc_id, chunk_idx"""))),
+
     // Count-min frequency sketch (Cormode & Muthukrishnan 2005), depth 2 ×
     // width 4096, over the token stream — the sketch family's frequency
     // member next to HLL (distinct) and percentile/minhash. Unlike most

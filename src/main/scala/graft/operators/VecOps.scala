@@ -263,5 +263,29 @@ object VecOps {
         |  list_aggregate(q, 'max') AS q_max,
         |  list_aggregate(q, 'min') AS q_min
         |FROM q ORDER BY vec_id"""))),
+
+    // Matryoshka-style prefix norms (Kusupati et al. 2022: nested
+    // representations where meaningful prefixes of the embedding stand
+    // alone): L2 norm at dims 8/16/32/64 per vector — the measurement a
+    // pipeline runs before truncating stored dims. Slices feed the native
+    // fused dot directly (float slices widen exactly); norms are
+    // fold+sqrt on identical doubles — the deterministic class vec_norms
+    // already ships. Single-scan, no shuffle.
+    Q("vec_matryoshka_prefix",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        def pnorm(d: Int) =
+          sqrt(dot(slice(col("embedding"), 1, d),
+            slice(col("embedding"), 1, d))).as(s"l2_d$d")
+        Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), pnorm(8), pnorm(16), pnorm(32), pnorm(64))
+          .orderBy(col("vec_id"))
+      },
+      Some(sql(s"""SELECT vec_id,
+        |${Seq(8, 16, 32, 64).map { d =>
+            val sl = s"list_slice(embedding::DOUBLE[], 1, $d)"
+            s"sqrt(${sqlDot(sl, sl)}) AS l2_d$d"
+          }.mkString(", ")}
+        |FROM embeddings ORDER BY vec_id"""))),
   )
 }

@@ -329,6 +329,45 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("markov transition probabilities sum to 1 per from-state") {
+    val rows = run("events_markov_transitions").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (f, ts) =>
+      assert(math.abs(ts.map(_.getAs[Double]("prob")).sum - 1.0) < 1e-9,
+        s"from_type $f")
+    }
+  }
+
+  test("overlapping chunks tile each document with stride 24") {
+    val byDoc = run("text_chunk_overlap").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val nTokens = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (d, chunks) =>
+      val sorted = chunks.sortBy(_.getAs[Long]("chunk_idx"))
+      assert(sorted.head.getAs[Long]("chunk_start") === 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("chunk_start") -
+            a.getAs[Long]("chunk_start") === 24L)
+        case _ =>
+      }
+      val last = sorted.last
+      assert(last.getAs[Long]("chunk_start") +
+        last.getAs[Long]("chunk_len") - 1 === nTokens(d),
+        s"doc $d tail coverage")
+    }
+  }
+
+  test("matryoshka prefix norms are non-decreasing in dimension") {
+    run("vec_matryoshka_prefix").collect().foreach { r =>
+      val ns = Seq("l2_d8", "l2_d16", "l2_d32", "l2_d64")
+        .map(r.getAs[Double])
+      assert(ns.sliding(2).forall { case Seq(a, b) => a <= b + 1e-12 })
+    }
+  }
+
   test("salted join equals the unsalted join it replaces") {
     import graft.Det
     val plain = Tables.table(spark, sf, "lineitem")
