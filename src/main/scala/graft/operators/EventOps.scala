@@ -321,9 +321,12 @@ object EventOps {
           .filter(col("to_type").isNotNull)
           .groupBy(col("event_type").as("from_type"), col("to_type"))
           .agg(count(lit(1)).as("cnt"))
-        val totals = trans.groupBy(col("from_type"))
-          .agg(sum(col("cnt")).as("from_total"))
-        trans.join(totals, "from_type")
+        // row-total via a window over the tiny transition relation — a
+        // groupBy-then-self-join would recompute the events scan + lead
+        // pass twice
+        trans
+          .withColumn("from_total", sum(col("cnt")).over(
+            Window.partitionBy(col("from_type"))))
           .select(col("from_type"), col("to_type"), col("cnt"),
             (col("cnt").cast("double") / col("from_total")).as("prob"))
           .orderBy(col("from_type"), col("to_type"))
