@@ -37,6 +37,37 @@ object Layouts {
       Some(sql("""SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang = 'fr' ORDER BY doc_id"""))),
 
+    // Dynamic partition pruning: the fact side is partitioned by lang;
+    // the dim side's filter (source = 'src1') is on a NON-partition
+    // attribute, so the set of fact partitions to read is only knowable
+    // at runtime — Spark broadcasts the filtered dim and injects a
+    // DynamicPruningExpression into the fact scan's PartitionFilters
+    // (asserted in PlanSpec). At 100 TB this is the third layout lever
+    // next to static pruning and bucketing: a selective dim filter skips
+    // fact partitions without any static predicate. Result equals the
+    // plain join (the oracle).
+    Q("join_dpp_prune",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val path = System.getProperty("java.io.tmpdir") +
+          s"/graft_rt_dpp_${dir.hashCode}"
+        docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+        val fact = s.read.parquet(path)
+        val dim = docs.filter(col("source") === "src1")
+          .select(col("lang")).distinct()
+        fact.join(dim, "lang")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("doc_cnt"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+          .orderBy(col("lang"))
+      },
+      Some(sql("""SELECT d.lang, count(*)::BIGINT AS doc_cnt,
+        |CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+        |FROM documents d
+        |JOIN (SELECT DISTINCT lang FROM documents WHERE source = 'src1') t
+        |  USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang"""))),
+
     // Customer ⋈ orders with both sides bucketed (+sorted) on the join
     // key in the session catalog: the sort-merge join consumes bucket
     // files directly — zero hash-partition exchanges (PlanSpec asserts).

@@ -81,6 +81,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: [isnotnull(lang"), p.take(2000))
   }
 
+  test("dpp join injects a dynamic pruning filter into the fact scan") {
+    val df = Registry.queries("join_dpp_prune")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(3000))
+  }
+
   test("bucketed join runs with no hash-partition exchange") {
     val df = Registry.queries("join_bucketed_colocated")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
