@@ -338,6 +338,107 @@ object PipelineOps {
         |    ' ')) AS chunk_md5
         |FROM st ORDER BY doc_id, chunk_idx"""))),
 
+    // Benchmark decontamination: for every candidate training doc, how
+    // many of its distinct 5-gram shingles appear in the held-out
+    // "benchmark" set (docs from source='src1' stand in for the eval
+    // suite). The canonical pre-training hygiene pass: shingle-level
+    // n-gram overlap against the benchmark shingle dictionary via an
+    // equi-join — the benchmark dictionary is small and broadcastable at
+    // any corpus scale; candidate shingles stream past it. Left join so
+    // clean docs emit 0.
+    Q("text_contamination_ngrams",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        def shingles(d: org.apache.spark.sql.DataFrame) = d
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(w) - 4),
+              |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+              |    element_at(w, i + 2), element_at(w, i + 3),
+              |    element_at(w, i + 4)))""".stripMargin)).as("sh"))
+          .distinct()
+        val bench = shingles(docs.filter(col("source") === "src1"))
+          .select(col("sh")).distinct()
+        val cand = shingles(docs.filter(col("source") =!= "src1"))
+        val hits = cand.join(broadcast(bench), Seq("sh"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+        cand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+          .withColumn("contamination_ratio",
+            col("n_contaminated").cast("double") / col("n_shingles"))
+          .orderBy(col("doc_id"))
+      },
+      Some(sql("""WITH sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    ws[k] || ' ' || ws[k+1] || ' ' || ws[k+2] || ' ' || ws[k+3]
+        |      || ' ' || ws[k+4] AS sh
+        |  FROM (SELECT doc_id, source, ws,
+        |          unnest(generate_series(1, len(ws) - 4)) AS k
+        |        FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |              FROM documents)
+        |        WHERE len(ws) >= 5)),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src1'),
+        |cand AS (SELECT doc_id, sh FROM sh WHERE source <> 'src1'),
+        |hits AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_contaminated
+        |  FROM cand SEMI JOIN bench USING (sh) GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*)::BIGINT AS n_shingles
+        |        FROM cand GROUP BY doc_id)
+        |SELECT doc_id, n_shingles,
+        |  coalesce(n_contaminated, 0)::BIGINT AS n_contaminated,
+        |  (coalesce(n_contaminated, 0)::DOUBLE / n_shingles)
+        |    AS contamination_ratio
+        |FROM tot LEFT JOIN hits USING (doc_id)
+        |ORDER BY doc_id"""))),
+
+    // Intra-document repetition score: share of the doc's bigrams taken
+    // by its single most repeated bigram, plus the distinct-bigram ratio
+    // — the standard repetition quality filter (boilerplate/spam shows
+    // up as a dominant repeated n-gram). Exact integers + one division;
+    // narrow per-doc aggregation.
+    Q("text_repetition_score",
+      (s, dir) => {
+        val bg = Tables.table(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(w) - 1),
+              |  i -> concat(element_at(w, i), ' ',
+              |              element_at(w, i + 1)))""".stripMargin))
+            .as("b"))
+        bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).cast("long").as("n_bigrams"),
+            count(lit(1)).as("n_distinct"),
+            max(col("c")).as("max_repeat"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+            col("max_repeat"),
+            (col("max_repeat").cast("double") / col("n_bigrams"))
+              .as("top_share"),
+            (col("n_distinct").cast("double") / col("n_bigrams"))
+              .as("distinct_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some(sql("""WITH bg AS (
+        |  SELECT doc_id, ws[k] || ' ' || ws[k+1] AS b
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(1, len(ws) - 1)) AS k
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |              FROM documents)
+        |        WHERE len(ws) >= 2)),
+        |pc AS (SELECT doc_id, b, count(*)::BIGINT AS c
+        |       FROM bg GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  count(*)::BIGINT AS n_distinct,
+        |  CAST(max(c) AS BIGINT) AS max_repeat,
+        |  (CAST(max(c) AS DOUBLE) / sum(c)) AS top_share,
+        |  (CAST(count(*) AS DOUBLE) / sum(c)) AS distinct_ratio
+        |FROM pc GROUP BY doc_id ORDER BY doc_id"""))),
+
     // Count-min frequency sketch (Cormode & Muthukrishnan 2005), depth 2 ×
     // width 4096, over the token stream — the sketch family's frequency
     // member next to HLL (distinct) and percentile/minhash. Unlike most

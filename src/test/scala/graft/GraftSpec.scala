@@ -368,6 +368,37 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination counts are bounded and exclude benchmark docs") {
+    val srcOf = Tables.table(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val rows = run("text_contamination_ngrams").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c) = (r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_contaminated"))
+      assert(c >= 0L && c <= n)
+      assert(math.abs(r.getAs[Double]("contamination_ratio")
+        - c.toDouble / n) < 1e-12)
+      assert(srcOf(r.getAs[Long]("doc_id")) != "src1",
+        "benchmark docs must not be scored")
+    }
+  }
+
+  test("repetition score invariants: shares in (0,1], distinct <= total") {
+    val rows = run("text_repetition_score").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d, m) = (r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("max_repeat"))
+      assert(d <= n && m <= n && m >= 1L)
+      assert(r.getAs[Double]("top_share") > 0
+        && r.getAs[Double]("top_share") <= 1.0)
+      assert(r.getAs[Double]("distinct_ratio") > 0
+        && r.getAs[Double]("distinct_ratio") <= 1.0)
+    }
+  }
+
   test("salted join equals the unsalted join it replaces") {
     import graft.Det
     val plain = Tables.table(spark, sf, "lineitem")
