@@ -19,21 +19,26 @@ import org.apache.spark.sql.functions._
 object Layouts {
   import Det._
 
+  /** Documents rewritten lang-partitioned to a per-sf temp dir (shared by
+    * the static-pruning and DPP keys — the layout recipe lives once). */
+  private def partitionedDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val path = System.getProperty("java.io.tmpdir") +
+      s"/graft_rt_part_${dir.hashCode}"
+    Tables.table(s, dir, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+    s.read.parquet(path)
+  }
+
   val qs: Seq[Q] = Seq(
     // Write documents partitioned by lang, read back only the 'fr'
     // partition. Result equals a plain filter on the source (the oracle),
     // but the plan touches one partition directory.
     Q("sink_partitioned_pruning",
-      (s, dir) => {
-        val docs = Tables.table(s, dir, "documents")
-        val path = System.getProperty("java.io.tmpdir") +
-          s"/graft_rt_part_${dir.hashCode}"
-        docs.write.mode("overwrite").partitionBy("lang").parquet(path)
-        s.read.parquet(path)
-          .filter(col("lang") === "fr")
-          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => partitionedDocs(s, dir)
+        .filter(col("lang") === "fr")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id")),
       Some(sql("""SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang = 'fr' ORDER BY doc_id"""))),
 
@@ -48,12 +53,9 @@ object Layouts {
     // plain join (the oracle).
     Q("join_dpp_prune",
       (s, dir) => {
-        val docs = Tables.table(s, dir, "documents")
-        val path = System.getProperty("java.io.tmpdir") +
-          s"/graft_rt_dpp_${dir.hashCode}"
-        docs.write.mode("overwrite").partitionBy("lang").parquet(path)
-        val fact = s.read.parquet(path)
-        val dim = docs.filter(col("source") === "src1")
+        val fact = partitionedDocs(s, dir)
+        val dim = Tables.table(s, dir, "documents")
+          .filter(col("source") === "src1")
           .select(col("lang")).distinct()
         fact.join(dim, "lang")
           .groupBy(col("lang"))

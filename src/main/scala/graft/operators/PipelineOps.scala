@@ -349,6 +349,8 @@ object PipelineOps {
     Q("text_contamination_ngrams",
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")
+        // raw (non-distinct) shingle stream — each branch dedups at its
+        // own granularity so the benchmark side pays one shuffle, not two
         def shingles(d: org.apache.spark.sql.DataFrame) = d
           .withColumn("w", split(col("text"), " "))
           .filter(size(col("w")) >= 5)
@@ -357,16 +359,16 @@ object PipelineOps {
               |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
               |    element_at(w, i + 2), element_at(w, i + 3),
               |    element_at(w, i + 4)))""".stripMargin)).as("sh"))
-          .distinct()
         val bench = shingles(docs.filter(col("source") === "src1"))
           .select(col("sh")).distinct()
-        val cand = shingles(docs.filter(col("source") =!= "src1"))
-        val hits = cand.join(broadcast(bench), Seq("sh"), "left_semi")
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-        cand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-          .join(hits, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_shingles"),
-            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+          .withColumn("hit", lit(1))
+        // single pass over the candidate shingles: total and contaminated
+        // counts from one broadcast left join (count(hit) skips nulls)
+        shingles(docs.filter(col("source") =!= "src1")).distinct()
+          .join(broadcast(bench), Seq("sh"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            count(col("hit")).as("n_contaminated"))
           .withColumn("contamination_ratio",
             col("n_contaminated").cast("double") / col("n_shingles"))
           .orderBy(col("doc_id"))

@@ -82,8 +82,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dpp join injects a dynamic pruning filter into the fact scan") {
-    val df = Registry.queries("join_dpp_prune")(spark, sf)
-    val p = df.queryExecution.executedPlan.toString
+    val p = planOf("join_dpp_prune")
     assert(p.toLowerCase.contains("dynamicpruning"), p.take(3000))
   }
 
