@@ -184,34 +184,19 @@ object VecOps {
         |WHERE ${sqlDot("a.u", "b.u")} > 0.3
         |ORDER BY label, a_id, b_id"""))),
 
-    // Scalable near-dup: sign-random-projection LSH buckets (8-bit
-    // signature over 8 deterministic pseudo-planes, ~256 buckets), pairs compared only
-    // within a bucket — the 100 TB path (no oracle: LSH recall < 1 by
-    // design; bucketing quality is unit-tested instead).
+    // Scalable near-dup: banded sign-random-projection LSH (Charikar 2002;
+    // banding per Gionis/Indyk/Motwani 1999) — 4 bands × 16 bits from the
+    // fused codegen graft_srp_sig expression, pairs compared only within a
+    // (band, signature) bucket, oversized buckets dropped like the text
+    // ops' df caps. The 100 TB path (no oracle: LSH recall < 1 by design;
+    // bucket-cap bounds and near-dup recall are unit-tested instead).
     Q("vec_neardup_lsh",
       (s, dir) => {
         graft.plans.GraftFunctions.register(s)
-        val e = Tables.table(s, dir, "embeddings")
-          .select(col("vec_id"), embD(col("embedding")).as("v"))
-          // Deterministic pseudo-random hyperplanes: plane p component i =
-          // hash-derived value in [-1,1); sign bit of <v, plane_p>.
-          .withColumn("sig", expr(
-            """aggregate(sequence(0, 7), 0L, (acc, p) ->
-              |  acc * 2 + CASE WHEN aggregate(
-              |    transform(v, (x, i) ->
-              |      x * (cast(pmod(xxhash64(p, i), 2000) as double)
-              |           / 1000.0 - 1.0)),
-              |    cast(0.0 as double), (a, y) -> a + y) >= 0
-              |  THEN 1 ELSE 0 END)""".stripMargin))
-        val a = e.select(col("vec_id").as("a_id"), col("sig"),
-          col("v").as("va"))
-        val b = e.select(col("vec_id").as("b_id"), col("sig").as("b_sig"),
-          col("v").as("vb"))
-        a.join(b, col("sig") === col("b_sig") && col("a_id") < col("b_id"))
-          .select(col("sig"), col("a_id"), col("b_id"),
-            (dot(col("va"), col("vb"))
-              / (sqrt(dot(col("va"), col("va")))
-                * sqrt(dot(col("vb"), col("vb"))))).as("cos_sim"))
+        neardupLshPairs(
+          Tables.table(s, dir, "embeddings").select(
+            col("vec_id"), col("embedding")))
+          .select(col("band"), col("a_id"), col("b_id"), col("cos_sim"))
           .orderBy(col("a_id"), col("b_id"))
       },
       None),
@@ -288,4 +273,50 @@ object VecOps {
           }.mkString(", ")}
         |FROM embeddings ORDER BY vec_id"""))),
   )
+
+  /** Banded SRP-LSH near-dup pairs over a (vec_id, embedding) frame —
+    * shared by the `vec_neardup_lsh` query and the synthetic bucket-cap
+    * tests (which drive `cap` down to prove the bound bites).
+    *
+    * Shape, per VERDICT r3 task 1: the signature is computed ONCE per row
+    * by the fused codegen [[graft.plans.SrpSignature]] (plane matrix
+    * hoisted per task — no per-row interpreted HOF), vectors are
+    * unit-normalized once BEFORE the pair join so each candidate pair
+    * costs a single fused-dot fold, and any (band, signature) bucket
+    * holding more than `cap` vectors is dropped entirely — mirroring
+    * `text_editdist_pairs`' 1000-doc bucket cap — so within-bucket
+    * all-pairs work is bounded by cap²/2 per bucket no matter how
+    * degenerate the data. Pairs colliding in several bands are deduped by
+    * the (a_id, b_id) groupBy (min band kept; cos_sim is identical per
+    * pair, max is a deterministic pick).
+    *
+    * At 1e9+ vectors: 16-bit bands give 65536 buckets per band on top of
+    * hash partitioning, collisions between random vectors are ~2^-16 per
+    * band, and the cap bounds the adversarial tail — never all-pairs.
+    */
+  private[graft] def neardupLshPairs(
+      e: DataFrame, nBands: Int = 4, bitsPerBand: Int = 16,
+      cap: Int = 1000): DataFrame = {
+    val bands = e
+      .select(col("vec_id"), embD(col("embedding")).as("v"))
+      .withColumn("u", transform(col("v"),
+        x => x / sqrt(dot(col("v"), col("v")))))
+      .select(col("vec_id"), col("u"),
+        posexplode(call_function("graft_srp_sig", col("v"),
+          lit(nBands), lit(bitsPerBand))).as(Seq("band", "bsig")))
+    val capped = bands
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bsig"))))
+      .filter(col("bsz") <= cap)
+      .drop("bsz")
+    capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band")
+          && col("x.bsig") === col("y.bsig")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.band").as("band"),
+        col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        dot(col("x.u"), col("y.u")).as("cos_sim"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(min(col("band")).as("band"), max(col("cos_sim")).as("cos_sim"))
+  }
 }

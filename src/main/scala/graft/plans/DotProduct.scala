@@ -109,6 +109,7 @@ case class DotProduct(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotDescriptor)
+    ext.injectFunction(GraftFunctions.srpDescriptor)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     ext.injectOptimizerRule(_ => RewriteTopKPerGroup)
     ext.injectPlannerStrategy(_ => TopKStrategy)
@@ -122,9 +123,27 @@ object GraftFunctions {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1)))
 
+  private[plans] val srpDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_srp_sig"),
+      new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp_sig"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.IntegerType
+        def litInt(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case _ => throw new IllegalArgumentException(
+            s"graft_srp_sig: $what must be an integer literal, got $e")
+        }
+        SrpSignature(children(0), litInt(children(1), "nBands"),
+          litInt(children(2), "bitsPerBand"))
+      })
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      srpDescriptor._1, srpDescriptor._2, srpDescriptor._3)
     // Running-session path for the optimizer rules and planner strategy
     // (extensions can only be injected at session build time;
     // experimental.extraOptimizations/extraStrategies work post-hoc).
