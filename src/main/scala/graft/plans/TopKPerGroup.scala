@@ -79,8 +79,31 @@ object RewriteTopKPerGroup extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case Shape(part, order, k, rankAttr, child) =>
+    case Shape(part, order, k, rankAttr, child)
+        if TopKPlanGuard.useNative(child) =>
       TopKPerGroup(part, order, k, rankAttr, child)
+  }
+}
+
+/** Memory-safety valve for the native operator (VERDICT r3 task 2): the
+  * final phase holds every retained row of its partition on-heap (one
+  * k-bounded heap per group), unlike stock `WindowExec` which sort-spills.
+  * Retained bytes per reduce partition are bounded by the child's total
+  * bytes over the shuffle partition count (the partial phase only shrinks
+  * the exchange), so when that estimate exceeds
+  * `graft.topk.maxFinalBytesPerPartition` (default 1 GiB) the rewrite and
+  * the strategy both decline and the stock sort-spill
+  * `WindowGroupLimit + Window` path plans instead — degraded throughput,
+  * never an OOM. Leaf relations without real statistics default to
+  * `spark.sql.defaultSizeInBytes` = Long.Max, which also falls back (safe
+  * by default; parquet scans always carry real sizes). */
+private[plans] object TopKPlanGuard {
+  def useNative(child: LogicalPlan): Boolean = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val maxBytes = conf.getConfString(
+      "graft.topk.maxFinalBytesPerPartition", (1L << 30).toString).toLong
+    val parts = math.max(1, conf.numShufflePartitions)
+    child.stats.sizeInBytes / parts <= maxBytes
   }
 }
 
@@ -97,7 +120,8 @@ object TopKStrategy extends SparkStrategy {
     // so the raw pair is matched here too; the logical-node path remains
     // for the running-session route (experimental.extraOptimizations runs
     // last) where the swap is visible in the optimized plan.
-    case RewriteTopKPerGroup.Shape(part, order, k, rankAttr, child) =>
+    case RewriteTopKPerGroup.Shape(part, order, k, rankAttr, child)
+        if TopKPlanGuard.useNative(child) =>
       TopKFinalExec(part, order, k, rankAttr,
         TopKPartialExec(part, order, k, planLater(child))) :: Nil
     case _ => Nil
@@ -107,11 +131,14 @@ object TopKStrategy extends SparkStrategy {
 /** Shared heap logic: one k-bounded max-heap (worst candidate at head) per
   * group key held in the partition. Rows are unsafe-copied only when
   * retained; evicted rows are never materialized. Consumes `iter` until
-  * exhaustion or until the table holds `maxGroups` groups AND the next row
-  * starts a new group (the caller then drains and calls again). */
-private[plans] object TopKHeaps {
+  * exhaustion, or — at the `maxGroups` cap — until the next row would
+  * start a NEW group; rows of already-tracked groups keep flowing into the
+  * full table (so each partial flush prunes as hard as its memory budget
+  * allows), and the new-group row is left unconsumed on the buffered
+  * iterator for the caller's next chunk. */
+private[graft] object TopKHeaps {
   def perGroup(
-      iter: Iterator[InternalRow],
+      iter: BufferedIterator[InternalRow],
       groupProj: UnsafeProjection,
       ordering: Ordering[InternalRow],
       k: Int,
@@ -122,21 +149,27 @@ private[plans] object TopKHeaps {
       new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]
     var full = false
     while (iter.hasNext && !full) {
-      val row = iter.next()
-      val key = groupProj(row)
+      val key = groupProj(iter.head)
       var heap = heaps.get(key)
       if (heap == null) {
-        // initial capacity grows on demand — preallocating k slots per
-        // group would be O(groups × k) memory before any row is retained
-        heap = new java.util.PriorityQueue[InternalRow](
-          math.max(1, math.min(k, 16)), worstFirst)
-        heaps.put(key.copy(), heap)
-        if (heaps.size >= maxGroups) full = true
+        if (heaps.size >= maxGroups) {
+          // leave the new-group row for the next chunk
+          full = true
+        } else {
+          // initial capacity grows on demand — preallocating k slots per
+          // group would be O(groups × k) memory before any row is retained
+          heap = new java.util.PriorityQueue[InternalRow](
+            math.max(1, math.min(k, 16)), worstFirst)
+          heaps.put(key.copy(), heap)
+        }
       }
-      if (heap.size < k) heap.add(row.copy())
-      else if (ordering.compare(row, heap.peek()) < 0) {
-        heap.poll()
-        heap.add(row.copy())
+      if (!full) {
+        val row = iter.next()
+        if (heap.size < k) heap.add(row.copy())
+        else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
       }
     }
     heaps
@@ -162,6 +195,13 @@ case class TopKPartialExec(
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
+  // Purely row-local pruning: partitioning is whatever the child had
+  // (declaring it lets EnsureRequirements reuse existing clustering
+  // instead of inserting a fresh exchange — ADVICE r3).
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val k = limit
     val part = partitionSpec
@@ -170,14 +210,15 @@ case class TopKPartialExec(
     val flushGroups =
       conf.getConfString("graft.topk.partialFlushGroups", "131072").toInt
     child.execute().mapPartitions { iter =>
+      val bufIter = iter.buffered
       val groupProj = UnsafeProjection.create(part, childOutput)
       val ordering = GenerateOrdering.generate(order, childOutput)
       val chunks: Iterator[Iterator[InternalRow]] =
         new Iterator[Iterator[InternalRow]] {
-          override def hasNext: Boolean = iter.hasNext
+          override def hasNext: Boolean = bufIter.hasNext
           override def next(): Iterator[InternalRow] = {
             val heaps = TopKHeaps.perGroup(
-              iter, groupProj, ordering, k, maxGroups = flushGroups)
+              bufIter, groupProj, ordering, k, maxGroups = flushGroups)
             import scala.jdk.CollectionConverters._
             heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
           }
@@ -209,6 +250,13 @@ case class TopKFinalExec(
     if (partitionSpec.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(partitionSpec) :: Nil
 
+  // One output row per retained input row (plus the rank column): the hash
+  // clustering the exchange below established still holds — keep it so a
+  // downstream groupBy/join on the same keys skips its exchange.
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val k = limit
     val part = partitionSpec
@@ -218,7 +266,7 @@ case class TopKFinalExec(
     child.execute().mapPartitions { iter =>
       val groupProj = UnsafeProjection.create(part, childOutput)
       val ordering = GenerateOrdering.generate(order, childOutput)
-      val heaps = TopKHeaps.perGroup(iter, groupProj, ordering, k)
+      val heaps = TopKHeaps.perGroup(iter.buffered, groupProj, ordering, k)
       val toUnsafe = UnsafeProjection.create(outputAttrs, outputAttrs)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)

@@ -151,6 +151,64 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.topk.partialFlushGroups")
   }
 
+  test("memory guard falls back to the stock sort-spill window path") {
+    val stockRows = withoutNativeTopK { stockTopK().collect().toSeq }
+    // 1-byte budget: any real child exceeds it → native must decline
+    spark.conf.set("graft.topk.maxFinalBytesPerPartition", "1")
+    try {
+      val guarded = Registry.queries("topk_per_group")(spark, sf)
+      val p = guarded.queryExecution.executedPlan.toString
+      assert(!p.contains("TopKFinal"), p.take(3000))
+      assert(p.contains("WindowGroupLimit"), p.take(3000))
+      assert(guarded.collect().toSeq === stockRows)
+    } finally spark.conf.unset("graft.topk.maxFinalBytesPerPartition")
+    // default budget: the native operator engages again
+    val native = Registry.queries("topk_per_group")(spark, sf)
+    assert(native.queryExecution.executedPlan.toString.contains("TopKFinal"))
+  }
+
+  test("partial flush keeps consuming rows of already-tracked groups") {
+    // With the cap at 1, a chunk now spans the full run of consecutive
+    // rows whose group is already tracked — the (sorted-input) worst case
+    // collapses to one chunk per group, never one chunk per row. Proven
+    // indirectly: results stay exact under cap=1 (the old early-stop also
+    // guaranteed this), and the direct heap unit below pins the behavior.
+    val stockRows = withoutNativeTopK { stockTopK().collect().toSeq }
+    spark.conf.set("graft.topk.partialFlushGroups", "1")
+    try {
+      assert(Registry.queries("topk_per_group")(spark, sf).collect().toSeq
+        === stockRows)
+    } finally spark.conf.unset("graft.topk.partialFlushGroups")
+  }
+
+  test("TopKHeaps at maxGroups consumes tracked groups, defers new ones") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, SortOrder, UnsafeProjection, Ascending}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val attrs = Seq(BoundReference(0, LongType, nullable = false),
+      BoundReference(1, IntegerType, nullable = false))
+    val groupProj = UnsafeProjection.create(Seq(attrs.head))
+    val ordering = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateOrdering.generate(Seq(SortOrder(attrs(1), Ascending)))
+    val toUnsafe = UnsafeProjection.create(
+      Array[org.apache.spark.sql.types.DataType](LongType, IntegerType))
+    // groups: 1,1,1, 2 — cap=1 must consume ALL of group 1 (not stop at
+    // the second row) and leave group 2's row unconsumed on the iterator
+    val rows = Seq((1L, 3), (1L, 1), (1L, 2), (2L, 9)).map { case (g, v) =>
+      toUnsafe(InternalRow(g, v)).copy(): InternalRow
+    }
+    val it = rows.iterator.buffered
+    val heaps = graft.plans.TopKHeaps.perGroup(
+      it, groupProj, ordering, k = 2, maxGroups = 1)
+    assert(heaps.size === 1)
+    import scala.jdk.CollectionConverters._
+    val kept = heaps.values().asScala.head.asScala
+      .map(_.getInt(1)).toSeq.sorted
+    assert(kept === Seq(1, 2), "k=2 heap must keep the two best of group 1")
+    assert(it.hasNext && it.head.getLong(0) === 2L,
+      "group 2's row must remain unconsumed for the next chunk")
+  }
+
   test("GLOBAL (unpartitioned) top-k gathers all tuples before the final heap") {
     graft.plans.GraftFunctions.register(spark)
     def globalTopK() = {
