@@ -99,15 +99,45 @@ AUDITS = {
 }
 
 
+# Keys whose oracle emits UNROUNDED sqrt/fold double chains into a
+# hash-checked output. This class is exempt from the boundary audit BY
+# DESIGN, not oversight (ADVICE r3): the claim for these keys is strict
+# bit-equality, which is STRONGER than boundary distance — both engines
+# run the identical left-to-right fold over identical doubles (floats
+# widen exactly; folds are sequential in Spark's `aggregate` and DuckDB's
+# `list_reduce`), then IEEE-754-correctly-rounded sqrt/division, and no
+# expression has the a*b - c*d shape that fma contraction could perturb.
+# There is no rounding step, hence no decision boundary to audit. Any NEW
+# key whose oracle uses sqrt() must either round (and join AUDITS) or be
+# added here with the same reasoning — the check below makes silence fail.
+EXEMPT_UNROUNDED = {
+    "agg_stats",           # stddev via exact decimal moments, sqrt last
+    "events_zscore",       # same exact-moment shape
+    "scalar_math",         # sqrt of a 2dp-decimal-snapped double
+    "vec_norms",           # sqrt(fold) of widened floats
+    "vec_cosine_pairs",    # fold / (sqrt(fold) * sqrt(fold))
+    "vec_knn_per_label",   # fold over exact-decimal centroid components
+    "vec_dedup_threshold", # fold of pre-normalized components
+    "vec_matryoshka_prefix",  # sqrt(fold) over embedding prefixes
+}
+
+
 def audit(con, oracle):
     """Returns the number of audit failures (0 == safe)."""
     import re
     fails = 0
+    audited = {name.split(":")[0] for name in AUDITS}
     for key, sql in sorted(oracle.items()):
         m = re.search(TRIG_BAN_RE, sql, re.IGNORECASE)
         if m:
             print(f"AUDIT-FAIL {key:24s} oracle SQL uses {m.group(1)}() — "
                   f"trig is not hash-checkable across oracle builds")
+            fails += 1
+        if ("sqrt(" in sql.lower() and key not in audited
+                and key not in EXEMPT_UNROUNDED):
+            print(f"AUDIT-FAIL {key:24s} oracle emits sqrt() but is neither "
+                  f"boundary-audited (AUDITS) nor declared bit-exact "
+                  f"(EXEMPT_UNROUNDED) — classify it deliberately")
             fails += 1
     for name, (q, s) in AUDITS.items():
         row = con.execute(f"""

@@ -59,25 +59,44 @@ object Bench {
         val sc = spark.sparkContext
         val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
         bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
-      } catch { case _: Throwable => Thread.sleep(150) }
+      } catch {
+        // NonFatal only: an OOM or interrupt must surface, not degrade to
+        // a silent sleep (ADVICE r3)
+        case scala.util.control.NonFatal(_) => Thread.sleep(150)
+      }
+    // Each query runs RUNS times and reports the MEDIAN (min/max recorded
+    // in bench_detail.json): single-run numbers on this box swing up to
+    // 5x per query (VERDICT r3 task 5), which made round-over-round
+    // regression calls noise. A query that throws in ANY run records -1.0
+    // (never a fake elapsed time).
+    val RUNS = 3
     val detail = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      drainListeners()
-      val before = metrics.snapshot()
-      val t0 = System.nanoTime()
-      // toRdd executes THIS physical plan (sorts, projections and all);
-      // df.count() would let Catalyst prune the operator under test.
-      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      drainListeners()
-      val after = metrics.snapshot()
-      detail += s"""  "$name": {"sec": ${if (ok) elapsed else -1.0}, """ +
-        s""""shuffle_write_bytes": ${after._1 - before._1}, """ +
-        s""""shuffle_read_bytes": ${after._2 - before._2}, """ +
-        s""""disk_spill_bytes": ${after._3 - before._3}}"""
-      name -> (if (ok) elapsed else -1.0)
+      val samples = (1 to RUNS).map { _ =>
+        drainListeners()
+        val before = metrics.snapshot()
+        val t0 = System.nanoTime()
+        // toRdd executes THIS physical plan (sorts, projections and all);
+        // df.count() would let Catalyst prune the operator under test.
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        drainListeners()
+        val after = metrics.snapshot()
+        (if (ok) elapsed else -1.0,
+          after._1 - before._1, after._2 - before._2, after._3 - before._3)
+      }
+      val sorted = samples.sortBy(_._1)
+      val med = sorted(RUNS / 2)
+      val sec = if (samples.exists(_._1 < 0)) -1.0 else med._1
+      detail += s"""  "$name": {"sec": $sec, """ +
+        s""""min_sec": ${sorted.head._1}, "max_sec": ${sorted.last._1}, """ +
+        s""""shuffle_write_bytes": ${med._2}, """ +
+        s""""shuffle_read_bytes": ${med._3}, """ +
+        s""""disk_spill_bytes": ${med._4}}"""
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

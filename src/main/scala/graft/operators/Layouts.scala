@@ -19,14 +19,29 @@ import org.apache.spark.sql.functions._
 object Layouts {
   import Det._
 
-  /** Documents rewritten lang-partitioned to a per-sf temp dir (shared by
-    * the static-pruning and DPP keys — the layout recipe lives once). */
+  /** Paths already written this JVM: the partitioned layout is produced
+    * once per (application, sf dir) and then only READ — so the pruning /
+    * DPP queries (and their bench timings) measure the scan and join, not
+    * a rewrite of the dataset on every invocation (ADVICE r3). */
+  private val written =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Documents rewritten lang-partitioned to a per-(app, sf) temp dir
+    * (shared by the static-pruning and DPP keys — the layout recipe lives
+    * once). The path embeds the sanitized full dir string plus the Spark
+    * applicationId: distinct sf dirs can no longer collide via 32-bit
+    * hashCode, and concurrent JVMs (tests next to a bench run) each write
+    * their own copy instead of interleaving overwrite-with-read. */
   private def partitionedDocs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
+    val safeDir = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val appId = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9-]", "_")
     val path = System.getProperty("java.io.tmpdir") +
-      s"/graft_rt_part_${dir.hashCode}"
-    Tables.table(s, dir, "documents")
-      .write.mode("overwrite").partitionBy("lang").parquet(path)
+      s"/graft_rt_part_${safeDir}_$appId"
+    if (written.add(path)) {
+      Tables.table(s, dir, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(path)
+    }
     s.read.parquet(path)
   }
 

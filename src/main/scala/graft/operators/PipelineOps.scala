@@ -452,32 +452,11 @@ object PipelineOps {
     // broadcast-join it, never re-scanning the corpus; the CM guarantee
     // (est ≥ true, est ≤ true + εN w.h.p.) is unit-tested.
     Q("text_countmin_topk",
-      (s, dir) => {
-        val tokens = Tables.table(s, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("word"))
-        def bucket(j: Int, w: String) =
-          s"(${whExpr(s"concat('$j|', $w)")} % 4096)"
-        val counters = (0 to 1).map { j =>
-          tokens
-            .select(lit(j).as("row_id"), expr(bucket(j, "word")).as("bucket"))
-            .groupBy(col("row_id"), col("bucket"))
-            .agg(count(lit(1)).as("c"))
-        }.reduce(_ unionByName _)
-        val words = tokens.groupBy(col("word"))
-          .agg(count(lit(1)).as("true_cnt"))
-        words
-          .withColumn("b0", expr(bucket(0, "word")))
-          .withColumn("b1", expr(bucket(1, "word")))
-          .join(broadcast(counters.filter(col("row_id") === 0)
-            .select(col("bucket").as("b0"), col("c").as("c0"))), "b0")
-          .join(broadcast(counters.filter(col("row_id") === 1)
-            .select(col("bucket").as("b1"), col("c").as("c1"))), "b1")
-          .select(col("word"), col("true_cnt"),
-            least(col("c0"), col("c1")).as("cm_est"))
-          .withColumn("overcount", col("cm_est") - col("true_cnt"))
-          .orderBy(col("cm_est").desc, col("word").asc)
-          .limit(20)
-      },
+      (s, dir) => countMinEstimates(s, dir,
+        depth = s.conf.get("graft.cm.depth", "2").toInt,
+        width = s.conf.get("graft.cm.width", "4096").toInt)
+        .orderBy(col("cm_est").desc, col("word").asc)
+        .limit(20),
       Some(sql(s"""WITH tokens AS (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
         |counters AS (
@@ -915,6 +894,47 @@ object PipelineOps {
       },
       None),
 
+    // Incremental dedup — the highest-frequency production pattern
+    // (VERDICT r3 task 4): dedup a NEW batch (source = 'src1') *against*
+    // the existing corpus (everything else) without re-deduping the
+    // corpus. A batch doc is dropped when (a) its exact content hash
+    // already exists in the corpus (hash anti-join — at scale the corpus
+    // side is a pre-computed hash index, not a rescan), or (b) it forms a
+    // strong LSH near-dup candidate pair (est_jaccard >= 0.875) with a
+    // corpus doc — the same banded-minhash candidates pipeline_dedup_keep
+    // uses, filtered to cross-boundary pairs only. Batch-internal dups
+    // are deliberately kept: that is pipeline_dedup_keep's job on the
+    // batch itself. Shapes: hash-partitioned anti-join + bucketed band
+    // join + id semi/anti joins — nothing quadratic, nothing collected.
+    // Sketch-dependent → no oracle; keep-set invariants unit-tested.
+    Q("pipeline_dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val batch = docs.filter(col("source") === "src1")
+        val corpus = docs.filter(col("source") =!= "src1")
+        val corpusHashes = corpus
+          .select(sha2(col("text"), 256).as("h")).distinct()
+        val corpusIds = corpus.select(col("doc_id").as("o"))
+        // symmetric view of strong candidate pairs: (d, other) both ways,
+        // keep d when d is a batch doc paired with a corpus doc
+        val cands = TextOps.neardupCandidates(s, dir)
+          .filter(col("est_jaccard") >= 0.875)
+        val nearDrops = cands
+          .select(col("doc_a").as("d"), col("doc_b").as("o"))
+          .unionByName(cands
+            .select(col("doc_b").as("d"), col("doc_a").as("o")))
+          .join(corpusIds, "o")
+          .select(col("d").as("doc_id")).distinct()
+        batch
+          .withColumn("h", sha2(col("text"), 256))
+          .join(corpusHashes, Seq("h"), "left_anti")
+          .join(nearDrops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
     // Multimodal plumbing: documents as opaque binary + typed metadata.
     // The "decode" (width/height/frames) is a deterministic STUB derived
     // from the content hash — codec libs are not in this container; a real
@@ -969,6 +989,44 @@ object PipelineOps {
     * the probe-bounded scan that makes IVF linear-in-candidates at 100 TB
     * instead of linear-in-corpus.
     */
+  /** Count-min estimates over the token stream at a given (depth, width)
+    * — the parameterized core of `text_countmin_topk` (conf keys
+    * `graft.cm.depth` / `graft.cm.width`, defaults 2 × 4096 — the
+    * declared oracle SQL is the default-parameter twin) and of the
+    * property test sweeping (d, w) to retest the domination bound
+    * (VERDICT r3 task 6). Returns (word, true_cnt, cm_est, overcount),
+    * unfiltered. The counter table is depth × width cells built in one
+    * pass and broadcast back — queries never rescan the corpus. */
+  private[graft] def countMinEstimates(
+      s: SparkSession, dir: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, s"bad CM shape ($depth, $width)")
+    val tokens = Tables.table(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+    def bucket(j: Int, w: String) =
+      s"(${whExpr(s"concat('$j|', $w)")} % $width)"
+    val counters = (0 until depth).map { j =>
+      tokens
+        .select(lit(j).as("row_id"), expr(bucket(j, "word")).as("bucket"))
+        .groupBy(col("row_id"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+    }.reduce(_ unionByName _)
+    val words = tokens.groupBy(col("word"))
+      .agg(count(lit(1)).as("true_cnt"))
+    val withBuckets = (0 until depth).foldLeft(words) { (df, j) =>
+      df.withColumn(s"b$j", expr(bucket(j, "word")))
+    }
+    val joined = (0 until depth).foldLeft(withBuckets) { (df, j) =>
+      df.join(broadcast(counters.filter(col("row_id") === j)
+        .select(col("bucket").as(s"b$j"), col("c").as(s"c$j"))), s"b$j")
+    }
+    val est =
+      if (depth == 1) col("c0")
+      else least((0 until depth).map(j => col(s"c$j")): _*)
+    joined
+      .select(col("word"), col("true_cnt"), est.as("cm_est"))
+      .withColumn("overcount", col("cm_est") - col("true_cnt"))
+  }
+
   /** Trained-codebook cache for [[ivfSearch]] (train-once/search-many). */
   private val codebookCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int, Int, Int), Seq[(Long, Seq[Double])]]()

@@ -150,6 +150,55 @@ class EdgeCaseSpec extends AnyFunSuite {
       }
   }
 
+  test("pipeline_dedup_incremental: batch-vs-corpus drops only, batch dups kept") {
+    val docs = Tables.table(spark, sf, "documents")
+    val kept = Registry.queries("pipeline_dedup_incremental")(spark, sf)
+      .collect()
+    val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+    assert(keptIds.nonEmpty)
+    // only batch (src1) docs can appear
+    assert(kept.forall(_.getAs[String]("source") === "src1"))
+    // no kept batch doc shares a content hash with any corpus doc
+    val corpusHashes = docs.filter(col("source") =!= "src1")
+      .select(sha2(col("text"), 256)).collect().map(_.getString(0)).toSet
+    val keptHashes = docs
+      .filter(col("doc_id").isin(keptIds.toSeq.map(Long.box): _*))
+      .select(sha2(col("text"), 256)).collect().map(_.getString(0))
+    assert(keptHashes.forall(h => !corpusHashes.contains(h)))
+    // no kept batch doc is a strong near-dup candidate of a corpus doc
+    val corpusIds = docs.filter(col("source") =!= "src1")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    Registry.queries("text_minhash_neardup")(spark, sf)
+      .filter(col("est_jaccard") >= 0.875).collect().foreach { r =>
+        val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        if (corpusIds.contains(a))
+          assert(!keptIds.contains(b),
+            s"batch doc $b near-dups corpus doc $a, must be dropped")
+        if (corpusIds.contains(b))
+          assert(!keptIds.contains(a),
+            s"batch doc $a near-dups corpus doc $b, must be dropped")
+      }
+    // batch-INTERNAL exact dups are kept (incremental never self-dedups):
+    // every src1 doc not dropped for a corpus reason must be present
+    val batchIds = docs.filter(col("source") === "src1")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val batchNearDropped = Registry.queries("text_minhash_neardup")(spark, sf)
+      .filter(col("est_jaccard") >= 0.875).collect().flatMap { r =>
+        val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        Seq(a -> b, b -> a).collect {
+          case (d, o) if batchIds.contains(d) && corpusIds.contains(o) => d
+        }
+      }.toSet
+    val batchExactDropped = docs
+      .withColumn("h", sha2(col("text"), 256))
+      .filter(col("source") === "src1")
+      .join(docs.filter(col("source") =!= "src1")
+        .select(sha2(col("text"), 256).as("h")).distinct(), Seq("h"),
+        "left_semi")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(keptIds === batchIds -- batchExactDropped -- batchNearDropped)
+  }
+
   test("minhash est_jaccard of identical docs is exactly 1") {
     val cand = Registry.queries("text_minhash_neardup")(spark, sf)
     // candidates at est 1.0 exist in the fixture corpus (near-identical

@@ -293,6 +293,50 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min bound holds across (depth, width) parameter sweep") {
+    val n = Tables.table(spark, sf, "documents")
+      .select(explode(split(col("text"), " "))).count()
+    // (d, w) sweep over EVERY word (not just the top 20): domination is a
+    // hard CM invariant at any shape; the overcount bound est <= true +
+    // eps*n (eps ~ e/w) is checked with constant 8 — generous for the
+    // w.h.p. guarantee, tight enough to catch a broken hash row.
+    val shapes = for {
+      d <- Seq(2, 4); w <- Seq(1024, 4096, 16384)
+    } yield (d, w)
+    val maxOvers = shapes.map { case (d, w) =>
+      val rows = operators.PipelineOps
+        .countMinEstimates(spark, sf, d, w).collect()
+      assert(rows.nonEmpty)
+      var maxOver = 0L
+      rows.foreach { r =>
+        val over = r.getAs[Long]("overcount")
+        assert(over >= 0L, s"(d=$d,w=$w) CM must never undercount")
+        assert(over <= 8 * n / w,
+          s"(d=$d,w=$w) overcount $over beyond 8n/w = ${8 * n / w}")
+        maxOver = math.max(maxOver, over)
+      }
+      info(s"d=$d w=$w max overcount = $maxOver (n=$n)")
+      (d, w, maxOver)
+    }
+    // more width at equal depth must not worsen the worst overcount
+    Seq(2, 4).foreach { d =>
+      val byW = maxOvers.filter(_._1 == d).sortBy(_._2).map(_._3)
+      assert(byW.reverse.sorted === byW.reverse,
+        s"d=$d: max overcount must be non-increasing in width: $byW")
+    }
+    // the declared key honors the conf parameterization
+    spark.conf.set("graft.cm.depth", "4")
+    spark.conf.set("graft.cm.width", "1024")
+    try {
+      val tuned = run("text_countmin_topk").collect()
+      assert(tuned.length === 20)
+      tuned.foreach(r => assert(r.getAs[Long]("overcount") >= 0L))
+    } finally {
+      spark.conf.unset("graft.cm.depth")
+      spark.conf.unset("graft.cm.width")
+    }
+  }
+
   test("int8 quantization saturates at ±127 and stays in range") {
     val rows = run("vec_quantize_int8").collect()
     rows.filter(!_.isNullAt(1)).foreach { r =>
