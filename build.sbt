@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 126 queries x 3 bench runs accumulate broadcasts/codegen classes; an
+  // 8g heap hit multi-second full-GC stalls late in the run (r4 bench
+  // showed isolated-fast queries reading 13s mid-suite). The box has
+  // 128 GiB — give the forked driver real headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
