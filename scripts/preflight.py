@@ -119,6 +119,7 @@ EXEMPT_UNROUNDED = {
     "vec_knn_per_label",   # fold over exact-decimal centroid components
     "vec_dedup_threshold", # fold of pre-normalized components
     "vec_matryoshka_prefix",  # sqrt(fold) over embedding prefixes
+    "text_domain_mix",     # sqrt(division of identical exact BIGINTs)
 }
 
 

@@ -502,6 +502,139 @@ object PipelineOps {
         |     ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id"""))),
 
+    // Stratified quota sampling: exactly ceil(20%) of each language
+    // stratum, selected by md5-hash order — reproducible across engines,
+    // row orders, and reruns (no RNG state). The quota table is one tiny
+    // broadcast row per stratum; the per-stratum hash-order rank is the
+    // honest cost of EXACT quotas (a window sort clustered by stratum —
+    // at corpus scale the strata partition the shuffle, so each sort is
+    // local to its stratum's partitions). When approximate strata are
+    // acceptable, `sample_hash_bucket` is the sort-free path.
+    Q("sample_stratified",
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr(whExpr("CAST(doc_id AS STRING)")).as("hk"))
+        // ceil(n/5) in exact integer arithmetic: n*0.2 in binary doubles
+        // can land an ulp above the integer and ceil() would overshoot.
+        val quota = d.groupBy(col("lang"))
+          .agg(expr("(count(1) + 4) DIV 5").as("quota"))
+        d.withColumn("rn",
+            row_number().over(Window.partitionBy(col("lang"))
+              .orderBy(col("hk"), col("doc_id"))).cast("long"))
+          .join(broadcast(quota), "lang")
+          .filter(col("rn") <= col("quota"))
+          .select(col("doc_id"), col("lang"), col("rn"))
+          .orderBy(col("lang"), col("rn"))
+      },
+      Some(sql(s"""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    ${sqlWh("CAST(doc_id AS VARCHAR)")} AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+        |  FROM d),
+        |q AS (SELECT lang, (count(*) + 4) // 5 AS quota
+        |      FROM documents GROUP BY lang)
+        |SELECT doc_id, lang, rn FROM r JOIN q USING (lang)
+        |WHERE rn <= quota ORDER BY lang, rn"""))),
+
+    // Duplicate-span removal (the line/paragraph-level dedup of CCNet /
+    // RefinedWeb, on 16-word spans since the fixture corpus has no line
+    // structure): every span keeps only its globally-first occurrence
+    // (min (doc_id, position)), later occurrences are cut and each doc is
+    // reassembled from its surviving spans. One shuffle keyed by span
+    // content — the same linear hash-partitioned shape as exact-dedup.
+    // At 100 TB the window key would be a 128-bit span digest rather than
+    // the span text (narrower shuffle rows, collision odds ~0 at 2^64+);
+    // the fixture keeps the text itself so the oracle stays readable.
+    Q("text_span_dedup",
+      (s, dir) => {
+        val chunks = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, (size(w) + 15) DIV 16 - 1),
+              |  i -> array_join(slice(w, i * 16 + 1, 16), ' '))"""
+              .stripMargin)).as(Seq("cid", "chunk")))
+        val rn = chunks.withColumn("rn",
+          row_number().over(Window.partitionBy(col("chunk"))
+            .orderBy(col("doc_id"), col("cid"))))
+        val perDoc = chunks.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"))
+        val kept = rn.filter(col("rn") === 1).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(expr(
+              "transform(array_sort(collect_list(struct(cid, chunk)))," +
+                " x -> x.chunk)"), " ").as("text_kept"))
+        perDoc.join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("text_kept"), lit("")).as("text_kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(sql("""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, (len(ws) + 15) // 16 - 1)) AS cid,
+        |    ws
+        |  FROM d),
+        |ch AS (
+        |  SELECT doc_id, cid,
+        |    array_to_string(ws[cid * 16 + 1 : (cid + 1) * 16], ' ')
+        |      AS chunk
+        |  FROM c),
+        |r AS (
+        |  SELECT doc_id, cid, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cid)
+        |      AS rn
+        |  FROM ch),
+        |n AS (SELECT doc_id, count(*)::BIGINT AS n_chunks
+        |      FROM ch GROUP BY doc_id),
+        |k AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |        string_agg(chunk, ' ' ORDER BY cid) AS text_kept
+        |      FROM r WHERE rn = 1 GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_chunks,
+        |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        |  coalesce(k.text_kept, '') AS text_kept
+        |FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id"""))),
+
+    // Domain mixture weighting (the sampling-weight table of DoReMi-style
+    // / temperature-sampled pretraining mixes, α = 0.5): per-source doc
+    // and token counts, token share, and share^0.5 as the up/down-
+    // sampling weight. Two-level aggregation + one broadcast 1-row total —
+    // linear, no wide shuffle. token_share and mix_weight_a05 are emitted
+    // unrounded: both are bit-exact cross-engine (correctly-rounded IEEE
+    // division of identical exact BIGINTs, then correctly-rounded sqrt —
+    // no fma-contractable shape), declared in preflight EXEMPT_UNROUNDED.
+    Q("text_domain_mix",
+      (s, dir) => {
+        val per = Tables.table(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        val tot = per.agg(sum(col("n_tokens")).as("tot"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            (col("n_tokens").cast("double") / col("tot").cast("double"))
+              .as("token_share"),
+            sqrt(col("n_tokens").cast("double") / col("tot").cast("double"))
+              .as("mix_weight_a05"))
+          .orderBy(col("source"))
+      },
+      Some(sql("""WITH per AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n_tokens)::BIGINT AS tot FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS token_share,
+        |  sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE))
+        |    AS mix_weight_a05
+        |FROM per, tot ORDER BY source"""))),
+
     // PII scrubbing: regex redaction of emails and long digit runs (D6
     // regex subset — char classes and bounded repetition only). The
     // fixture text is clean lowercase words, so deterministic synthetic

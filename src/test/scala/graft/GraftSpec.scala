@@ -218,6 +218,77 @@ class InvariantSpec extends AnyFunSuite {
     rows.foreach(r => assert((0L to 9L).contains(r.getAs[Long]("bucket"))))
   }
 
+  test("stratified sample takes exactly ceil(20%) of every language") {
+    val rows = run("sample_stratified").collect()
+    val langCounts = Tables.table(spark, sf, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val sampled = rows.groupBy(_.getAs[String]("lang")).view
+      .mapValues(_.length.toLong).toMap
+    assert(sampled.keySet === langCounts.keySet.filter(langCounts(_) > 0))
+    sampled.foreach { case (lang, n) =>
+      assert(n === (langCounts(lang) + 4) / 5,
+        s"lang=$lang quota mismatch: took $n of ${langCounts(lang)}")
+    }
+    // ranks are 1..quota with no gaps, and rerun-stable by construction
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      assert(rs.map(_.getAs[Long]("rn")).sorted.toSeq
+        === (1L to rs.length.toLong),
+        s"lang=$lang ranks are not the dense prefix 1..quota")
+    }
+  }
+
+  test("span dedup keeps exactly the distinct spans, first occurrence wins") {
+    val rows = run("text_span_dedup").collect()
+    val docs = Tables.table(spark, sf, "documents")
+    assert(rows.length === docs.count())
+    // total kept spans == number of DISTINCT spans in the corpus
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, (size(w) + 15) DIV 16 - 1),
+          |  i -> array_join(slice(w, i * 16 + 1, 16), ' '))"""
+          .stripMargin)).as("chunk"))
+    val distinctSpans = chunks.select("chunk").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_kept")).sum === distinctSpans)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_chunks"))
+      val kept = r.getAs[Long]("n_kept")
+      val words = r.getAs[String]("text_kept")
+      assert((kept == 0L) === words.isEmpty)
+    }
+    // the lowest doc_id can lose spans only to ITSELF (internal repeats):
+    // its kept count equals its own distinct-span count
+    val firstId = rows.map(_.getAs[Long]("doc_id")).min
+    val firstKept = rows.find(_.getAs[Long]("doc_id") == firstId).get
+      .getAs[Long]("n_kept")
+    val firstDistinct = chunks.filter(col("doc_id") === firstId)
+      .select("chunk").distinct().count()
+    assert(firstKept === firstDistinct)
+  }
+
+  test("domain mix weights: shares sum to 1, weight^2 == share") {
+    val rows = run("text_domain_mix").collect()
+    assert(rows.length ===
+      Tables.table(spark, sf, "documents").select("source")
+        .distinct().count())
+    assert(math.abs(rows.map(_.getAs[Double]("token_share")).sum - 1.0)
+      < 1e-12)
+    val totalTokens = Tables.table(spark, sf, "documents")
+      .select(sum(size(split(col("text"), " ")).cast("long")))
+      .head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === totalTokens)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("token_share")
+      val w = r.getAs[Double]("mix_weight_a05")
+      assert(share > 0 && share < 1)
+      assert(math.abs(w * w - share) < 1e-15)
+      // alpha=0.5 flattens the mix: below-mean sources are up-weighted
+      // relative to their share, above-mean sources down-weighted
+      assert(w > share)
+    }
+  }
+
   test("pii scrub leaves no emails or long digit runs behind") {
     val rows = run("text_pii_scrub").collect()
     rows.foreach { r =>
