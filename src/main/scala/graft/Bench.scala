@@ -91,8 +91,15 @@ object Bench {
       val sorted = samples.sortBy(_._1)
       val med = sorted(RUNS / 2)
       val sec = if (samples.exists(_._1 < 0)) -1.0 else med._1
+      // min/max only over SUCCESSFUL samples: mixing the -1.0 failure
+      // sentinel into min_sec reads as a timing (ADVICE r5); the explicit
+      // failed_runs count carries the failure signal instead.
+      val good = sorted.filter(_._1 >= 0)
+      val failed = RUNS - good.size
+      val (minS, maxS) =
+        if (good.isEmpty) (-1.0, -1.0) else (good.head._1, good.last._1)
       detail += s"""  "$name": {"sec": $sec, """ +
-        s""""min_sec": ${sorted.head._1}, "max_sec": ${sorted.last._1}, """ +
+        s""""min_sec": $minS, "max_sec": $maxS, "failed_runs": $failed, """ +
         s""""shuffle_write_bytes": ${med._2}, """ +
         s""""shuffle_read_bytes": ${med._3}, """ +
         s""""disk_spill_bytes": ${med._4}}"""

@@ -20,6 +20,18 @@ object Verify {
     // Native functions + rewrites (graft_dot, TopKPerGroup) active for the
     // whole run — plan choice must not depend on query iteration order.
     plans.GraftFunctions.register(spark)
+    // Confs whose declared DuckDB oracle is pinned to the default value:
+    // running a correctness dump with a non-default override would make
+    // the hash-checked key silently diverge from its oracle and read as
+    // an engine bug (ADVICE r5). Parameter sweeps belong in the property
+    // tests, not here — fail fast.
+    Seq("graft.cm.depth" -> "2", "graft.cm.width" -> "4096").foreach {
+      case (k, default) =>
+        val v = spark.conf.getOption(k)
+        require(v.forall(_ == default),
+          s"$k=${v.get} overrides the oracle-pinned default $default; " +
+            "unset it for a correctness run")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -22,9 +22,15 @@ object Layouts {
   /** Paths already written this JVM: the partitioned layout is produced
     * once per (application, sf dir) and then only READ — so the pruning /
     * DPP queries (and their bench timings) measure the scan and join, not
-    * a rewrite of the dataset on every invocation (ADVICE r3). */
+    * a rewrite of the dataset on every invocation (ADVICE r3). Entries are
+    * recorded via computeIfAbsent so (a) a path is only marked written
+    * AFTER the parquet write succeeds — a throw leaves no entry and the
+    * next call retries instead of reading a missing/partial directory —
+    * and (b) a second session racing the first writer blocks on the bin
+    * lock until the write completes, instead of reading half-written data
+    * (ADVICE r5). */
   private val written =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Documents rewritten lang-partitioned to a per-(app, sf) temp dir
     * (shared by the static-pruning and DPP keys — the layout recipe lives
@@ -38,10 +44,11 @@ object Layouts {
     val appId = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9-]", "_")
     val path = System.getProperty("java.io.tmpdir") +
       s"/graft_rt_part_${safeDir}_$appId"
-    if (written.add(path)) {
+    written.computeIfAbsent(path, _ => {
       Tables.table(s, dir, "documents")
         .write.mode("overwrite").partitionBy("lang").parquet(path)
-    }
+      java.lang.Boolean.TRUE
+    })
     s.read.parquet(path)
   }
 

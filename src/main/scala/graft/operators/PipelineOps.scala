@@ -35,10 +35,11 @@ import org.apache.spark.sql.functions._
 object PipelineOps {
   import Det._
 
-  /** md5-derived 60-bit word hash, identical in Spark and DuckDB. */
-  private def whExpr(w: String): String =
+  /** md5-derived 60-bit word hash, identical in Spark and DuckDB —
+    * shared with TextOps' oracle-checked minhash signatures. */
+  private[operators] def whExpr(w: String): String =
     s"CAST(conv(substring(md5($w), 1, 15), 16, 10) AS BIGINT)"
-  private def sqlWh(w: String): String =
+  private[operators] def sqlWh(w: String): String =
     s"CAST(concat('0x', substring(md5($w), 1, 15)) AS BIGINT)"
 
   /** Context length used by text_chunk_pack (and its roundtrip test). */
@@ -1160,9 +1161,22 @@ object PipelineOps {
       .withColumn("overcount", col("cm_est") - col("true_cnt"))
   }
 
-  /** Trained-codebook cache for [[ivfSearch]] (train-once/search-many). */
-  private val codebookCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int, Int), Seq[(Long, Seq[Double])]]()
+  /** Trained-codebook cache for [[ivfSearch]] (train-once/search-many).
+    * Outer map: WeakHashMap keyed by session, so a session's codebooks die
+    * with it (the old flat map keyed on identityHashCode leaked entries
+    * forever AND could alias a recycled identity hash — ADVICE r5). Inner
+    * key: the canonicalized plan's normalized tree STRING plus params.
+    * The string — not the plan object — is deliberate: a LogicalRelation
+    * retains its SparkSession, and a value→key strong reference would pin
+    * every WeakHashMap entry live, re-creating the leak. `canonicalized`
+    * normalizes expr IDs, so structurally equal frames render identically,
+    * and distinct trees render distinctly — unlike the previous 32-bit
+    * hashCode, which could silently serve a codebook trained on DIFFERENT
+    * data after a collision. */
+  private val codebookCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[
+        (String, Int, Int), Seq[(Long, Seq[Double])]]]())
 
   private[graft] def ivfSearch(e0: DataFrame, nlists: Int, nprobe: Int,
       lloydIters: Int, nQueries: Int): DataFrame = {
@@ -1196,10 +1210,13 @@ object PipelineOps {
     // (session, input plan, nlists, iters) so repeated searches — the
     // production pattern, and Bench's repeated runs — pay for Lloyd
     // training exactly once. The cached value is nlists × dim doubles.
-    val cacheKey = (System.identityHashCode(s).toString,
-      e0.queryExecution.logical.canonicalized.hashCode(), nlists, lloydIters)
+    val sessionCache = codebookCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[
+        (String, Int, Int), Seq[(Long, Seq[Double])]]())
+    val cacheKey = (e0.queryExecution.logical.canonicalized.toString,
+      nlists, lloydIters)
     val cent: Seq[(Long, Seq[Double])] =
-      codebookCache.computeIfAbsent(cacheKey, _ => {
+      sessionCache.computeIfAbsent(cacheKey, _ => {
         var c: Seq[(Long, Seq[Double])] =
           e.orderBy(col("vec_id")).limit(nlists).collect()
             .zipWithIndex

@@ -207,8 +207,10 @@ case class TopKPartialExec(
     val part = partitionSpec
     val order = orderSpec
     val childOutput = child.output
-    val flushGroups =
-      conf.getConfString("graft.topk.partialFlushGroups", "131072").toInt
+    // clamp: maxGroups <= 0 would make perGroup consume zero rows and the
+    // chunks iterator yield empty chunks forever (infinite loop, ADVICE r5)
+    val flushGroups = math.max(1,
+      conf.getConfString("graft.topk.partialFlushGroups", "131072").toInt)
     child.execute().mapPartitions { iter =>
       val bufIter = iter.buffered
       val groupProj = UnsafeProjection.create(part, childOutput)

@@ -181,6 +181,20 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.topk.partialFlushGroups")
   }
 
+  test("flush cap of 0 is clamped, not an infinite loop") {
+    // maxGroups <= 0 used to make perGroup consume zero rows, so the
+    // chunks iterator yielded empty chunks forever (ADVICE r5); the exec
+    // now clamps the conf to >= 1. A regression here HANGS rather than
+    // fails, so the result check doubles as the liveness proof only under
+    // the clamp.
+    val stockRows = withoutNativeTopK { stockTopK().collect().toSeq }
+    spark.conf.set("graft.topk.partialFlushGroups", "0")
+    try {
+      assert(Registry.queries("topk_per_group")(spark, sf).collect().toSeq
+        === stockRows)
+    } finally spark.conf.unset("graft.topk.partialFlushGroups")
+  }
+
   test("TopKHeaps at maxGroups consumes tracked groups, defers new ones") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, SortOrder, UnsafeProjection, Ascending}
