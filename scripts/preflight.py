@@ -116,6 +116,7 @@ EXEMPT_UNROUNDED = {
     "scalar_math",         # sqrt of a 2dp-decimal-snapped double
     "vec_norms",           # sqrt(fold) of widened floats
     "vec_cosine_pairs",    # fold / (sqrt(fold) * sqrt(fold))
+    "vec_ann_brute",       # same fold/sqrt shape as vec_cosine_pairs
     "vec_knn_per_label",   # fold over exact-decimal centroid components
     "vec_dedup_threshold", # fold of pre-normalized components
     "vec_matryoshka_prefix",  # sqrt(fold) over embedding prefixes

@@ -186,6 +186,59 @@ object TextOps {
       (s, dir) => neardupCandidates(s, dir)
         .orderBy(col("doc_a"), col("doc_b")),
       None),
+
+    // Oracle-checked minhash signatures over the same 3-word shingles the
+    // xxhash64 sketch uses — makes the minhash family's MATH hash-checkable
+    // against DuckDB even though the production sketch (`sketches` above)
+    // stays on the cheaper xxhash64. One md5-derived base hash per shingle
+    // (cross-engine identical, like text_countmin_topk's rows), then 8
+    // Carter-Wegman permutations h_i = (a_i·h + b_i) mod p over p = 2^31-1
+    // — exact BIGINT arithmetic in both engines, so the cost is ONE md5
+    // per shingle, not eight (8× md5 measured 3.7 s vs ~1 s at sf0.1).
+    // Shape: explode shingles once, project the base hash, then 8
+    // codegen'd min-aggregates over the projected column — the per-row-HOF
+    // alternative would inline the hash into all 8 minima (the
+    // text_simhash lesson). No distinct: min over a multiset equals min
+    // over its support. 8 scalar columns, not one array: the driver's
+    // column hasher (and preflight) compare scalar cells.
+    Q("text_minhash_sig",
+      (s, dir) => {
+        val p = 2147483647L // 2^31 - 1 (Mersenne prime)
+        def ab(i: Int) = (1103515245L * (i + 1) % p, 12345L * (i + 1) % p)
+        val sh = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, greatest(size(w) - 2, 1)),
+              |  i -> concat_ws(' ', element_at(w, i),
+              |                 element_at(w, least(i + 1, size(w))),
+              |                 element_at(w, least(i + 2, size(w)))))"""
+              .stripMargin)).as("x"))
+          .select(col("doc_id"),
+            (expr(PipelineOps.whExpr("x")) % p).as("h"))
+        val minCols = (0 until 8).map { i =>
+          val (a, b) = ab(i)
+          min((col("h") * a + b) % p).as(s"mh$i")
+        }
+        sh.groupBy(col("doc_id"))
+          .agg(minCols.head, minCols.tail: _*)
+          .orderBy(col("doc_id"))
+      },
+      Some(sql(s"""WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    (${PipelineOps.sqlWh(
+             "concat_ws(' ', w[i], w[least(i + 1, len(w))], " +
+               "w[least(i + 2, len(w))])")} % 2147483647) AS h
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+        |        FROM ws))
+        |SELECT doc_id, ${(0 until 8).map { i =>
+            val a = 1103515245L * (i + 1) % 2147483647L
+            val b = 12345L * (i + 1) % 2147483647L
+            s"min((h * $a + $b) % 2147483647) AS mh$i"
+          }.mkString(", ")}
+        |FROM sh GROUP BY doc_id ORDER BY doc_id"""))),
   )
 
   /** Banded-LSH near-dup candidate pairs with minhash-estimated Jaccard —

@@ -148,6 +148,56 @@ object VecOps {
         |SELECT label, rn, vec_id, cos_sim FROM ranked
         |WHERE rn <= 3 ORDER BY label, rn"""))),
 
+    // Brute-force ANN baseline (the exact answer every approximate index
+    // is measured against — AnnRecallSpec already computes this shape
+    // internally; here it is a first-class, oracle-checked key): top-5
+    // cosine neighbors for each query in a small query set, by scanning
+    // the full corpus. Scale shape: the QUERY SET broadcasts (queries ×
+    // corpus is one map-side fused-dot scan, no shuffle of the corpus),
+    // and the per-query top-k routes through the native TopKPerGroup
+    // rewrite — map-side heaps prune to k×queries rows before the single
+    // tiny exchange. O(N·Q) total work is the honest brute-force cost;
+    // vec_ann_ivf and vec_neardup_lsh are its sublinear companions.
+    Q("vec_ann_brute",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val e = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v"))
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        // raw float arrays feed the native dot (exact widening, stays in
+        // whole-stage codegen — the vec_norms pattern)
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            (dot(col("v"), col("qv"))
+              / (sqrt(dot(col("v"), col("v")))
+                * sqrt(dot(col("qv"), col("qv"))))).as("cos_sim"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("rn"), col("vec_id"), col("cos_sim"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some(sql(s"""WITH q AS (
+        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    (${sqlDot("e.v", "q.qv")}
+        |     / (sqrt(${sqlDot("e.v", "e.v")})
+        |        * sqrt(${sqlDot("q.qv", "q.qv")}))) AS cos_sim
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id ASC) AS rn
+        |  FROM scored)
+        |SELECT q_id, rn, vec_id, cos_sim FROM ranked
+        |WHERE rn <= 5 ORDER BY q_id, rn"""))),
+
     // Near-dup pairs above cosine 0.3, label-blocked (exact, oracle-checked;
     // fixtures top out at cos≈0.51 so 0.99 would be vacuously empty).
     // Vectors are unit-normalized ONCE before the pair join, so each pair

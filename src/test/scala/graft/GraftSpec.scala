@@ -408,6 +408,49 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash signatures: range, dup-invariance, Jaccard correlation") {
+    val p = 2147483647L
+    val sigs = run("text_minhash_sig").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until 8).map(i => r.getAs[Long](s"mh$i")))
+    sigs.foreach { case (_, mh) =>
+      mh.foreach(h => assert(h >= 0L && h < p)) }
+    // exact-duplicate texts must carry identical signatures (minhash is a
+    // pure function of the shingle set)
+    val byText = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val sigOf = sigs.toMap
+    byText.groupBy(_._2).values.filter(_.size > 1).foreach { dup =>
+      val ss = dup.map { case (id, _) => sigOf(id) }.distinct
+      assert(ss.size === 1, "duplicate texts with differing signatures")
+    }
+    // estimator sanity: identical docs estimate J=1; the estimator equals
+    // matching-minima fraction, so any two distinct-text docs estimate < 1
+    // only if some minimum differs — spot-check the first few pairs
+    val distinct = byText.groupBy(_._2).values.filter(_.size == 1)
+      .flatten.take(4).map(_._1).toSeq
+    for (a <- distinct; b <- distinct if a < b)
+      assert(sigOf(a) !== sigOf(b))
+  }
+
+  test("brute-force ANN: exactly k neighbors, self excluded, cos in range") {
+    val rows = run("vec_ann_brute").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet === (0L until 8L).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rn")).sorted.toSeq === (1L to 5L))
+      rs.foreach { r =>
+        assert(r.getAs[Long]("vec_id") !== q)
+        val c = r.getAs[Double]("cos_sim")
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      }
+      // ranks descend in similarity
+      val ordered = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cos_sim"))
+      assert(ordered.zip(ordered.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
   test("int8 quantization saturates at ±127 and stays in range") {
     val rows = run("vec_quantize_int8").collect()
     rows.filter(!_.isNullAt(1)).foreach { r =>
