@@ -202,44 +202,161 @@ object TextOps {
     // over its support. 8 scalar columns, not one array: the driver's
     // column hasher (and preflight) compare scalar cells.
     Q("text_minhash_sig",
+      (s, dir) => cwSignatures(s, dir).orderBy(col("doc_id")),
+      Some(sql(s"""WITH $sqlCwSigCtes
+        |SELECT doc_id, ${(0 until 8).map(i => s"mh$i").mkString(", ")}
+        |FROM sig ORDER BY doc_id"""))),
+
+    // The banded-LSH near-dup JOIN, oracle-checked end-to-end: 4 bands ×
+    // 2 rows over the Carter–Wegman signatures (band key = mh·p + mh —
+    // collision-free pairing below 2^62), bucket-size cap 1000 mirrored
+    // in the oracle, pair est_jaccard = matching-minima fraction (k/8 —
+    // a power-of-two division, exact in both engines). This is the same
+    // candidate-join shape as `text_minhash_neardup` but every number in
+    // it is hash-checked against DuckDB — the sketch JOIN is no longer
+    // trust-the-tests. LSH threshold ≈ (1/4)^(1/2) = 0.5.
+    Q("text_neardup_banded",
+      (s, dir) => cwBandPairs(s, dir)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(sql(s"""WITH $sqlCwSigCtes, $sqlCwPairCtes
+        |SELECT doc_a, doc_b, est_jaccard FROM pairs
+        |ORDER BY doc_a, doc_b"""))),
+
+    // The full dedup-keep composition — exact sha256 canonicalization plus
+    // drop-the-larger-of-strong-near-dup-pairs — oracle-checked: the CW
+    // twin of `pipeline_dedup_keep` (whose xxhash64 sketches keep it
+    // rows-only by design). est >= 0.875 means >= 7 of 8 minima match.
+    Q("pipeline_dedup_keep_banded",
       (s, dir) => {
-        val p = 2147483647L // 2^31 - 1 (Mersenne prime)
-        def ab(i: Int) = (1103515245L * (i + 1) % p, 12345L * (i + 1) % p)
-        val sh = Tables.table(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(1, greatest(size(w) - 2, 1)),
-              |  i -> concat_ws(' ', element_at(w, i),
-              |                 element_at(w, least(i + 1, size(w))),
-              |                 element_at(w, least(i + 2, size(w)))))"""
-              .stripMargin)).as("x"))
-          .select(col("doc_id"),
-            (expr(PipelineOps.whExpr("x")) % p).as("h"))
-        val minCols = (0 until 8).map { i =>
-          val (a, b) = ab(i)
-          min((col("h") * a + b) % p).as(s"mh$i")
-        }
-        sh.groupBy(col("doc_id"))
-          .agg(minCols.head, minCols.tail: _*)
+        val docs = Tables.table(s, dir, "documents")
+        val exactCanonical = docs
+          .groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val nearDrops = cwBandPairs(s, dir)
+          .filter(col("est_jaccard") >= 0.875)
+          .select(col("doc_b").as("doc_id"))
+          .distinct()
+        docs
+          .join(exactCanonical, Seq("doc_id"), "left_semi")
+          .join(nearDrops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
           .orderBy(col("doc_id"))
       },
-      Some(sql(s"""WITH ws AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    (${PipelineOps.sqlWh(
-             "concat_ws(' ', w[i], w[least(i + 1, len(w))], " +
-               "w[least(i + 2, len(w))])")} % 2147483647) AS h
-        |  FROM (SELECT doc_id, w,
-        |          unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
-        |        FROM ws))
-        |SELECT doc_id, ${(0 until 8).map { i =>
-            val a = 1103515245L * (i + 1) % 2147483647L
-            val b = 12345L * (i + 1) % 2147483647L
-            s"min((h * $a + $b) % 2147483647) AS mh$i"
-          }.mkString(", ")}
-        |FROM sh GROUP BY doc_id ORDER BY doc_id"""))),
+      Some(sql(s"""WITH $sqlCwSigCtes, $sqlCwPairCtes,
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+        |drops AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM pairs
+        |  WHERE est_jaccard >= 0.875)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |JOIN keep USING (doc_id)
+        |ANTI JOIN drops USING (doc_id)
+        |ORDER BY doc_id"""))),
   )
+
+  /** Carter–Wegman minhash machinery shared by `text_minhash_sig`,
+    * `text_neardup_banded` and `pipeline_dedup_keep_banded`: one
+    * md5-derived base hash per 3-word shingle, 8 permutations
+    * h_i = (a_i·h + b_i) mod p over p = 2^31−1 — exact BIGINT arithmetic
+    * with identical DuckDB twins (the countmin trick applied to minhash),
+    * unlike the xxhash64 production sketch above. */
+  // final + literal = compile-time constant: `qs` above initializes first
+  // and would read 0 from a plain val (object init order)
+  private final val CW_P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private def cwA(i: Int) = 1103515245L * (i + 1) % CW_P
+  private def cwB(i: Int) = 12345L * (i + 1) % CW_P
+
+  /** (doc_id, mh0..mh7) — explode shingles once, project the base hash,
+    * 8 codegen'd min-aggregates (a per-row HOF would inline the hash into
+    * all 8 minima — the text_simhash lesson). Scalar columns, not an
+    * array: the driver's column hasher compares scalar cells. */
+  private[operators] def cwSignatures(
+      s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.table(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(w) - 2, 1)),
+          |  i -> concat_ws(' ', element_at(w, i),
+          |                 element_at(w, least(i + 1, size(w))),
+          |                 element_at(w, least(i + 2, size(w)))))"""
+          .stripMargin)).as("x"))
+      .select(col("doc_id"),
+        (expr(PipelineOps.whExpr("x")) % CW_P).as("h"))
+    val minCols = (0 until 8).map(i =>
+      min((col("h") * cwA(i) + cwB(i)) % CW_P).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Banded pair join over [[cwSignatures]]: (doc_a, doc_b, est_jaccard),
+    * deduped. Same skew guard as `neardupCandidates`: buckets over 1000
+    * docs are dropped before the pair join, so within-bucket all-pairs
+    * work is bounded regardless of data degeneracy. */
+  private[operators] def cwBandPairs(
+      s: SparkSession, dir: String): DataFrame = {
+    val sig = cwSignatures(s, dir)
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        (col(s"mh${2 * b}") * CW_P + col(s"mh${2 * b + 1}")).as("bkey")))
+    val bands = sig.withColumn("bk", explode(array(bandStructs: _*)))
+      .select(col("doc_id") +: (0 until 8).map(i => col(s"mh$i")) :+
+        col("bk.band").as("band") :+ col("bk.bkey").as("bkey"): _*)
+    val capped = bands
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bkey"))))
+      .filter(col("bsz") <= 1000)
+      .drop("bsz")
+    val matches = (0 until 8).map(i =>
+      when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band")
+          && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (matches.cast("double") / 8).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Oracle CTE twins of [[cwSignatures]] (`ws`, `sh`, `sig`). */
+  private def sqlCwSigCtes: String =
+    s"""ws AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    (${PipelineOps.sqlWh(
+          "concat_ws(' ', w[i], w[least(i + 1, len(w))], " +
+            "w[least(i + 2, len(w))])")} % $CW_P) AS h
+       |  FROM (SELECT doc_id, w,
+       |          unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+       |        FROM ws)),
+       |sig AS (
+       |  SELECT doc_id, ${(0 until 8).map(i =>
+            s"min((h * ${cwA(i)} + ${cwB(i)}) % $CW_P) AS mh$i")
+            .mkString(", ")}
+       |  FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Oracle CTE twins of [[cwBandPairs]] (`bands`, `capped`, `pairs`). */
+  private def sqlCwPairCtes: String =
+    s"""bands AS (
+       |  SELECT sig.*, b.band,
+       |    CASE b.band ${(0 until 4).map(b =>
+            s"WHEN $b THEN mh${2 * b} * $CW_P + mh${2 * b + 1}")
+            .mkString(" ")} END AS bkey
+       |  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz
+       |    FROM bands) WHERE bsz <= 1000),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    (CAST(${(0 until 8).map(i =>
+            s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)")
+            .mkString(" + ")} AS DOUBLE) / 8) AS est_jaccard
+       |  FROM capped x JOIN capped y
+       |    ON x.band = y.band AND x.bkey = y.bkey
+       |       AND x.doc_id < y.doc_id)""".stripMargin
 
   /** Banded-LSH near-dup candidate pairs with minhash-estimated Jaccard —
     * shared by the `text_minhash_neardup` query and the composed

@@ -434,6 +434,43 @@ class InvariantSpec extends AnyFunSuite {
       assert(sigOf(a) !== sigOf(b))
   }
 
+  test("banded CW pairs: est in (0,1], dup texts pair at exactly 1.0") {
+    val pairs = run("text_neardup_banded").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, e) =>
+      assert(a < b)
+      // banded candidates share >= 1 full band = >= 2 of 8 minima
+      assert(e >= 0.25 - 1e-12 && e <= 1.0)
+    }
+    // exact-duplicate texts must surface as candidate pairs with est = 1
+    val dups = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .groupBy(_._2).values.filter(_.size > 1)
+    val pairSet = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    dups.foreach { grp =>
+      val ids = grp.map(_._1).sorted
+      for (a <- ids; b <- ids if a < b)
+        assert(pairSet.get((a, b)).contains(1.0),
+          s"dup pair ($a,$b) missing or est != 1")
+    }
+  }
+
+  test("banded dedup keep-set: subset of exact canonicals, dups collapse") {
+    val kept = run("pipeline_dedup_keep_banded").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val canon = run("text_exact_dedup").collect()
+      .map(_.getAs[Long]("canonical")).toSet
+    assert(kept.subsetOf(canon),
+      "kept a doc that is not its content-hash canonical")
+    // every strong near-dup doc_b is gone
+    run("text_neardup_banded").collect()
+      .filter(_.getAs[Double]("est_jaccard") >= 0.875)
+      .foreach(r => assert(!kept.contains(r.getAs[Long]("doc_b"))))
+  }
+
   test("brute-force ANN: exactly k neighbors, self excluded, cos in range") {
     val rows = run("vec_ann_brute").collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
