@@ -74,6 +74,36 @@ object Aggs {
         .orderBy(col("event_type")),
       None),
 
+    // Mergeable-sketch shard pattern: one DataSketches HLL per source
+    // shard, then a register-max union — THE shape a 100-TB distinct
+    // count runs in (each shard sketches locally, only KB-sized sketches
+    // move; re-aggregation is union, never a recount). The __ALL__ row's
+    // estimate comes from hll_union_agg over the per-shard sketches;
+    // InvariantSpec proves it equals the direct whole-corpus sketch
+    // estimate bit-for-bit (union of partials ≡ sketch of whole — the
+    // mergeability contract) and that per-shard estimates track exact
+    // counts within HLL error. Sketch bytes are engine-specific → no
+    // DuckDB oracle (D3); the exact twin is agg_count_distinct.
+    Q("agg_hll_merge",
+      (s, dir) => {
+        val tok = Tables.table(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        val per = tok.groupBy(col("source"))
+          .agg(hll_sketch_agg(col("word")).as("sk"),
+            countDistinct(col("word")).as("exact_distinct"))
+        val merged = per
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+          .crossJoin(broadcast(
+            tok.agg(countDistinct(col("word")).as("exact_distinct"))))
+          .select(lit("__ALL__").as("source"), col("exact_distinct"),
+            col("est").as("hll_est"))
+        per.select(col("source"), col("exact_distinct"),
+            hll_sketch_estimate(col("sk")).as("hll_est"))
+          .unionByName(merged)
+          .orderBy(col("source"))
+      },
+      None),
+
     Q("agg_filtered",
       (s, dir) => Tables.table(s, dir, "supplier")
         .groupBy(col("s_nationkey"))

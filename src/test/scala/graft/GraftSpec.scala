@@ -594,6 +594,99 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("hll merge: union of shard sketches equals the direct sketch") {
+    val rows = run("agg_hll_merge").collect()
+    val all = rows.filter(_.getAs[String]("source") == "__ALL__")
+    assert(all.length === 1)
+    // the mergeability contract: register-max union of per-shard sketches
+    // must estimate exactly what one whole-corpus sketch estimates
+    val direct = Tables.table(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("word"))).as("est"))
+      .head.getLong(0)
+    assert(all.head.getAs[Long]("hll_est") === direct)
+    // per-shard estimates track exact distinct counts within HLL error
+    rows.filter(_.getAs[String]("source") != "__ALL__").foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      assert(math.abs(r.getAs[Long]("hll_est") - exact) / exact < 0.05,
+        s"${r.getAs[String]("source")}: est ${r.getAs[Long]("hll_est")} " +
+          s"vs exact $exact")
+    }
+  }
+
+  test("importance resampling: uniform-target thresholds are honored") {
+    val kept = run("sample_importance").collect()
+    assert(kept.nonEmpty)
+    kept.foreach(r =>
+      assert(r.getAs[Long]("draw") < r.getAs[Long]("thr")))
+    val perLang = Tables.table(spark, sf, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val tot = perLang.agg(sum(col("toks"))).head.getLong(0)
+    val k = perLang.select(col("lang")).distinct().count()
+    val keptByLang = kept.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.length.toLong).toMap
+    perLang.groupBy(col("lang"))
+      .agg(sum(col("toks")).as("n_tok"), count(lit(1)).as("n_docs"))
+      .collect().foreach { r =>
+        val (lang, nTok, nDocs) = (r.getAs[String]("lang"),
+          r.getAs[Long]("n_tok"), r.getAs[Long]("n_docs"))
+        if (nTok * k <= tot) // under-represented stratum: keep everything
+          assert(keptByLang.getOrElse(lang, 0L) === nDocs,
+            s"$lang should be kept whole")
+        else // over-represented: must actually be downsampled
+          assert(keptByLang.getOrElse(lang, 0L) < nDocs,
+            s"$lang should lose docs")
+      }
+  }
+
+  test("batch pack: offsets are per-kind prefix sums, batches fill up") {
+    val rows = run("mm_batch_pack").collect()
+    rows.groupBy(_.getAs[String]("kind")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("doc_id"))
+      var expect = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("start_off") === expect)
+        assert(r.getAs[Long]("batch_id") ===
+          r.getAs[Long]("start_off") / 4096)
+        expect += r.getAs[Long]("n_bytes")
+      }
+      // every non-final batch runs past its capacity boundary (the next
+      // batch only opens once the byte prefix crosses it)
+      val lastBatch = ordered.map(_.getAs[Long]("batch_id")).max
+      ordered.groupBy(_.getAs[Long]("batch_id"))
+        .filter(_._1 < lastBatch).foreach { case (b, brs) =>
+          val end = brs.map(r =>
+            r.getAs[Long]("start_off") + r.getAs[Long]("n_bytes")).max
+          assert(end >= 4096L * (b + 1), s"batch $b ended early at $end")
+        }
+    }
+  }
+
+  test("canonical election: one keep per cluster, longest doc wins") {
+    val rows = run("text_dedup_cluster_canonical").collect()
+    val chars = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cluster ids agree with text_dedup_cluster's labeling
+    val labels = run("text_dedup_cluster").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    rows.foreach(r => assert(
+      labels(r.getAs[Long]("doc_id")) === r.getAs[Long]("cluster_id")))
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (_, members) =>
+      val keeps = members.filter(_.getAs[Boolean]("keep"))
+      assert(keeps.length === 1, "exactly one canonical per cluster")
+      val canon = keeps.head.getAs[Long]("canonical_id")
+      assert(members.forall(_.getAs[Long]("canonical_id") == canon))
+      assert(members.map(m => chars(m.getAs[Long]("doc_id"))).max ===
+        chars(canon), "canonical must be the longest member")
+      members.filter(m => chars(m.getAs[Long]("doc_id")) == chars(canon))
+        .foreach(m => assert(canon <= m.getAs[Long]("doc_id"),
+          "ties break to the smallest doc_id"))
+    }
+  }
+
   test("salted join equals the unsalted join it replaces") {
     import graft.Det
     val plain = Tables.table(spark, sf, "lineitem")
