@@ -945,6 +945,24 @@ object PipelineOps {
         nlists = 16, nprobe = 3, lloydIters = 3, nQueries = 20),
       None),
 
+    // Product quantization (Jégou et al., PAMI 2011): the 64-dim vector
+    // splits into 4 subvectors; each subspace gets its own 16-centroid
+    // codebook (deterministic k-means, same first-k init + exact-decimal
+    // Lloyd means as the IVF coarse quantizer), and a vector compresses
+    // to 4 one-byte codes — 64 floats → 4 bytes, the memory lever that
+    // makes billion-vector ANN fit a cluster's RAM. Codebooks are tiny
+    // (m·k·d/m doubles) and broadcast; assignment is one hash agg per
+    // subspace batch, never a window sort. Codes + per-subspace squared
+    // error are emitted; PqSpec proves Lloyd iterations cut distortion
+    // and codes stay in range. Doubles are engine-derived → no oracle
+    // (D3); determinism is by the same argument as vec_ann_ivf.
+    Q("vec_pq_codes",
+      (s, dir) => pqCodes(
+        Tables.table(s, dir, "embeddings").select(
+          col("vec_id"), col("embedding")),
+        m = 4, k = 16, iters = 2),
+      None),
+
     // Corpus tokenization: frequency-ranked vocabulary (id 1 = most
     // frequent, ties broken by word) and each document re-encoded as its
     // token-id sequence — the vocab-build + encode step of a training-data
@@ -1291,6 +1309,104 @@ object PipelineOps {
       |  SELECT e.a, r.lab FROM reach r JOIN e ON e.b = r.id),
       |lbl AS (SELECT id AS doc_id, min(lab) AS cluster_id
       |        FROM reach GROUP BY id)""".stripMargin
+
+  /** Product-quantization codes over a (vec_id, embedding) frame — the
+    * compression companion to [[ivfSearch]]. Each of `m` subspaces trains
+    * a `k`-centroid codebook by the same deterministic k-means recipe
+    * (init = the first k vectors' subvectors by vec_id, `iters` Lloyd
+    * rounds of exact-decimal means — partition-order independent);
+    * assignment minimizes squared L2 via the identity
+    * argmin_c |x−c|² = argmin_c (|c|² − 2x·c), one codegen'd graft_dot
+    * pair per (vector, centroid), folded by a hash agg (min of a
+    * (cost, code) struct — no window sort). Output: one row per vector
+    * with `c0..c{m-1}` byte codes and `err0..err{m-1}` per-subspace
+    * squared reconstruction errors (per-row doubles from the same
+    * deterministic fold — no cross-row double accumulation anywhere).
+    * Codebooks are memoized like [[codebookCache]] (train once, search
+    * many); only m·k·(d/m) doubles ever reach the driver. */
+  private val pqCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[
+        (String, Int, Int, Int), Seq[(Int, Int, Seq[Double])]]]())
+
+  private[graft] def pqCodes(e0: DataFrame, m: Int, k: Int,
+      iters: Int): DataFrame = {
+    val s = e0.sparkSession
+    graft.plans.GraftFunctions.register(s)
+    val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
+    val P53 = 9007199254740992.0 // 2^53
+    // (vec_id, sub, sv): each vector exploded into its m subvectors
+    val sub = e0
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), posexplode(expr(
+        s"""transform(sequence(0, $m - 1),
+           |  j -> slice(v, j * (size(v) DIV $m) + 1, size(v) DIV $m))"""
+          .stripMargin)).as(Seq("sub", "sv")))
+
+    def cbFrame(cb: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+      import s.implicits._
+      cb.toDF("csub", "code", "cv")
+        .withColumn("cnorm2", call_function("graft_dot", col("cv"), col("cv")))
+    }
+    // nearest centroid per (vector, subspace) against the broadcast
+    // codebook of that subspace: min (cost, code) struct via hash agg
+    def assign(cbDf: DataFrame): DataFrame = sub
+      .join(broadcast(cbDf), col("sub") === col("csub"))
+      .withColumn("cost", col("cnorm2") - lit(2.0) * dotc(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("cost"), col("code"))).as("a"))
+      .select(col("vec_id"), col("sub"), col("a.code").as("code"),
+        col("a.cost").as("cost"))
+
+    val sessionCache = pqCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[
+        (String, Int, Int, Int), Seq[(Int, Int, Seq[Double])]]())
+    val cacheKey = (e0.queryExecution.logical.canonicalized.toString,
+      m, k, iters)
+    val cb: Seq[(Int, Int, Seq[Double])] =
+      sessionCache.computeIfAbsent(cacheKey, _ => {
+        var c: Seq[(Int, Int, Seq[Double])] =
+          sub.filter(col("vec_id") < k).orderBy(col("vec_id"), col("sub"))
+            .collect()
+            .map(r => (r.getAs[Int]("sub"), r.getAs[Long]("vec_id").toInt,
+              r.getSeq[Double](2)))
+            .toSeq
+        for (_ <- 1 to iters) {
+          c = assign(cbFrame(c))
+            .join(sub, Seq("vec_id", "sub"))
+            .select(col("sub"), col("code"),
+              posexplode(col("sv")).as(Seq("pos", "x")))
+            .groupBy(col("sub"), col("code"), col("pos"))
+            .agg((sum((col("x") * P53).cast(
+              org.apache.spark.sql.types.DecimalType(38, 0)))
+              .cast("double") / P53 / count(lit(1))).as("x"))
+            .groupBy(col("sub"), col("code"))
+            .agg(array_sort(collect_list(struct(col("pos"), col("x"))))
+              .as("px"))
+            .select(col("sub"), col("code"),
+              expr("transform(px, p -> p.x)").as("cv"))
+            .collect()
+            .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+            .toSeq.sortBy(t => (t._1, t._2))
+        }
+        c
+      })
+
+    // per-row |x|² completes cost into the true squared error
+    // |x − c|² = |x|² + (|c|² − 2x·c); both terms are per-row folds
+    val withErr = assign(cbFrame(cb))
+      .join(sub, Seq("vec_id", "sub"))
+      .withColumn("sqerr",
+        greatest(dotc(col("sv"), col("sv")) + col("cost"), lit(0.0)))
+    val outCols = (0 until m).flatMap(j =>
+      Seq(max(when(col("sub") === j, col("code"))).as(s"c$j"),
+        max(when(col("sub") === j, col("sqerr"))).as(s"err$j")))
+    withErr
+      .groupBy(col("vec_id"))
+      .agg(outCols.head, outCols.tail: _*)
+      .orderBy(col("vec_id"))
+  }
 
   /** Trained-codebook cache for [[ivfSearch]] (train-once/search-many).
     * Outer map: WeakHashMap keyed by session, so a session's codebooks die

@@ -102,4 +102,32 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(trained > untrained,
       f"training must improve recall ($trained%.2f <= $untrained%.2f)")
   }
+
+  test("PQ codes: in range, complete, and Lloyd training cuts distortion") {
+    graft.plans.GraftFunctions.register(spark)
+    val rows = Registry.queries("vec_pq_codes")(spark, sf).collect()
+    val n = Tables.table(spark, sf, "embeddings").count()
+    assert(rows.length.toLong === n, "one code row per vector")
+    rows.foreach { r =>
+      (0 until 4).foreach { j =>
+        val code = r.getAs[Int](s"c$j")
+        assert(code >= 0 && code < 16, s"code c$j=$code out of range")
+        assert(r.getAs[Double](s"err$j") >= 0.0)
+      }
+    }
+    def meanErr(iters: Int): Double = {
+      val rs = operators.PipelineOps.pqCodes(
+        Tables.table(spark, sf, "embeddings")
+          .select(col("vec_id"), col("embedding")),
+        m = 4, k = 16, iters = iters).collect()
+      rs.map(r => (0 until 4).map(j => r.getAs[Double](s"err$j")).sum)
+        .sum / rs.length
+    }
+    val (init, trained) = (meanErr(0), meanErr(2))
+    info(f"PQ distortion: init = $init%.4f, after 2 Lloyd iters = $trained%.4f")
+    // k-means monotonicity: Lloyd steps can only lower mean squared
+    // distortion; on the fixture it must improve strictly and materially.
+    assert(trained < init * 0.9,
+      f"training must cut distortion ($trained%.4f !< 0.9 * $init%.4f)")
+  }
 }
