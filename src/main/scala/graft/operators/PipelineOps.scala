@@ -963,6 +963,18 @@ object PipelineOps {
         m = 4, k = 16, iters = 2),
       None),
 
+    // IVF-PQ: the two quantizers composed into the billion-vector search
+    // shape — coarse lists bound candidates, PQ lookup tables score them
+    // without ever touching raw vectors (4 bytes/vector on the search
+    // path). See [[ivfpqSearch]]; recall vs exact-ranked IVF-flat at the
+    // same (nlists, nprobe) is measured in AnnRecallSpec.
+    Q("vec_ann_ivfpq",
+      (s, dir) => ivfpqSearch(
+        Tables.table(s, dir, "embeddings").select(
+          col("vec_id"), col("embedding")),
+        nlists = 16, nprobe = 3, m = 8, k = 16, iters = 2, nQueries = 20),
+      None),
+
     // Corpus tokenization: frequency-ranked vocabulary (id 1 = most
     // frequent, ties broken by word) and each document re-encoded as its
     // token-id sequence — the vocab-build + encode step of a training-data
@@ -1329,73 +1341,88 @@ object PipelineOps {
       java.util.concurrent.ConcurrentHashMap[
         (String, Int, Int, Int), Seq[(Int, Int, Seq[Double])]]]())
 
-  private[graft] def pqCodes(e0: DataFrame, m: Int, k: Int,
-      iters: Int): DataFrame = {
-    val s = e0.sparkSession
-    graft.plans.GraftFunctions.register(s)
-    val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
-    val P53 = 9007199254740992.0 // 2^53
-    // (vec_id, sub, sv): each vector exploded into its m subvectors
-    val sub = e0
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .select(col("vec_id"), posexplode(expr(
-        s"""transform(sequence(0, $m - 1),
-           |  j -> slice(v, j * (size(v) DIV $m) + 1, size(v) DIV $m))"""
-          .stripMargin)).as(Seq("sub", "sv")))
+  /** (vec_id, sub, sv): each vector exploded into its m subvectors. */
+  private def subFrame(e0: DataFrame, m: Int): DataFrame = e0
+    .select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    .select(col("vec_id"), posexplode(expr(
+      s"""transform(sequence(0, $m - 1),
+         |  j -> slice(v, j * (size(v) DIV $m) + 1, size(v) DIV $m))"""
+        .stripMargin)).as(Seq("sub", "sv")))
 
-    def cbFrame(cb: Seq[(Int, Int, Seq[Double])]): DataFrame = {
-      import s.implicits._
-      cb.toDF("csub", "code", "cv")
-        .withColumn("cnorm2", call_function("graft_dot", col("cv"), col("cv")))
-    }
-    // nearest centroid per (vector, subspace) against the broadcast
-    // codebook of that subspace: min (cost, code) struct via hash agg
-    def assign(cbDf: DataFrame): DataFrame = sub
-      .join(broadcast(cbDf), col("sub") === col("csub"))
+  private def pqCbFrame(s: SparkSession,
+      cb: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    cb.toDF("csub", "code", "cv")
+      .withColumn("cnorm2", call_function("graft_dot", col("cv"), col("cv")))
+  }
+
+  /** Nearest centroid per (vector, subspace) against the broadcast
+    * codebook: min (cost, code) struct via hash agg, where
+    * cost = |c|² − 2x·c (equi-minimal with |x−c|²). */
+  private def pqAssign(sub: DataFrame, cbDf: DataFrame): DataFrame = {
+    val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
+    sub.join(broadcast(cbDf), col("sub") === col("csub"))
       .withColumn("cost", col("cnorm2") - lit(2.0) * dotc(col("sv"), col("cv")))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("cost"), col("code"))).as("a"))
       .select(col("vec_id"), col("sub"), col("a.code").as("code"),
         col("a.cost").as("cost"))
+  }
 
+  /** Trained per-subspace PQ codebooks (cached) — shared by
+    * [[pqCodes]] and [[ivfpqSearch]]'s LUT construction. */
+  private[graft] def pqCodebook(e0: DataFrame, m: Int, k: Int,
+      iters: Int): Seq[(Int, Int, Seq[Double])] = {
+    val s = e0.sparkSession
+    graft.plans.GraftFunctions.register(s)
+    val P53 = 9007199254740992.0 // 2^53
+    val sub = subFrame(e0, m)
     val sessionCache = pqCache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[
         (String, Int, Int, Int), Seq[(Int, Int, Seq[Double])]]())
     val cacheKey = (e0.queryExecution.logical.canonicalized.toString,
       m, k, iters)
-    val cb: Seq[(Int, Int, Seq[Double])] =
-      sessionCache.computeIfAbsent(cacheKey, _ => {
-        var c: Seq[(Int, Int, Seq[Double])] =
-          sub.filter(col("vec_id") < k).orderBy(col("vec_id"), col("sub"))
-            .collect()
-            .map(r => (r.getAs[Int]("sub"), r.getAs[Long]("vec_id").toInt,
-              r.getSeq[Double](2)))
-            .toSeq
-        for (_ <- 1 to iters) {
-          c = assign(cbFrame(c))
-            .join(sub, Seq("vec_id", "sub"))
-            .select(col("sub"), col("code"),
-              posexplode(col("sv")).as(Seq("pos", "x")))
-            .groupBy(col("sub"), col("code"), col("pos"))
-            .agg((sum((col("x") * P53).cast(
-              org.apache.spark.sql.types.DecimalType(38, 0)))
-              .cast("double") / P53 / count(lit(1))).as("x"))
-            .groupBy(col("sub"), col("code"))
-            .agg(array_sort(collect_list(struct(col("pos"), col("x"))))
-              .as("px"))
-            .select(col("sub"), col("code"),
-              expr("transform(px, p -> p.x)").as("cv"))
-            .collect()
-            .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-            .toSeq.sortBy(t => (t._1, t._2))
-        }
-        c
-      })
+    sessionCache.computeIfAbsent(cacheKey, _ => {
+      var c: Seq[(Int, Int, Seq[Double])] =
+        sub.filter(col("vec_id") < k).orderBy(col("vec_id"), col("sub"))
+          .collect()
+          .map(r => (r.getAs[Int]("sub"), r.getAs[Long]("vec_id").toInt,
+            r.getSeq[Double](2)))
+          .toSeq
+      for (_ <- 1 to iters) {
+        c = pqAssign(sub, pqCbFrame(s, c))
+          .join(sub, Seq("vec_id", "sub"))
+          .select(col("sub"), col("code"),
+            posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy(col("sub"), col("code"), col("pos"))
+          .agg((sum((col("x") * P53).cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / P53 / count(lit(1))).as("x"))
+          .groupBy(col("sub"), col("code"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("x"))))
+            .as("px"))
+          .select(col("sub"), col("code"),
+            expr("transform(px, p -> p.x)").as("cv"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+          .toSeq.sortBy(t => (t._1, t._2))
+      }
+      c
+    })
+  }
+
+  private[graft] def pqCodes(e0: DataFrame, m: Int, k: Int,
+      iters: Int): DataFrame = {
+    val s = e0.sparkSession
+    graft.plans.GraftFunctions.register(s)
+    val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
+    val sub = subFrame(e0, m)
+    val cb = pqCodebook(e0, m, k, iters)
 
     // per-row |x|² completes cost into the true squared error
     // |x − c|² = |x|² + (|c|² − 2x·c); both terms are per-row folds
-    val withErr = assign(cbFrame(cb))
+    val withErr = pqAssign(sub, pqCbFrame(s, cb))
       .join(sub, Seq("vec_id", "sub"))
       .withColumn("sqerr",
         greatest(dotc(col("sv"), col("sv")) + col("cost"), lit(0.0)))
@@ -1425,72 +1452,92 @@ object PipelineOps {
       java.util.concurrent.ConcurrentHashMap[
         (String, Int, Int), Seq[(Long, Seq[Double])]]]())
 
-  private[graft] def ivfSearch(e0: DataFrame, nlists: Int, nprobe: Int,
-      lloydIters: Int, nQueries: Int): DataFrame = {
-    val s = e0.sparkSession
-    graft.plans.GraftFunctions.register(s)
+  /** (vec_id, u): unit-normalized double vectors — cosine becomes a
+    * plain dot product downstream. Shared by the IVF family. */
+  private def normFrame(e0: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(e0.sparkSession)
     val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
-    val P53 = 9007199254740992.0 // 2^53
-    val e = e0
-      .select(col("vec_id"),
+    e0.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("u", transform(col("v"),
         x => x / sqrt(dotc(col("v"), col("v")))))
       .select(col("vec_id"), col("u"))
+  }
 
-    def centFrame(cent: Seq[(Long, Seq[Double])]): DataFrame = {
-      import s.implicits._
-      cent.toDF("list_id", "cu")
-    }
-    // nearest list per vector against a broadcast codebook: single hash
-    // agg, tie-break to the smallest list_id via the -list_id struct field
-    def nearest(centDf: DataFrame): DataFrame = e
-      .crossJoin(broadcast(centDf))
+  private def centFrameOf(s: SparkSession,
+      cent: Seq[(Long, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    cent.toDF("list_id", "cu")
+  }
+
+  /** Nearest coarse list per vector against a broadcast codebook: single
+    * hash agg, tie-break to the smallest list_id via the -list_id struct
+    * field. `e` must be a [[normFrame]]. */
+  private def nearestList(e: DataFrame, centDf: DataFrame): DataFrame = {
+    val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
+    e.crossJoin(broadcast(centDf))
       .withColumn("sim", dotc(col("u"), col("cu")))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("sim"), (-col("list_id")).as("negl"),
         col("list_id").as("list_id"), col("u").as("u"))).as("m"))
       .select(col("vec_id"), col("m.list_id").as("list_id"),
         col("m.u").as("u"))
+  }
 
-    // Train-once / search-many: the trained codebook is memoized per
-    // (session, input plan, nlists, iters) so repeated searches — the
-    // production pattern, and Bench's repeated runs — pay for Lloyd
-    // training exactly once. The cached value is nlists × dim doubles.
+  /** Deterministic coarse k-means codebook over [[normFrame]] vectors —
+    * first-nlists init by vec_id, `lloydIters` rounds of exact-decimal
+    * means, memoized per (session, input plan, nlists, iters) so repeated
+    * searches — the production train-once/search-many pattern, and
+    * Bench's repeated runs — pay for Lloyd training exactly once. The
+    * cached value is nlists × dim doubles; vectors never leave the
+    * executors. Shared by [[ivfSearch]] and [[ivfpqSearch]]. */
+  private[graft] def trainCoarse(e0: DataFrame, nlists: Int,
+      lloydIters: Int): Seq[(Long, Seq[Double])] = {
+    val s = e0.sparkSession
+    val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
+    val P53 = 9007199254740992.0 // 2^53
+    val e = normFrame(e0)
     val sessionCache = codebookCache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[
         (String, Int, Int), Seq[(Long, Seq[Double])]]())
     val cacheKey = (e0.queryExecution.logical.canonicalized.toString,
       nlists, lloydIters)
-    val cent: Seq[(Long, Seq[Double])] =
-      sessionCache.computeIfAbsent(cacheKey, _ => {
-        var c: Seq[(Long, Seq[Double])] =
-          e.orderBy(col("vec_id")).limit(nlists).collect()
-            .zipWithIndex
-            .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
-            .toSeq
-        for (_ <- 1 to lloydIters) {
-          c = nearest(centFrame(c))
-            .select(col("list_id"), posexplode(col("u")).as(Seq("pos", "c")))
-            .groupBy(col("list_id"), col("pos"))
-            .agg((sum((col("c") * P53).cast(
-              org.apache.spark.sql.types.DecimalType(38, 0)))
-              .cast("double") / P53 / count(lit(1))).as("c"))
-            .groupBy(col("list_id"))
-            .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
-              .as("pc"))
-            .select(col("list_id"), expr("transform(pc, x -> x.c)").as("cv"))
-            .withColumn("cu", transform(col("cv"),
-              x => x / sqrt(dotc(col("cv"), col("cv")))))
-            .select(col("list_id"), col("cu"))
-            .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-            .sortBy(_._1)
-        }
-        c
-      })
-    val centDf = centFrame(cent)
+    sessionCache.computeIfAbsent(cacheKey, _ => {
+      var c: Seq[(Long, Seq[Double])] =
+        e.orderBy(col("vec_id")).limit(nlists).collect()
+          .zipWithIndex
+          .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+          .toSeq
+      for (_ <- 1 to lloydIters) {
+        c = nearestList(e, centFrameOf(s, c))
+          .select(col("list_id"), posexplode(col("u")).as(Seq("pos", "c")))
+          .groupBy(col("list_id"), col("pos"))
+          .agg((sum((col("c") * P53).cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / P53 / count(lit(1))).as("c"))
+          .groupBy(col("list_id"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+            .as("pc"))
+          .select(col("list_id"), expr("transform(pc, x -> x.c)").as("cv"))
+          .withColumn("cu", transform(col("cv"),
+            x => x / sqrt(dotc(col("cv"), col("cv")))))
+          .select(col("list_id"), col("cu"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+          .sortBy(_._1)
+      }
+      c
+    })
+  }
 
-    val assign = nearest(centDf).select(col("vec_id"), col("list_id"))
+  private[graft] def ivfSearch(e0: DataFrame, nlists: Int, nprobe: Int,
+      lloydIters: Int, nQueries: Int): DataFrame = {
+    val s = e0.sparkSession
+    graft.plans.GraftFunctions.register(s)
+    val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
+    val e = normFrame(e0)
+    val centDf = centFrameOf(s, trainCoarse(e0, nlists, lloydIters))
+
+    val assign = nearestList(e, centDf).select(col("vec_id"), col("list_id"))
     val qProbe = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
       .crossJoin(broadcast(centDf))
@@ -1510,6 +1557,91 @@ object PipelineOps {
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
         col("list_id").cast("long").as("list_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** IVF-PQ search (Jégou et al., PAMI 2011): coarse IVF lists bound the
+    * candidate set, PQ codes stand in for the vectors — candidates are
+    * scored from a per-query LOOKUP TABLE (q_j · c_{j,code}) instead of
+    * touching the raw embeddings. This is the memory shape of
+    * billion-vector ANN: the search path reads 4 bytes + 1 list id per
+    * vector; full vectors exist only at (optional) rerank. Codes are
+    * trained on the unit-normalized vectors, so Σ_j LUT_j[code_j] ≈
+    * cosine directly (no-residual IVFPQ — the FAISS
+    * `encode_residual=false` variant; residual encoding would sharpen
+    * approx scores but couples the two codebooks). approx_sim sums the m
+    * LUT entries in fixed expression order — deterministic. Recall vs
+    * the exact-ranked IVF-flat at identical (nlists, nprobe) is measured
+    * in AnnRecallSpec; approximation error is PQ's documented trade → no
+    * oracle (D3). */
+  private[graft] def ivfpqSearch(e0: DataFrame, nlists: Int, nprobe: Int,
+      m: Int, k: Int, iters: Int, nQueries: Int): DataFrame = {
+    val s = e0.sparkSession
+    graft.plans.GraftFunctions.register(s)
+    val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
+    val e = normFrame(e0)
+    val centDf = centFrameOf(s, trainCoarse(e0, nlists, iters))
+    val assign = nearestList(e, centDf).select(col("vec_id"), col("list_id"))
+
+    // PQ over the normalized vectors: metric matches the coarse stage
+    val eNorm = e.select(col("vec_id"), col("u").as("embedding"))
+    val codes = pqCodes(eNorm, m, k, iters)
+      .select(col("vec_id") +: (0 until m).map(j => col(s"c$j")): _*)
+
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("u").as("qu"))
+    val qProbe = qs.crossJoin(broadcast(centDf))
+      .withColumn("sim", dotc(col("qu"), col("cu")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("list_id").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("qu"), col("list_id"))
+
+    // per-query LUT: nQueries × m × k partial dot products — tiny, and
+    // the only place query subvectors meet centroids
+    val lut = qs.crossJoin(broadcast(pqCbFrame(s, pqCodebook(eNorm, m, k,
+        iters)).select(col("csub"), col("code"), col("cv"))))
+      .withColumn("lutval", dotc(expr(
+        s"slice(qu, csub * (size(qu) DIV $m) + 1, size(qu) DIV $m)"),
+        col("cv")))
+      .select(col("q_id"), col("csub"), col("code"), col("lutval"))
+
+    // One flat m·k LUT array per query (sorted by csub·k+code, so
+    // collect order cannot matter) — scoring is then ONE broadcast join
+    // plus m codegen'd element_at lookups, not m chained joins.
+    val lutArr = lut.groupBy(col("q_id"))
+      .agg(expr(s"""transform(
+        |  array_sort(collect_list(struct(csub * $k + code AS idx, lutval))),
+        |  x -> x.lutval)""".stripMargin).as("lutarr"))
+    val cand = qProbe.join(assign, "list_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(codes, "vec_id")
+    val scored = cand.join(broadcast(lutArr), "q_id")
+    // ADC shortlist → exact rerank (the production tail of IVF-PQ): the
+    // LUT score is a shortlist builder, not the final ranking — the top
+    // 20 approx candidates per query are reranked by exact cosine, so
+    // raw vectors are read for 20 rows/query instead of every candidate.
+    val shortlist = scored
+      .withColumn("approx_sim",
+        (0 until m).map(j =>
+          expr(s"element_at(lutarr, $j * $k + c$j + 1)")).reduce(_ + _))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("approx_sim").desc, col("vec_id").asc)))
+      .filter(col("arn") <= 20)
+      .select(col("q_id"), col("qu"), col("vec_id"), col("list_id"),
+        col("approx_sim"))
+    shortlist
+      .join(e.select(col("vec_id"), col("u")), "vec_id")
+      .withColumn("cos_sim", dotc(col("qu"), col("u")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        col("list_id").cast("long").as("list_id"), col("approx_sim"),
+        col("cos_sim"))
       .orderBy(col("q_id"), col("rn"))
   }
 }
