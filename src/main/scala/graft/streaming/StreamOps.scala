@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.Det
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Event row as fed from a stream source (same fields `Tables.events`
   * derives for batch: exact epoch-µs plus its timestamp form). */
@@ -23,6 +24,55 @@ final case class OpenSession(start_us: Long, last_us: Long, ev_cnt: Long,
 /** A closed session emitted by [[StreamOps.sessionizeWithState]]. */
 final case class ClosedSession(user_id: Long, start_us: Long,
     span_us: Long, ev_cnt: Long, sum_value: Double)
+
+/** Per-user funnel progress for [[FunnelProcessor]]: earliest µs seen per
+  * stage (`Long.MaxValue` = stage unseen) plus a fired-once latch. */
+final case class FunnelState(v_us: Long, c_us: Long, p_us: Long,
+    emitted: Boolean)
+
+/** A completed view→click→purchase funnel emitted by [[FunnelProcessor]]. */
+final case class FunnelHit(user_id: Long, v_us: Long, c_us: Long, p_us: Long)
+
+/** Spark-4 `transformWithState` funnel detector — the streaming twin of the
+  * batch `events_funnel` key (first-view < first-click < first-purchase,
+  * strict). State is one [[FunnelState]] per user in the RocksDB state
+  * store; each hit is emitted exactly once, the micro-batch the ordering
+  * first holds. On in-order replay the per-stage minima are fixed as soon
+  * as each stage is first seen, so the emitted set equals the batch
+  * filter's — covered by StreamingSpec.
+  *
+  * Scale notes: state is O(distinct users) × 25 bytes, keyed by the
+  * shuffle hash of user_id; a production deployment adds a TTL so
+  * abandoned funnels age out (TTLConfig.NONE here keeps the twin exact).
+  */
+final class FunnelProcessor extends StatefulProcessor[Long, Ev, FunnelHit] {
+  @transient private var st: ValueState[FunnelState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[FunnelState]("funnel",
+      Encoders.product[FunnelState], TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[Ev],
+      tv: TimerValues): Iterator[FunnelHit] = {
+    val init = if (st.exists()) st.get()
+      else FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue,
+        emitted = false)
+    var s = init
+    rows.foreach { e =>
+      e.event_type match {
+        case "view"     => if (e.ts_us < s.v_us) s = s.copy(v_us = e.ts_us)
+        case "click"    => if (e.ts_us < s.c_us) s = s.copy(c_us = e.ts_us)
+        case "purchase" => if (e.ts_us < s.p_us) s = s.copy(p_us = e.ts_us)
+        case _          => ()
+      }
+    }
+    val fires = !s.emitted && s.v_us < s.c_us && s.c_us < s.p_us
+    if (fires) s = s.copy(emitted = true)
+    if (s != init) st.update(s)
+    if (fires) Iterator.single(FunnelHit(uid, s.v_us, s.c_us, s.p_us))
+    else Iterator.empty
+  }
+}
 
 /** Structured Streaming twins of the §2.1-H batch operators
   * (SURVEY §2.9 / §7.1 slice 5).
@@ -105,6 +155,63 @@ object StreamOps {
           open.foreach(state.update)
           closed.result().iterator
       }
+  }
+
+  /** Exactly-once dedup by event_id with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps each seen id only until the
+    * watermark passes its event time (vs `dropDuplicates`, whose id set
+    * grows forever). Streaming complement of the batch `events_dedup_latest`
+    * / `text_exact_dedup` family for at-least-once sources.
+    *
+    * Scale notes: state is O(ids inside the watermark horizon) — at 100 TB
+    * the horizon, not the corpus, bounds memory; ids hash-partition across
+    * executors on the dedup key.
+    */
+  def dedupById(events: Dataset[Ev], horizon: String = "1 hour"): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts_t", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+
+  /** Stream-stream interval join: each purchase joined to every view by the
+    * same user within the preceding `horizonMinutes` — the candidate-touch
+    * join under last-touch attribution (streaming side of
+    * `events_attribution`; the batch key then picks max(view_us) per
+    * purchase). Both sides carry watermarks and the join predicate bounds
+    * view age relative to the purchase, so Spark can evict buffered rows:
+    * state is O(events within the horizon), not O(stream).
+    *
+    * Scale notes: both sides shuffle-partition on user_id; the time-bound
+    * predicate is what makes the state finite — an unbounded stream-stream
+    * join would buffer forever.
+    */
+  def attributionPairs(views: Dataset[Ev], purchases: Dataset[Ev],
+      horizonMinutes: Int = 30): DataFrame = {
+    val v = withEventTime(views)
+      .select(col("user_id").as("v_user"), col("ts_t").as("v_ts"),
+        col("ts_us").as("view_us"), col("event_id").as("view_id"))
+      .withWatermark("v_ts", "2 hours")
+    val p = withEventTime(purchases)
+      .select(col("user_id"), col("ts_t").as("p_ts"),
+        col("ts_us").as("purchase_us"), col("event_id"))
+      .withWatermark("p_ts", "2 hours")
+    p.join(v,
+        col("user_id") === col("v_user")
+          && col("v_ts") <= col("p_ts")
+          && col("v_ts") >= col("p_ts")
+            - expr(s"interval $horizonMinutes minutes"))
+      .select(col("user_id"), col("event_id"), col("purchase_us"),
+        col("view_id"), col("view_us"))
+  }
+
+  /** First-completion funnel per user via Spark 4's `transformWithState`
+    * (RocksDB state store required) — see [[FunnelProcessor]]. */
+  def funnelFirstCompletion(events: Dataset[Ev]): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** CDC keep-latest per (user_id, event_type) with explicit state

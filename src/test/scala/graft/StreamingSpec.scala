@@ -109,6 +109,90 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark removes replayed duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = eventRows().sortBy(e => (e.ts_us, e.event_id))
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.dedupById(stream.toDS(), horizon = "48 hours")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      // at-least-once source: every chunk is delivered twice
+      rows.grouped(500).foreach { chunk =>
+        stream.addData(chunk)
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("dedup_test")
+      assert(streamed.count() === rows.size)
+      assert(streamed.select("event_id").distinct().count() === rows.size)
+    } finally q.stop()
+  }
+
+  test("stream-stream attribution join matches the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = eventRows().sortBy(e => (e.ts_us, e.event_id))
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamOps.attributionPairs(views.toDS(), purchases.toDS())
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      rows.grouped(500).foreach { chunk =>
+        views.addData(chunk.filter(_.event_type == "view"))
+        purchases.addData(chunk.filter(_.event_type == "purchase"))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("attr_test")
+        .orderBy("user_id", "event_id", "view_id").collect().toSeq
+      val ev = Tables.table(spark, sf, "events")
+      val horizonUs = 30L * 60 * 1000000
+      val batch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          col("ts_us").as("purchase_us"))
+        .join(ev.filter(col("event_type") === "view")
+            .select(col("user_id").as("v_user"),
+              col("event_id").as("view_id"), col("ts_us").as("view_us")),
+          col("user_id") === col("v_user")
+            && col("view_us") <= col("purchase_us")
+            && col("view_us") >= col("purchase_us") - horizonUs)
+        .select("user_id", "event_id", "purchase_us", "view_id", "view_us")
+        .orderBy("user_id", "event_id", "view_id").collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("transformWithState funnel matches batch events_funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = eventRows().sortBy(e => (e.ts_us, e.event_id))
+      val stream = MemoryStream[Ev]
+      val q = StreamOps.funnelFirstCompletion(stream.toDS())
+        .writeStream.format("memory").queryName("funnel_test")
+        .outputMode("append").start()
+      try {
+        rows.grouped(500).foreach { chunk =>
+          stream.addData(chunk)
+          q.processAllAvailable()
+        }
+        val streamed = spark.table("funnel_test")
+          .orderBy("user_id").collect().toSeq
+        val batch = Registry.queries("events_funnel")(spark, sf)
+          .select("user_id", "v_us", "c_us", "p_us")
+          .orderBy("user_id").collect().toSeq
+        assert(streamed.nonEmpty)
+        assert(streamed === batch)
+      } finally q.stop()
+    } finally spark.conf
+      .unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("mapGroupsWithState keep-latest matches batch events_dedup_latest") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
