@@ -153,5 +153,39 @@ object MultiModal {
         |SELECT doc_id, kind, n_bytes, start_off,
         |  start_off // 4096 AS batch_id
         |FROM b ORDER BY doc_id"""))),
+
+    // Frame sampling as ROW EXPANSION: video assets explode into one row
+    // per strided frame (every 5th), each with its decode timestamp at the
+    // stub's 10 fps — the shape that feeds per-frame feature extraction
+    // (each frame row is an independent unit of downstream work, unlike
+    // mm_transform_plan's per-asset sampled-index string). explode of a
+    // bounded sequence is narrow — no shuffle; at 100 TB the expansion
+    // ratio (≤ 6 rows/video here) is what to budget, not the operator.
+    Q("mm_frame_sample",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .withColumn("wh", expr(
+          "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"))
+        .filter(pmod(col("wh"), lit(3)) === 2) // decode stub: kind = video
+        .withColumn("n_frames", lit(1L) + pmod(col("wh"), lit(30)))
+        .select(col("doc_id"), col("n_frames"),
+          explode(expr(
+            "sequence(CAST(0 AS BIGINT), n_frames - 1, CAST(5 AS BIGINT))"))
+            .as("frame_idx"))
+        .withColumn("frame_us", expr("frame_idx * 1000000 DIV 10"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+      Some(Det.sql("""WITH meta AS (
+        |  SELECT doc_id,
+        |    1 + CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |      % 30 AS n_frames
+        |  FROM documents
+        |  WHERE CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |    % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, n_frames,
+        |    unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx
+        |  FROM meta)
+        |SELECT doc_id, n_frames, frame_idx,
+        |  frame_idx * 1000000 // 10 AS frame_us
+        |FROM f ORDER BY doc_id, frame_idx"""))),
   )
 }

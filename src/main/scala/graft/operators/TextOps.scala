@@ -254,6 +254,47 @@ object TextOps {
         |JOIN keep USING (doc_id)
         |ANTI JOIN drops USING (doc_id)
         |ORDER BY doc_id"""))),
+
+    // URL parsing for web-corpus curation: host extraction, registered
+    // domain, and per-host doc counts — the grouping every crawl-derived
+    // corpus is filtered/weighted by (domain blocklists, per-host caps,
+    // domain mixture). The fixture has no URL column, so a deterministic
+    // URL is synthesized per doc (the text_pii_scrub pattern); the
+    // extraction itself is the production shape: two regexp_extract on
+    // the scan (identical Java/RE2 semantics for this pattern class —
+    // char classes + anchors only), then one ~2.7k-group aggregate.
+    // At 100 TB: narrow map + one small shuffle; per-host caps then
+    // window over the same grouping.
+    Q("text_url_extract",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit("-"), pmod(col("doc_id"), lit(50L)).cast("string"),
+          lit(".example."),
+          when(pmod(col("doc_id"), lit(3L)) === 0, "com")
+            .when(pmod(col("doc_id"), lit(3L)) === 1, "org")
+            .otherwise("net"),
+          lit("/d/"), col("doc_id").cast("string")))
+        .select(
+          regexp_extract(col("url"), "^https://([^/]+)/", 1).as("host"))
+        .withColumn("domain",
+          regexp_extract(col("host"), "([a-z0-9]+\\.[a-z]+)$", 1))
+        .groupBy(col("host"), col("domain"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("host")),
+      Some(sql("""WITH u AS (
+        |  SELECT 'https://' || source || '-'
+        |    || CAST(doc_id % 50 AS VARCHAR) || '.example.'
+        |    || CASE WHEN doc_id % 3 = 0 THEN 'com'
+        |            WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END
+        |    || '/d/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host
+        |  FROM u)
+        |SELECT host, regexp_extract(host, '([a-z0-9]+\.[a-z]+)$', 1)
+        |    AS domain,
+        |  count(*)::BIGINT AS n_docs
+        |FROM h GROUP BY 1, 2 ORDER BY host"""))),
   )
 
   /** Carter–Wegman minhash machinery shared by `text_minhash_sig`,

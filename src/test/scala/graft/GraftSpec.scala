@@ -687,6 +687,47 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order files bound BOTH key ranges; a sort bounds only one") {
+    val rows = run("layout_zorder_clustering").collect()
+    val total = Tables.table(spark, sf, "lineitem").count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === total)
+    rows.foreach { r =>
+      // z DIV 8 frees bits {x0, y0, x1}: x varies within 2 low bits,
+      // y within 1 — every file is narrow in BOTH dimensions.
+      assert(r.getAs[Long]("x_span") <= 3L)
+      assert(r.getAs[Long]("y_span") <= 1L)
+      assert(r.getAs[Long]("file_id") >= 0L
+        && r.getAs[Long]("file_id") < 32L)
+    }
+  }
+
+  test("frame sampling: stride 5, in range, exact per-video row counts") {
+    val rows = run("mm_frame_sample").collect()
+    rows.foreach { r =>
+      val (idx, n) = (r.getAs[Long]("frame_idx"), r.getAs[Long]("n_frames"))
+      assert(idx % 5 === 0L)
+      assert(idx >= 0L && idx < n)
+      assert(r.getAs[Long]("frame_us") === idx * 100000L)
+    }
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, fs) =>
+      val n = fs.head.getAs[Long]("n_frames")
+      assert(fs.length === ((n - 1) / 5 + 1),
+        "one row per strided frame index")
+    }
+  }
+
+  test("url extraction: hosts parse, domains are the registered suffix") {
+    val rows = run("text_url_extract").collect()
+    val hostRe = "^src[0-9]+-[0-9]+\\.example\\.(com|org|net)$".r
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.table(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val host = r.getAs[String]("host")
+      assert(hostRe.matches(host), s"unparsed host: $host")
+      assert(r.getAs[String]("domain") === "example." + host.split('.').last)
+    }
+  }
+
   test("salted join equals the unsalted join it replaces") {
     import graft.Det
     val plain = Tables.table(spark, sf, "lineitem")
