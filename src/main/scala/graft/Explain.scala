@@ -20,15 +20,21 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    plans.GraftFunctions.register(spark)
+    if (sys.env.get("GRAFT_SKIP_EXT").isEmpty)
+      plans.GraftFunctions.register(spark)
     val fn = SparkEntry.queries(key)
     println(s"=== $key @ $sfDir")
     fn(spark, sfDir).explain("formatted")
     fn(spark, sfDir).queryExecution.toRdd.count() // warmup
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).queryExecution.toRdd.count()
-      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val qe = fn(spark, sfDir).queryExecution
+      val rdd = qe.toRdd // analysis + optimization + physical planning
+      val t1 = System.nanoTime()
+      val n = rdd.count()
+      val t2 = System.nanoTime()
+      println(f"run $i: plan ${(t1 - t0) / 1e9}%.2f s + exec " +
+        f"${(t2 - t1) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()
   }
