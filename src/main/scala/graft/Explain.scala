@@ -20,8 +20,14 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (sys.env.get("GRAFT_SKIP_EXT").isEmpty)
-      plans.GraftFunctions.register(spark)
+    // GRAFT_SKIP_EXT=1/true: bisect plan-time cost of the injected
+    // optimizer rules/strategy. Caveat: the vec_*/pq/dedup builders call
+    // GraftFunctions.register themselves (they need graft_dot), so for
+    // those keys the flag cannot produce an extension-free plan — use a
+    // scalar/agg key for the baseline.
+    val skipExt = sys.env.get("GRAFT_SKIP_EXT")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    if (!skipExt) plans.GraftFunctions.register(spark)
     val fn = SparkEntry.queries(key)
     println(s"=== $key @ $sfDir")
     fn(spark, sfDir).explain("formatted")

@@ -140,3 +140,39 @@ object Det {
     * oracle_sql.json single-line-safe and diffs readable). */
   def sql(s: String): String = s.stripMargin.trim.replaceAll("\\s+", " ")
 }
+
+/** Write-once-then-read temp-parquet materialization, shared by every
+  * operator that produces a dataset once per (application, input dir) and
+  * then only reads it (Layouts.partitionedDocs, PipelineOps
+  * .dedupClusterLabels). Holding the rule once matters: the two sites
+  * had independently copied it, and both carried the same latent bug —
+  * sanitizing the dir with `[^A-Za-z0-9] -> _` alone lets distinct dirs
+  * (`/a/sf-1` vs `/a/sf_1`) collide on one path, silently serving the
+  * first dataset for the second. The path now also embeds an md5 digest
+  * of the RAW dir string, which cannot collide under sanitization.
+  *
+  * Write discipline (ADVICE r5): the path is recorded via
+  * computeIfAbsent only AFTER the write succeeds — a throw leaves no
+  * entry and the next call retries; a racing session blocks on the bin
+  * lock until the writer finishes. No session-bound object is cached (a
+  * cached DataFrame would pin its SparkSession).
+  */
+object Materialize {
+  private val written =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  def once(s: SparkSession, cacheName: String, dir: String)(
+      write: String => Unit): DataFrame = {
+    val safeDir = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val appId = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9-]", "_")
+    val path = System.getProperty("java.io.tmpdir") +
+      s"/graft_rt_${cacheName}_${safeDir}_${digest}_$appId"
+    written.computeIfAbsent(path, _ => {
+      write(path)
+      java.lang.Boolean.TRUE
+    })
+    s.read.parquet(path)
+  }
+}

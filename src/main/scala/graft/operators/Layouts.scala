@@ -19,38 +19,19 @@ import org.apache.spark.sql.functions._
 object Layouts {
   import Det._
 
-  /** Paths already written this JVM: the partitioned layout is produced
-    * once per (application, sf dir) and then only READ — so the pruning /
-    * DPP queries (and their bench timings) measure the scan and join, not
-    * a rewrite of the dataset on every invocation (ADVICE r3). Entries are
-    * recorded via computeIfAbsent so (a) a path is only marked written
-    * AFTER the parquet write succeeds — a throw leaves no entry and the
-    * next call retries instead of reading a missing/partial directory —
-    * and (b) a second session racing the first writer blocks on the bin
-    * lock until the write completes, instead of reading half-written data
-    * (ADVICE r5). */
-  private val written =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-
   /** Documents rewritten lang-partitioned to a per-(app, sf) temp dir
-    * (shared by the static-pruning and DPP keys — the layout recipe lives
-    * once). The path embeds the sanitized full dir string plus the Spark
-    * applicationId: distinct sf dirs can no longer collide via 32-bit
-    * hashCode, and concurrent JVMs (tests next to a bench run) each write
-    * their own copy instead of interleaving overwrite-with-read. */
+    * and then only READ — so the pruning / DPP queries (and their bench
+    * timings) measure the scan and join, not a rewrite of the dataset on
+    * every invocation (ADVICE r3). Shared by the static-pruning and DPP
+    * keys; path construction, collision-proofing, and the
+    * write-then-record locking discipline live in [[graft.Materialize]],
+    * shared with the dedup cluster-label table. */
   private def partitionedDocs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val safeDir = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val appId = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9-]", "_")
-    val path = System.getProperty("java.io.tmpdir") +
-      s"/graft_rt_part_${safeDir}_$appId"
-    written.computeIfAbsent(path, _ => {
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Materialize.once(s, "part", dir) { path =>
       Tables.table(s, dir, "documents")
         .write.mode("overwrite").partitionBy("lang").parquet(path)
-      java.lang.Boolean.TRUE
-    })
-    s.read.parquet(path)
-  }
+    }
 
   val qs: Seq[Q] = Seq(
     // Write documents partitioned by lang, read back only the 'fr'

@@ -1229,23 +1229,15 @@ object PipelineOps {
     * of the component.
     *
     * Labels are materialized ONCE per (application, sf dir) to a temp
-    * parquet and then only read — the Layouts.partitionedDocs pattern:
-    * recorded via computeIfAbsent only after the write succeeds, racers
-    * block on the bin lock, no session-bound object is ever cached (a
-    * cached DataFrame would pin its SparkSession — the ADVICE r5 leak
-    * shape). Materialize-then-reuse is also the honest 100-TB pattern:
-    * a production dedup writes its cluster assignment table and every
-    * downstream consumer reads it, rather than re-running propagation. */
-  private val clusterWritten =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-
+    * parquet and then only read — via [[graft.Materialize]] (shared with
+    * Layouts.partitionedDocs), which owns the collision-proof path rule
+    * and the write-then-record locking discipline. Materialize-then-reuse
+    * is also the honest 100-TB pattern: a production dedup writes its
+    * cluster assignment table and every downstream consumer reads it,
+    * rather than re-running propagation. */
   private[graft] def dedupClusterLabels(
-      s: SparkSession, dir: String): DataFrame = {
-    val safeDir = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val appId = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9-]", "_")
-    val path = System.getProperty("java.io.tmpdir") +
-      s"/graft_rt_clusters_${safeDir}_$appId"
-    clusterWritten.computeIfAbsent(path, _ => {
+      s: SparkSession, dir: String): DataFrame =
+    graft.Materialize.once(s, "clusters", dir) { path =>
       val d = Tables.table(s, dir, "documents")
         .select(col("doc_id"), sha2(col("text"), 256).as("hk"),
           expr("concat_ws(' ', slice(split(text, ' '), 1, 3))").as("pk"))
@@ -1290,10 +1282,7 @@ object PipelineOps {
       require(prev != null && prev.compareTo(cur) == 0,
         s"dedup cluster propagation did not converge in $iters rounds")
       labels.write.mode("overwrite").parquet(path)
-      java.lang.Boolean.TRUE
-    })
-    s.read.parquet(path)
-  }
+    }
 
   /** Shared recursive-CTE closure for the cluster keys' oracles: the
     * same star edges + transitive min-label reachability as
@@ -1384,14 +1373,21 @@ object PipelineOps {
     val cacheKey = (e0.queryExecution.logical.canonicalized.toString,
       m, k, iters)
     sessionCache.computeIfAbsent(cacheKey, _ => {
+      // Dense 0-based init: the first k vectors BY ORDER of vec_id seed
+      // codes 0..k-1 in every subspace. The id value is never used as the
+      // code (ids may be sparse, offset, or filtered upstream — the
+      // trainCoarse lesson); fewer than k vectors cycle so the codebook
+      // is dense in (sub, code) from the start.
+      val firstK = subFrame(e0.orderBy(col("vec_id")).limit(k), m)
+        .orderBy(col("sub"), col("vec_id")).collect()
+        .map(r => (r.getAs[Int]("sub"), r.getSeq[Double](2)))
+        .groupBy(_._1)
       var c: Seq[(Int, Int, Seq[Double])] =
-        sub.filter(col("vec_id") < k).orderBy(col("vec_id"), col("sub"))
-          .collect()
-          .map(r => (r.getAs[Int]("sub"), r.getAs[Long]("vec_id").toInt,
-            r.getSeq[Double](2)))
-          .toSeq
+        firstK.toSeq.flatMap { case (subId, rows) =>
+          (0 until k).map(code => (subId, code, rows(code % rows.length)._2))
+        }.sortBy(t => (t._1, t._2))
       for (_ <- 1 to iters) {
-        c = pqAssign(sub, pqCbFrame(s, c))
+        val updated = pqAssign(sub, pqCbFrame(s, c))
           .join(sub, Seq("vec_id", "sub"))
           .select(col("sub"), col("code"),
             posexplode(col("sv")).as(Seq("pos", "x")))
@@ -1405,11 +1401,33 @@ object PipelineOps {
           .select(col("sub"), col("code"),
             expr("transform(px, p -> p.x)").as("cv"))
           .collect()
-          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-          .toSeq.sortBy(t => (t._1, t._2))
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2))
+          .toMap
+        // A (sub, code) cluster that received zero vectors keeps its
+        // previous centroid: the codebook stays DENSE in (sub, code),
+        // which ivfpqSearch's flat-LUT ADC scoring indexes positionally —
+        // a hole there would shift every later cell's lookup.
+        c = c.map { case (subId, code, cv) =>
+          (subId, code, updated.getOrElse((subId, code), cv)) }
       }
       c
     })
+  }
+
+  /** (vec_id, c0..c{m-1}) only — the search path's view of the codes.
+    * Unlike [[pqCodes]] it skips the reconstruction-error join (one full
+    * shuffle of the subvector frame) and the global orderBy: at scale
+    * those were pure waste on `vec_ann_ivfpq`, whose next operator is a
+    * hash join on vec_id. */
+  private def pqCodeColumns(e0: DataFrame, m: Int, k: Int,
+      iters: Int): DataFrame = {
+    val s = e0.sparkSession
+    val sub = subFrame(e0, m)
+    val cb = pqCodebook(e0, m, k, iters)
+    val cols = (0 until m).map(j =>
+      max(when(col("sub") === j, col("code"))).as(s"c$j"))
+    pqAssign(sub, pqCbFrame(s, cb))
+      .groupBy(col("vec_id")).agg(cols.head, cols.tail: _*)
   }
 
   private[graft] def pqCodes(e0: DataFrame, m: Int, k: Int,
@@ -1538,7 +1556,9 @@ object PipelineOps {
     val centDf = centFrameOf(s, trainCoarse(e0, nlists, lloydIters))
 
     val assign = nearestList(e, centDf).select(col("vec_id"), col("list_id"))
-    val qProbe = e.filter(col("vec_id") < nQueries)
+    // query set = the first nQueries vectors BY ORDER of vec_id (never
+    // `vec_id < n`, which assumes dense 0-based ids — the PQ-init lesson)
+    val qProbe = e.orderBy(col("vec_id")).limit(nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
       .crossJoin(broadcast(centDf))
       .withColumn("sim", dotc(col("qu"), col("cu")))
@@ -1585,10 +1605,9 @@ object PipelineOps {
 
     // PQ over the normalized vectors: metric matches the coarse stage
     val eNorm = e.select(col("vec_id"), col("u").as("embedding"))
-    val codes = pqCodes(eNorm, m, k, iters)
-      .select(col("vec_id") +: (0 until m).map(j => col(s"c$j")): _*)
+    val codes = pqCodeColumns(eNorm, m, k, iters)
 
-    val qs = e.filter(col("vec_id") < nQueries)
+    val qs = e.orderBy(col("vec_id")).limit(nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
     val qProbe = qs.crossJoin(broadcast(centDf))
       .withColumn("sim", dotc(col("qu"), col("cu")))

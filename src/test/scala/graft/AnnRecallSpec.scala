@@ -159,4 +159,27 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(trained < init * 0.9,
       f"training must cut distortion ($trained%.4f !< 0.9 * $init%.4f)")
   }
+
+  test("PQ codebook stays dense on sparse offset ids and empty clusters") {
+    graft.plans.GraftFunctions.register(spark)
+    // 3 vectors with sparse, offset ids: the old init (vec_id < k) would
+    // seed 0 centroids here, and with k=16 > 3 vectors most clusters
+    // receive no assignments — a codebook hole would shift every later
+    // cell of ivfpqSearch's positional flat LUT.
+    val tiny = Tables.table(spark, sf, "embeddings")
+      .select((col("vec_id") * 7 + 1000).as("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(3)
+    val cb = operators.PipelineOps.pqCodebook(tiny, m = 4, k = 16,
+      iters = 2)
+    assert(cb.map(t => (t._1, t._2)).toSet ===
+      (for (sub <- 0 until 4; c <- 0 until 16) yield (sub, c)).toSet,
+      "codebook must stay dense in (sub, code)")
+    val codes = operators.PipelineOps.pqCodes(tiny, m = 4, k = 16,
+      iters = 2).collect()
+    assert(codes.length === 3)
+    codes.foreach(r => (0 until 4).foreach { j =>
+      val c = r.getAs[Int](s"c$j")
+      assert(c >= 0 && c < 16, s"code c$j=$c out of range")
+    })
+  }
 }
