@@ -1007,6 +1007,66 @@ object PipelineOps {
         |FROM tokens JOIN vocab USING (word)
         |GROUP BY doc_id ORDER BY doc_id"""))),
 
+    // BPE merge-table training — the vocabulary-LEARNING step of a
+    // tokenizer pipeline (text_token_count/text_tokenize_ids apply a
+    // vocabulary; this builds one). Classic word-frequency BPE: the
+    // corpus collapses to a (word, freq) dictionary ONCE (the only
+    // corpus-sized job — at 100 TB this is one shuffle and the dict is
+    // millions of rows, not billions), then each merge round counts
+    // adjacent symbol pairs weighted by word freq and merges the most
+    // frequent pair (ties to the lexicographically smallest), applied
+    // greedily left-to-right via regexp on the space-joined symbol
+    // string — symbols are [a-z]+ so the pattern never needs escaping.
+    // The driver loop collects ONE row per round (the argmax pair), the
+    // same superstep discipline as dedupClusterLabels. Iterative argmax
+    // has no SQL twin → rows-only; InvariantSpec pins round-1 against an
+    // independently computed char-bigram argmax, merged = left||right,
+    // and the applied-merge bookkeeping.
+    Q("text_bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        val R = 8
+        val dict = tokensOf(s, dir)
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+          // symbols as a space-joined string: ' h e l l o ' (split on ''
+          // keeps a trailing empty element — filter it)
+          .select(concat(lit(" "), concat_ws(" ",
+            expr("filter(split(word, ''), x -> x <> '')")), lit(" "))
+            .as("syms"), col("freq"))
+        var cur = dict
+        val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+        for (r <- 1 to R) {
+          val top = cur
+            .select(col("freq"), split(trim(col("syms")), " ").as("a"))
+            // fully-merged single-symbol words have no pairs (and
+            // sequence(1, 0) would be DESCENDING, not empty)
+            .filter(size(col("a")) >= 2)
+            .select(col("freq"), explode(expr(
+              """transform(sequence(1, size(a) - 1),
+                |  i -> struct(element_at(a, i) AS l,
+                |              element_at(a, i + 1) AS r))"""
+                .stripMargin)).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("freq")).as("pf"))
+            .orderBy(col("pf").desc, col("l").asc, col("r").asc)
+            .limit(1).collect()
+          if (top.nonEmpty) {
+            val (l, rr, pf) = (top(0).getString(0), top(0).getString(1),
+              top(0).getLong(2))
+            merges += ((r.toLong, l, rr, l + rr, pf))
+            // greedy left-to-right non-overlapping replace = BPE's merge
+            // order; (?= ) keeps the trailing space as the next boundary
+            cur = cur.select(regexp_replace(col("syms"),
+              s"(?<= )$l $rr(?= )", l + rr).as("syms"), col("freq"))
+              .localCheckpoint() // bound the R-round plan lineage
+          }
+        }
+        merges.result()
+          .toDF("rank", "left", "right", "merged", "pair_freq")
+          .orderBy(col("rank"))
+      },
+      None),
+
     // Sequence packing: each document's token-id sequence split into
     // fixed-length chunks of 32 (context-length packing for training).
     Q("text_chunk_pack",

@@ -728,6 +728,32 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE merges: round 1 equals the corpus char-bigram argmax") {
+    val rows = run("text_bpe_merges").collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to 8L))
+    rows.foreach { r =>
+      assert(r.getAs[String]("merged") ===
+        r.getAs[String]("left") + r.getAs[String]("right"))
+      assert(r.getAs[Long]("pair_freq") > 0L)
+    }
+    // independent round-1 oracle: most frequent adjacent char pair over
+    // all word occurrences, ties to the smallest (left, right)
+    val words = Tables.table(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w")).collect()
+      .map(_.getString(0)).filter(_.nonEmpty)
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    words.foreach(w => w.sliding(2).filter(_.length == 2).foreach { p =>
+      val k = (p(0).toString, p(1).toString)
+      counts(k) = counts.getOrElse(k, 0L) + 1L
+    })
+    val ((bl, br), bf) =
+      counts.toSeq.sortBy { case ((l, r), f) => (-f, l, r) }.head
+    val r1 = rows.find(_.getAs[Long]("rank") == 1L).get
+    assert(r1.getAs[String]("left") === bl)
+    assert(r1.getAs[String]("right") === br)
+    assert(r1.getAs[Long]("pair_freq") === bf)
+  }
+
   test("salted join equals the unsalted join it replaces") {
     import graft.Det
     val plain = Tables.table(spark, sf, "lineitem")
