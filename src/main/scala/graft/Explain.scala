@@ -28,19 +28,24 @@ object Explain {
     val skipExt = sys.env.get("GRAFT_SKIP_EXT")
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     if (!skipExt) plans.GraftFunctions.register(spark)
-    val fn = SparkEntry.queries(key)
-    println(s"=== $key @ $sfDir")
-    fn(spark, sfDir).explain("formatted")
-    fn(spark, sfDir).queryExecution.toRdd.count() // warmup
-    (1 to runs).foreach { i =>
-      val t0 = System.nanoTime()
-      val qe = fn(spark, sfDir).queryExecution
-      val rdd = qe.toRdd // analysis + optimization + physical planning
-      val t1 = System.nanoTime()
-      val n = rdd.count()
-      val t2 = System.nanoTime()
-      println(f"run $i: plan ${(t1 - t0) / 1e9}%.2f s + exec " +
-        f"${(t2 - t1) / 1e9}%.2f s ($n rows)")
+    // comma-separated keys run in sequence in ONE session — reproduces
+    // bench-order interaction effects a single-key run can't show
+    val keys = key.split(',').toSeq
+    keys.foreach { k =>
+      val fn = SparkEntry.queries(k)
+      println(s"=== $k @ $sfDir")
+      if (keys.size == 1) fn(spark, sfDir).explain("formatted")
+      fn(spark, sfDir).queryExecution.toRdd.count() // warmup
+      (1 to runs).foreach { i =>
+        val t0 = System.nanoTime()
+        val qe = fn(spark, sfDir).queryExecution
+        val rdd = qe.toRdd // analysis + optimization + physical planning
+        val t1 = System.nanoTime()
+        val n = rdd.count()
+        val t2 = System.nanoTime()
+        println(f"run $i: plan ${(t1 - t0) / 1e9}%.2f s + exec " +
+          f"${(t2 - t1) / 1e9}%.2f s ($n rows)")
+      }
     }
     spark.stop()
   }
