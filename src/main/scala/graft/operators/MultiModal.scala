@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
 final case class MmMeta(doc_id: Long, n_bytes: Long, kind: String,
     meta_width: Long, meta_height: Long, meta_frames: Long)
 
+/** Extracted feature record: 8 signed integer features + their L1 mass.
+  * Scalar columns, not an array — the driver's column hasher compares
+  * scalar cells (ROUND6_NOTES §2). */
+final case class MmFeat(doc_id: Long, f0: Long, f1: Long, f2: Long,
+    f3: Long, f4: Long, f5: Long, f6: Long, f7: Long, feat_l1: Long)
+
 /** Multimodal decode via `mapPartitions` — the Scala analogue of
   * `mapInPandas` batch decoding: one decoder instantiation per partition,
   * rows streamed through it, typed case-class output schema. This is the
@@ -187,5 +193,46 @@ object MultiModal {
         |SELECT doc_id, n_frames, frame_idx,
         |  frame_idx * 1000000 // 10 AS frame_us
         |FROM f ORDER BY doc_id, frame_idx"""))),
+
+    // Feature extraction — the remaining multimodal verb next to decode /
+    // resize-plan / frame-sample: payload bytes → fixed-width feature
+    // vector, run as `mapPartitions` so extractor state (in production a
+    // loaded model / codec context) is per-partition, rows streamed
+    // through it. The extractor is the same deterministic md5 STUB as the
+    // decoder; the FEATURES ARE ORACLE-CHECKED — signed-byte windows of
+    // the content hash, exact integers in both engines. Emitted as 8
+    // scalar BIGINT columns (not an array — driver hasher contract).
+    // At 100 TB: narrow map, no shuffle; the downstream consumer is the
+    // embeddings table (vec_* family).
+    Q("mm_feature_extract",
+      (s, dir) => {
+        import s.implicits._
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("bin"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            rows.map { case (docId, bin) =>
+              md.reset()
+              val hex = md.digest(bin).map("%02x".format(_)).mkString
+              val fs = (0 until 8).map(j =>
+                java.lang.Long.parseLong(hex.substring(2 * j, 2 * j + 2),
+                  16) - 128L)
+              MmFeat(docId, fs(0), fs(1), fs(2), fs(3), fs(4), fs(5),
+                fs(6), fs(7), fs.map(math.abs).sum)
+            }
+          }
+          .toDF()
+          .orderBy(col("doc_id"))
+      },
+      Some(Det.sql(s"""WITH f AS (
+        |  SELECT doc_id, ${(0 until 8).map(j =>
+             s"CAST(concat('0x', substring(md5(text), ${2 * j + 1}, 2)) " +
+               s"AS BIGINT) - 128 AS f$j").mkString(", ")}
+        |  FROM documents)
+        |SELECT doc_id, f0, f1, f2, f3, f4, f5, f6, f7,
+        |  abs(f0) + abs(f1) + abs(f2) + abs(f3) + abs(f4) + abs(f5)
+        |    + abs(f6) + abs(f7) AS feat_l1
+        |FROM f ORDER BY doc_id"""))),
   )
 }

@@ -754,6 +754,16 @@ class InvariantSpec extends AnyFunSuite {
     assert(r1.getAs[Long]("pair_freq") === bf)
   }
 
+  test("feature extraction: signed-byte range and L1 consistency") {
+    val rows = run("mm_feature_extract").collect()
+    assert(rows.length === Tables.table(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val fs = (0 until 8).map(j => r.getAs[Long](s"f$j"))
+      fs.foreach(f => assert(f >= -128L && f <= 127L))
+      assert(r.getAs[Long]("feat_l1") === fs.map(math.abs).sum)
+    }
+  }
+
   test("salted join equals the unsalted join it replaces") {
     import graft.Det
     val plain = Tables.table(spark, sf, "lineitem")
