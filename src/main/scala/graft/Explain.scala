@@ -30,7 +30,7 @@ object Explain {
     if (!skipExt) plans.GraftFunctions.register(spark)
     // comma-separated keys run in sequence in ONE session — reproduces
     // bench-order interaction effects a single-key run can't show
-    val keys = key.split(',').toSeq
+    val keys = key.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     keys.foreach { k =>
       val fn = SparkEntry.queries(k)
       println(s"=== $k @ $sfDir")

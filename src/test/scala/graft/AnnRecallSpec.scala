@@ -20,7 +20,9 @@ class AnnRecallSpec extends AnyFunSuite {
     val e = Tables.table(spark, sf, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val q = e.filter(col("vec_id") < 20)
+    // same query-selection rule as ivfSearch/ivfpqSearch: first 20 BY
+    // ORDER of vec_id, never `vec_id < n` (dense-0-based-id assumption)
+    val q = e.orderBy(col("vec_id")).limit(20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -76,7 +78,7 @@ class AnnRecallSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val e = df.select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val q = e.filter(col("vec_id") < 20)
+      val q = e.orderBy(col("vec_id")).limit(20)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
