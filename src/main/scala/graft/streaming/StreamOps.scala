@@ -33,6 +33,88 @@ final case class FunnelState(v_us: Long, c_us: Long, p_us: Long,
 /** A completed view→click→purchase funnel emitted by [[FunnelProcessor]]. */
 final case class FunnelHit(user_id: Long, v_us: Long, c_us: Long, p_us: Long)
 
+/** Event row with a real event-time column, for watermark-driven
+  * operators ([[TimerSessionProcessor]]). */
+final case class EvT(event_id: Long, ts_us: Long, user_id: Long,
+    event_type: String, value: Double, ts_t: java.sql.Timestamp)
+
+/** Open-session state for the timer-driven sessionizer: [[OpenSession]]
+  * plus the registered close deadline (event-time ms). */
+final case class OpenSessionT(start_us: Long, last_us: Long, ev_cnt: Long,
+    sum_cents: Long, deadline_ms: Long)
+
+/** Gap-based sessionizer on `transformWithState` with EVENT-TIME TIMERS —
+  * the production shape [[StreamOps.sessionizeWithState]]'s Scaladoc
+  * promises: a session with no successor event closes when the WATERMARK
+  * passes its gap deadline (`handleExpiredTimer`), not via sentinel
+  * flushes. Each batch re-registers the key's one timer at
+  * `last_us + gap`; a timer whose expiry no longer matches the state's
+  * deadline is stale (the session it guarded was already closed by a
+  * later event) and is ignored.
+  *
+  * Scale notes: one ValueState + one pending timer per ACTIVE user —
+  * state is bounded by concurrent sessions, not stream length; expired
+  * keys clear their state, so an idle user costs nothing.
+  */
+final class TimerSessionProcessor(gapMinutes: Int)
+    extends StatefulProcessor[Long, EvT, ClosedSession] {
+  private val gapUs = gapMinutes * 60L * 1000000L
+  @transient private var st: ValueState[OpenSessionT] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[OpenSessionT]("open",
+      Encoders.product[OpenSessionT], TTLConfig.NONE)
+
+  private def close(s: OpenSessionT, uid: Long): ClosedSession =
+    ClosedSession(uid, s.start_us, s.last_us - s.start_us, s.ev_cnt,
+      s.sum_cents / 100.0)
+
+  override def handleInputRows(uid: Long, rows: Iterator[EvT],
+      tv: TimerValues): Iterator[ClosedSession] = {
+    val closed = Seq.newBuilder[ClosedSession]
+    var open = if (st.exists()) Some(st.get()) else None
+    val prevDeadline = open.map(_.deadline_ms)
+    rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      val cents = math.round(e.value * 100)
+      open match {
+        case Some(s) if e.ts_us - s.last_us <= gapUs =>
+          open = Some(OpenSessionT(s.start_us, e.ts_us, s.ev_cnt + 1,
+            s.sum_cents + cents, (e.ts_us + gapUs) / 1000))
+        case Some(s) =>
+          closed += close(s, uid) // gap exceeded in-stream: close now
+          open = Some(OpenSessionT(e.ts_us, e.ts_us, 1, cents,
+            (e.ts_us + gapUs) / 1000))
+        case None =>
+          open = Some(OpenSessionT(e.ts_us, e.ts_us, 1, cents,
+            (e.ts_us + gapUs) / 1000))
+      }
+    }
+    open.foreach { s =>
+      st.update(s)
+      if (!prevDeadline.contains(s.deadline_ms)) {
+        prevDeadline.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.deadline_ms)
+      }
+    }
+    closed.result().iterator
+  }
+
+  override def handleExpiredTimer(uid: Long, tv: TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[ClosedSession] = {
+    if (st.exists()) {
+      val s = st.get()
+      // only the timer matching the CURRENT deadline closes the session;
+      // earlier-registered timers are stale survivors of in-stream closes
+      if (s.deadline_ms == info.getExpiryTimeInMs) {
+        st.clear()
+        return Iterator.single(close(s, uid))
+      }
+    }
+    Iterator.empty
+  }
+}
+
 /** Spark-4 `transformWithState` funnel detector — the streaming twin of the
   * batch `events_funnel` key (first-view < first-click < first-purchase,
   * strict). State is one [[FunnelState]] per user in the RocksDB state
@@ -212,6 +294,19 @@ object StreamOps {
     events.groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor, TimeMode.None(),
         OutputMode.Append())
+  }
+
+  /** Watermark-driven sessionization via `transformWithState` event-time
+    * timers (RocksDB state store required) — see
+    * [[TimerSessionProcessor]]. The input must carry a watermark on
+    * `ts_t`; sessions with no successor close when the watermark passes
+    * `last event + gap`. */
+  def sessionizeWithTimers(events: Dataset[EvT],
+      gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapMinutes),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** CDC keep-latest per (user_id, event_type) with explicit state

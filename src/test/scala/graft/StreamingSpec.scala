@@ -193,6 +193,70 @@ class StreamingSpec extends AnyFunSuite {
       .unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState timer sessionizer matches batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EvT
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = eventRows().sortBy(e => (e.ts_us, e.event_id))
+      def toT(e: graft.streaming.Ev): EvT = EvT(e.event_id, e.ts_us,
+        e.user_id, e.event_type, e.value,
+        new java.sql.Timestamp(e.ts_us / 1000))
+      val maxUs = rows.map(_.ts_us).max
+      val stream = MemoryStream[EvT]
+      val q = graft.streaming.StreamOps.sessionizeWithTimers(
+        stream.toDS().withWatermark("ts_t", "1 hour").as[EvT])
+        .writeStream.format("memory").queryName("tws_session_test")
+        .outputMode("append").start()
+      try {
+        rows.grouped(400).foreach { chunk =>
+          stream.addData(chunk.map(toT))
+          q.processAllAvailable()
+        }
+        // two far-future sentinel events for a synthetic user: the first
+        // advances the global watermark past every open deadline, the
+        // second triggers the batch in which those timers fire
+        Seq(10L, 20L).zipWithIndex.foreach { case (d, i) =>
+          stream.addData(Seq(toT(graft.streaming.Ev(-1L - i,
+            maxUs + d * 86400L * 1000000L, -1L, "sentinel", 0.0))))
+          q.processAllAvailable()
+        }
+        val streamed = spark.table("tws_session_test")
+          .filter(col("user_id") >= 0)
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("start_us"),
+            col("span_us"), col("ev_cnt"), col("sum_value"))))
+            .as("sessions"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        val gapUs = 30L * 60 * 1000000
+        val batch = Tables.table(spark, sf, "events")
+          .withColumn("new_s", when(col("ts_us") - lag("ts_us", 1).over(w)
+            > gapUs || lag("ts_us", 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("sid", sum("new_s").over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sid")
+          .agg(min("ts_us").as("start_us"),
+            (max("ts_us") - min("ts_us")).as("span_us"),
+            count(lit(1)).as("ev_cnt"),
+            (sum(expr("cast(round(value * 100) as bigint)")) / 100.0)
+              .as("sum_value"))
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("start_us"),
+            col("span_us"), col("ev_cnt"), col("sum_value"))))
+            .as("sessions"))
+        assert(streamed.count() === batch.count())
+        val diff = streamed.as("s").join(batch.as("b"), "user_id")
+          .filter(col("s.sessions") =!= col("b.sessions")).count()
+        assert(diff === 0, "timer-closed sessions must equal batch")
+      } finally q.stop()
+    } finally spark.conf
+      .unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("mapGroupsWithState keep-latest matches batch events_dedup_latest") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
