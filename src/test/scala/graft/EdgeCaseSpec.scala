@@ -208,4 +208,21 @@ class EdgeCaseSpec extends AnyFunSuite {
       assert(e >= 0.0 && e <= 1.0 && (e * 16) == math.round(e * 16))
     }
   }
+
+  test("Materialize.once keeps dirs distinct that sanitize identically") {
+    // '/x/sf-1' and '/x/sf_1' both sanitize to '_x_sf_1' — the md5 digest
+    // of the raw dir is what keeps their materialized paths apart
+    def write(v: Long)(path: String): Unit =
+      Seq((v, s"dir$v")).toDF("id", "tag")
+        .write.mode("overwrite").parquet(path)
+    val a = Materialize.once(spark, "edgecase", "/x/sf-1")(write(1L))
+    val b = Materialize.once(spark, "edgecase", "/x/sf_1")(write(2L))
+    assert(a.select("tag").head.getString(0) === "dir1")
+    assert(b.select("tag").head.getString(0) === "dir2")
+    // and the memo returns the SAME dataset on re-entry, not a rewrite
+    val a2 = Materialize.once(spark, "edgecase", "/x/sf-1") { _ =>
+      fail("second call for an already-written dir must not re-write")
+    }
+    assert(a2.select("id").head.getLong(0) === 1L)
+  }
 }
