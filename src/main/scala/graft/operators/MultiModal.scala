@@ -52,8 +52,7 @@ object MultiModal {
     // mapPartitions stage as the decode.
     Q("mm_transform_plan",
       (s, dir) => Tables.table(s, dir, "documents")
-        .withColumn("wh", expr(
-          "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn("wh", expr(PipelineOps.whExpr("text")))
         .withColumn("w", lit(32L) + pmod(col("wh"), lit(480)))
         .withColumn("h", lit(32L) + pmod(expr("wh DIV 480"), lit(480)))
         .withColumn("n_frames", lit(1L) + pmod(col("wh"), lit(30)))
@@ -65,13 +64,13 @@ object MultiModal {
             |  i -> cast((i * n_frames) DIV 8 as string)))""".stripMargin)
             .as("sampled_frames"))
         .orderBy(col("doc_id")),
-      Some(Det.sql("""WITH meta AS (
+      Some(Det.sql(s"""WITH meta AS (
         |  SELECT doc_id,
-        |    32 + CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |    32 + ${PipelineOps.sqlWh("text")}
         |      % 480 AS w,
-        |    32 + (CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |    32 + (${PipelineOps.sqlWh("text")}
         |      // 480) % 480 AS h,
-        |    1 + CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |    1 + ${PipelineOps.sqlWh("text")}
         |      % 30 AS n_frames
         |  FROM documents)
         |SELECT doc_id, w AS src_w, h AS src_h, n_frames,
@@ -102,16 +101,16 @@ object MultiModal {
       // holds for the mapPartitions implementation too.
       Some(graft.Det.sql(s"""SELECT doc_id,
         |octet_length(encode(text))::BIGINT AS n_bytes,
-        |CASE WHEN CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |CASE WHEN ${PipelineOps.sqlWh("text")}
         |       % 3 = 0 THEN 'image'
-        |     WHEN CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |     WHEN ${PipelineOps.sqlWh("text")}
         |       % 3 = 1 THEN 'audio'
         |     ELSE 'video' END AS kind,
-        |32 + CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |32 + ${PipelineOps.sqlWh("text")}
         |  % 480 AS meta_width,
-        |32 + (CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |32 + (${PipelineOps.sqlWh("text")}
         |  // 480) % 480 AS meta_height,
-        |1 + CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |1 + ${PipelineOps.sqlWh("text")}
         |  % 30 AS meta_frames
         |FROM documents ORDER BY doc_id"""))),
 
@@ -129,8 +128,7 @@ object MultiModal {
       (s, dir) => {
         val w = Window.partitionBy(col("kind")).orderBy(col("doc_id"))
         Tables.table(s, dir, "documents")
-          .withColumn("wh", expr(
-            "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"))
+          .withColumn("wh", expr(PipelineOps.whExpr("text")))
           .select(col("doc_id"),
             when(pmod(col("wh"), lit(3)) === 0, "image")
               .when(pmod(col("wh"), lit(3)) === 1, "audio")
@@ -142,12 +140,10 @@ object MultiModal {
             col("start_off"), expr("start_off DIV 4096").as("batch_id"))
           .orderBy(col("doc_id"))
       },
-      Some(Det.sql("""WITH m AS (
+      Some(Det.sql(s"""WITH m AS (
         |  SELECT doc_id,
-        |    CASE WHEN CAST(concat('0x', substring(md5(text), 1, 15))
-        |           AS BIGINT) % 3 = 0 THEN 'image'
-        |         WHEN CAST(concat('0x', substring(md5(text), 1, 15))
-        |           AS BIGINT) % 3 = 1 THEN 'audio'
+        |    CASE WHEN ${PipelineOps.sqlWh("text")} % 3 = 0 THEN 'image'
+        |         WHEN ${PipelineOps.sqlWh("text")} % 3 = 1 THEN 'audio'
         |         ELSE 'video' END AS kind,
         |    octet_length(encode(text))::BIGINT AS n_bytes
         |  FROM documents),
@@ -169,8 +165,7 @@ object MultiModal {
     // ratio (≤ 6 rows/video here) is what to budget, not the operator.
     Q("mm_frame_sample",
       (s, dir) => Tables.table(s, dir, "documents")
-        .withColumn("wh", expr(
-          "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn("wh", expr(PipelineOps.whExpr("text")))
         .filter(pmod(col("wh"), lit(3)) === 2) // decode stub: kind = video
         .withColumn("n_frames", lit(1L) + pmod(col("wh"), lit(30)))
         .select(col("doc_id"), col("n_frames"),
@@ -179,12 +174,12 @@ object MultiModal {
             .as("frame_idx"))
         .withColumn("frame_us", expr("frame_idx * 1000000 DIV 10"))
         .orderBy(col("doc_id"), col("frame_idx")),
-      Some(Det.sql("""WITH meta AS (
+      Some(Det.sql(s"""WITH meta AS (
         |  SELECT doc_id,
-        |    1 + CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |    1 + ${PipelineOps.sqlWh("text")}
         |      % 30 AS n_frames
         |  FROM documents
-        |  WHERE CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+        |  WHERE ${PipelineOps.sqlWh("text")}
         |    % 3 = 2),
         |f AS (
         |  SELECT doc_id, n_frames,

@@ -1696,13 +1696,16 @@ object PipelineOps {
 
     val qs = e.orderBy(col("vec_id")).limit(nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
+    // probe rows carry only (q_id, list_id): the 64-double query vector
+    // must NOT fan out over every candidate — it re-joins from the tiny
+    // broadcast qs frame for the <=20 reranked rows per query
     val qProbe = qs.crossJoin(broadcast(centDf))
       .withColumn("sim", dotc(col("qu"), col("cu")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("sim").desc, col("list_id").asc)))
       .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("qu"), col("list_id"))
+      .select(col("q_id"), col("list_id"))
 
     // per-query LUT: nQueries × m × k partial dot products — tiny, and
     // the only place query subvectors meet centroids
@@ -1736,10 +1739,11 @@ object PipelineOps {
         Window.partitionBy(col("q_id"))
           .orderBy(col("approx_sim").desc, col("vec_id").asc)))
       .filter(col("arn") <= 20)
-      .select(col("q_id"), col("qu"), col("vec_id"), col("list_id"),
+      .select(col("q_id"), col("vec_id"), col("list_id"),
         col("approx_sim"))
     shortlist
       .join(e.select(col("vec_id"), col("u")), "vec_id")
+      .join(broadcast(qs), "q_id") // qu recovered for <=20 rows/query
       .withColumn("cos_sim", dotc(col("qu"), col("u")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id"))

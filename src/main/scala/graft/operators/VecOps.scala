@@ -163,7 +163,9 @@ object VecOps {
         graft.plans.GraftFunctions.register(s)
         val e = Tables.table(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").as("v"))
-        val q = e.filter(col("vec_id") < 8)
+        // first 8 BY ORDER of vec_id, never `vec_id < n` (dense-id
+        // assumption — the PQ-init lesson); oracle mirrors the rule
+        val q = e.orderBy(col("vec_id")).limit(8)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
@@ -182,7 +184,7 @@ object VecOps {
       },
       Some(sql(s"""WITH q AS (
         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
-        |  FROM embeddings WHERE vec_id < 8),
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |scored AS (
         |  SELECT q.q_id, e.vec_id,

@@ -74,19 +74,28 @@ final class TimerSessionProcessor(gapMinutes: Int)
     val closed = Seq.newBuilder[ClosedSession]
     var open = if (st.exists()) Some(st.get()) else None
     val prevDeadline = open.map(_.deadline_ms)
+    // deadline is CEILING-ms of last + gap: floor truncation would let
+    // the timer fire up to 999 µs before the inclusive gap boundary the
+    // merge branch honors, splitting a boundary event into a new session
+    def deadline(lastUs: Long): Long = (lastUs + gapUs + 999) / 1000
     rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
       val cents = math.round(e.value * 100)
       open match {
         case Some(s) if e.ts_us - s.last_us <= gapUs =>
-          open = Some(OpenSessionT(s.start_us, e.ts_us, s.ev_cnt + 1,
-            s.sum_cents + cents, (e.ts_us + gapUs) / 1000))
+          // a late-but-within-gap event must never REWIND the session:
+          // extend the bounds (min start, max last) instead. (A late
+          // event more than gap BEFORE the open session still diverges
+          // from the batch global sort — the price of O(1) state.)
+          val lastU = math.max(s.last_us, e.ts_us)
+          open = Some(OpenSessionT(math.min(s.start_us, e.ts_us), lastU,
+            s.ev_cnt + 1, s.sum_cents + cents, deadline(lastU)))
         case Some(s) =>
           closed += close(s, uid) // gap exceeded in-stream: close now
           open = Some(OpenSessionT(e.ts_us, e.ts_us, 1, cents,
-            (e.ts_us + gapUs) / 1000))
+            deadline(e.ts_us)))
         case None =>
           open = Some(OpenSessionT(e.ts_us, e.ts_us, 1, cents,
-            (e.ts_us + gapUs) / 1000))
+            deadline(e.ts_us)))
       }
     }
     open.foreach { s =>
@@ -224,7 +233,9 @@ object StreamOps {
             val cents = math.round(e.value * 100)
             open match {
               case Some(s) if e.ts_us - s.last_us <= gapUs =>
-                open = Some(OpenSession(s.start_us, e.ts_us,
+                // extend, never rewind, on a late-but-within-gap event
+                open = Some(OpenSession(math.min(s.start_us, e.ts_us),
+                  math.max(s.last_us, e.ts_us),
                   s.ev_cnt + 1, s.sum_cents + cents))
               case Some(s) =>
                 closed += ClosedSession(uid, s.start_us,

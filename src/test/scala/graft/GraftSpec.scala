@@ -425,13 +425,12 @@ class InvariantSpec extends AnyFunSuite {
       val ss = dup.map { case (id, _) => sigOf(id) }.distinct
       assert(ss.size === 1, "duplicate texts with differing signatures")
     }
-    // estimator sanity: identical docs estimate J=1; the estimator equals
-    // matching-minima fraction, so any two distinct-text docs estimate < 1
-    // only if some minimum differs — spot-check the first few pairs
-    val distinct = byText.groupBy(_._2).values.filter(_.size == 1)
-      .flatten.take(4).map(_._1).toSeq
-    for (a <- distinct; b <- distinct if a < b)
-      assert(sigOf(a) !== sigOf(b))
+    // estimator sanity: NOT all signatures collapse to one value. (Two
+    // DISTINCT texts with equal signatures are legitimate minhash
+    // behavior — that collision rate is exactly what est_jaccard < 1
+    // measures — so per-pair inequality must not be asserted.)
+    assert(sigs.map(_._2).distinct.length > 1,
+      "all minhash signatures identical — hashing is broken")
   }
 
   test("banded CW pairs: est in (0,1], dup texts pair at exactly 1.0") {
@@ -474,7 +473,11 @@ class InvariantSpec extends AnyFunSuite {
   test("brute-force ANN: exactly k neighbors, self excluded, cos in range") {
     val rows = run("vec_ann_brute").collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
-    assert(byQ.keySet === (0L until 8L).toSet)
+    // query set = the 8 smallest vec_ids (the operators' order/limit rule)
+    val expectedQ = Tables.table(spark, sf, "embeddings")
+      .orderBy(col("vec_id")).limit(8)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(byQ.keySet === expectedQ)
     byQ.foreach { case (q, rs) =>
       assert(rs.map(_.getAs[Long]("rn")).sorted.toSeq === (1L to 5L))
       rs.foreach { r =>
