@@ -194,25 +194,29 @@ object Joins {
         |ORDER BY a.user_id, a_event_id, b_event_id"""))),
 
     // As-of: for each event, the user's latest order at-or-before the event
-    // time (equi-join + row_number=1 — DuckDB's native ASOF JOIN breaks
-    // o_orderdate ties arbitrarily, so the oracle uses the same
-    // deterministic window formulation).
+    // time. "Latest" = the lexicographic max of (o_orderdate, o_orderkey),
+    // computed as a struct-max HASH AGGREGATE keyed by event — partial
+    // aggregation collapses each event's qualifying orders map-side, so
+    // the shuffle carries one row per event instead of the full
+    // event×orders fan-out a row_number window would sort (VERDICT r6).
+    // DuckDB's native ASOF JOIN breaks o_orderdate ties arbitrarily, so
+    // the oracle keeps the deterministic window formulation; the struct
+    // max picks the identical pair.
     Q("join_asof",
       (s, dir) => {
         val e = Tables.table(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("ts_us"))
         val o = Tables.table(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-        val w = Window.partitionBy(col("event_id"))
-          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
         // o_orderdate is TIMESTAMP_NTZ; session tz is UTC, so this cast is
         // the identity mapping to the instant DuckDB's epoch_us sees.
         e.join(o, col("user_id") === col("o_custkey")
             && unix_micros(col("o_orderdate").cast("timestamp")) <= col("ts_us"))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") === 1)
-          .select(col("event_id"), col("user_id"), col("o_orderkey"),
-            day(col("o_orderdate")).as("order_day"))
+          .groupBy(col("event_id"), col("user_id"))
+          .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+          .select(col("event_id"), col("user_id"),
+            col("m.o_orderkey").as("o_orderkey"),
+            day(col("m.o_orderdate")).as("order_day"))
           .orderBy(col("event_id"))
       },
       Some(sql(s"""SELECT event_id, user_id, o_orderkey, order_day FROM (

@@ -1469,6 +1469,10 @@ object PipelineOps {
         .orderBy(col("sub"), col("vec_id")).collect()
         .map(r => (r.getAs[Int]("sub"), r.getSeq[Double](2)))
         .groupBy(_._1)
+      // Degenerate inputs must fail with a clear message, not a
+      // divide-by-zero inside the rows(code % rows.length) cycle (ADVICE r6)
+      require(firstK.nonEmpty,
+        "pqCodebook needs at least one input vector to seed centroids")
       var c: Seq[(Int, Int, Seq[Double])] =
         firstK.toSeq.flatMap { case (subId, rows) =>
           (0 until k).map(code => (subId, code, rows(code % rows.length)._2))
