@@ -33,4 +33,22 @@ with open("OPERATORS.md", "w") as out:
     for k, loc in entries:
         mark = "✅" if k in oracle else "⛔ (tests)"
         out.write(f"| `{k}` | `{loc}` | {mark} |\n")
+    out.write("""
+## Streaming surface (not registry keys — Verify/t2 is batch-only)
+
+`graft.streaming.StreamOps` entry points, each checked against its batch
+twin by StreamingSpec (MemoryStream) and StreamingFileSpec (parquet file
+source, sf0.01). Contracts that matter beyond the Scaladoc:
+
+| entry point | batch twin | contract |
+|---|---|---|
+| `tumblingCounts` | `events_tumbling_window` | exact-cents sums; 2 h watermark |
+| `sessionCounts` | `events_sessionization` | `session_window` gap algebra |
+| `sessionizeWithState` | `events_sessionization` | O(1) state/user; a late event > gap BEFORE the open session diverges from the batch global sort |
+| `sessionizeWithTimers` | `events_sessionization` | event-time timers close idle sessions at watermark; same late-event caveat |
+| `funnelFirstCompletion` | `events_funnel` | **in-order input precondition**: the hit latch fires the first micro-batch `v<c<p` holds and is never retracted, so an out-of-order late stage event (e.g. a click replayed with an earlier ts) can invalidate the batch funnel after the streamed hit was emitted — equality with the batch key is promised only for event-time-ordered arrival |
+| `dedupById` | `events_dedup_latest` family | state bounded by the watermark horizon |
+| `attributionPairs` | `events_attribution` | watermarked stream-stream interval join |
+| `latestPerKey` | `events_dedup_latest` | update-mode CDC keep-latest |
+""")
 print(f"{len(entries)} keys -> OPERATORS.md")

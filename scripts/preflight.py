@@ -119,6 +119,9 @@ EXEMPT_UNROUNDED = {
     "vec_ann_brute",       # same fold/sqrt shape as vec_cosine_pairs
     "vec_knn_per_label",   # fold over exact-decimal centroid components
     "vec_dedup_threshold", # fold of pre-normalized components
+    "vec_ann_ivf_fixed",   # folds/sqrt over normalized vectors + an
+                           # exact-integer-formula codebook (AnnFixed)
+    "vec_ann_ivfpq_fixed", # same class; LUT sums in fixed l-to-r order
     "vec_matryoshka_prefix",  # sqrt(fold) over embedding prefixes
     "text_domain_mix",     # sqrt(division of identical exact BIGINTs)
 }

@@ -16,6 +16,7 @@ object Registry {
       operators.EventOps.qs ++
       operators.TextOps.qs ++
       operators.VecOps.qs ++
+      operators.AnnFixed.qs ++
       operators.PipelineOps.qs ++
       operators.TypedOps.qs ++
       operators.Layouts.qs ++

@@ -157,7 +157,14 @@ final class FunnelProcessor extends StatefulProcessor[Long, Ev, FunnelHit] {
         case _          => ()
       }
     }
-    val fires = !s.emitted && s.v_us < s.c_us && s.c_us < s.p_us
+    // p_us must be a REAL purchase: against the MaxValue "unseen" sentinel
+    // `c_us < p_us` is vacuously true and the latch would fire on v<c
+    // alone, emitting a hit whose purchase never happened (caught by the
+    // sf0.01 file-source replay — users whose purchase arrives long after
+    // their first view<click). v/c need no guard: v_us < c_us is false
+    // unless both are real.
+    val fires = !s.emitted && s.p_us != Long.MaxValue &&
+      s.v_us < s.c_us && s.c_us < s.p_us
     if (fires) s = s.copy(emitted = true)
     if (s != init) st.update(s)
     if (fires) Iterator.single(FunnelHit(uid, s.v_us, s.c_us, s.p_us))

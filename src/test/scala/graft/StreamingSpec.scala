@@ -79,33 +79,9 @@ class StreamingSpec extends AnyFunSuite {
       }
       stream.addData(sentinels)
       q.processAllAvailable()
-      val streamed = spark.table("fmgws_test")
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(struct(col("start_us"), col("span_us"),
-          col("ev_cnt"), col("sum_value")))).as("sessions"))
-      // batch truth recomputed with session starts
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id")
-        .orderBy(col("ts_us").asc, col("event_id").asc)
-      val gapUs = 30L * 60 * 1000000
-      val batch = Tables.table(spark, sf, "events")
-        .withColumn("new_s", when(col("ts_us") - lag("ts_us", 1).over(w)
-          > gapUs || lag("ts_us", 1).over(w).isNull, 1L).otherwise(0L))
-        .withColumn("sid", sum("new_s").over(w.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-        .groupBy("user_id", "sid")
-        .agg(min("ts_us").as("start_us"),
-          (max("ts_us") - min("ts_us")).as("span_us"),
-          count(lit(1)).as("ev_cnt"),
-          (sum(expr("cast(round(value * 100) as bigint)")) / 100.0)
-            .as("sum_value"))
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(struct(col("start_us"), col("span_us"),
-          col("ev_cnt"), col("sum_value")))).as("sessions"))
-      val diff = streamed.as("s").join(batch.as("b"), "user_id")
-        .filter(col("s.sessions") =!= col("b.sessions")).count()
-      assert(diff === 0)
-      assert(streamed.count() === batch.count())
+      // batch truth shared with the file-source suite
+      StreamTestUtil.assertSessionsMatchBatch(spark, sf,
+        spark.table("fmgws_test"))
     } finally q.stop()
   }
 
@@ -168,9 +144,7 @@ class StreamingSpec extends AnyFunSuite {
   test("transformWithState funnel matches batch events_funnel") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    StreamTestUtil.withRocksDb(spark) {
       val rows = eventRows().sortBy(e => (e.ts_us, e.event_id))
       val stream = MemoryStream[Ev]
       val q = StreamOps.funnelFirstCompletion(stream.toDS())
@@ -189,17 +163,14 @@ class StreamingSpec extends AnyFunSuite {
         assert(streamed.nonEmpty)
         assert(streamed === batch)
       } finally q.stop()
-    } finally spark.conf
-      .unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("transformWithState timer sessionizer matches batch sessionization") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.streaming.EvT
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    StreamTestUtil.withRocksDb(spark) {
       val rows = eventRows().sortBy(e => (e.ts_us, e.event_id))
       def toT(e: graft.streaming.Ev): EvT = EvT(e.event_id, e.ts_us,
         e.user_id, e.event_type, e.value,
@@ -223,38 +194,10 @@ class StreamingSpec extends AnyFunSuite {
             maxUs + d * 86400L * 1000000L, -1L, "sentinel", 0.0))))
           q.processAllAvailable()
         }
-        val streamed = spark.table("tws_session_test")
-          .filter(col("user_id") >= 0)
-          .groupBy("user_id")
-          .agg(sort_array(collect_list(struct(col("start_us"),
-            col("span_us"), col("ev_cnt"), col("sum_value"))))
-            .as("sessions"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id")
-          .orderBy(col("ts_us").asc, col("event_id").asc)
-        val gapUs = 30L * 60 * 1000000
-        val batch = Tables.table(spark, sf, "events")
-          .withColumn("new_s", when(col("ts_us") - lag("ts_us", 1).over(w)
-            > gapUs || lag("ts_us", 1).over(w).isNull, 1L).otherwise(0L))
-          .withColumn("sid", sum("new_s").over(w.rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-          .groupBy("user_id", "sid")
-          .agg(min("ts_us").as("start_us"),
-            (max("ts_us") - min("ts_us")).as("span_us"),
-            count(lit(1)).as("ev_cnt"),
-            (sum(expr("cast(round(value * 100) as bigint)")) / 100.0)
-              .as("sum_value"))
-          .groupBy("user_id")
-          .agg(sort_array(collect_list(struct(col("start_us"),
-            col("span_us"), col("ev_cnt"), col("sum_value"))))
-            .as("sessions"))
-        assert(streamed.count() === batch.count())
-        val diff = streamed.as("s").join(batch.as("b"), "user_id")
-          .filter(col("s.sessions") =!= col("b.sessions")).count()
-        assert(diff === 0, "timer-closed sessions must equal batch")
+        StreamTestUtil.assertSessionsMatchBatch(spark, sf,
+          spark.table("tws_session_test"))
       } finally q.stop()
-    } finally spark.conf
-      .unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("mapGroupsWithState keep-latest matches batch events_dedup_latest") {
