@@ -164,6 +164,69 @@ def audit(con, oracle):
     return fails
 
 
+def bpe_ref(con, rounds=8):
+    """Independent reference BPE (tooling, not engine — VERDICT r6 task 5):
+    replay the same [a-z]+ (word, freq) dict the engine trains on, count
+    adjacent symbol pairs weighted by word freq, merge the most frequent
+    pair (ties to the lexicographically smallest (l, r)) greedily
+    left-to-right non-overlapping, for `rounds` rounds."""
+    words = con.execute("""
+        SELECT word, count(*) FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word""").fetchall()
+    seqs = {tuple(w): f for w, f in words}
+    merges = []
+    for r in range(1, rounds + 1):
+        pf = {}
+        for syms, f in seqs.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pf[p] = pf.get(p, 0) + f
+        if not pf:
+            break
+        maxf = max(pf.values())
+        l, rr = min(p for p, f in pf.items() if f == maxf)
+        merges.append((r, l, rr, l + rr, maxf))
+        new = {}
+        for syms, f in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == rr):
+                    out.append(l + rr)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new[t] = new.get(t, 0) + f
+        seqs = new
+    return merges
+
+
+def bpe_differential(con, out):
+    """Compare the engine's text_bpe_merges dump against [[bpe_ref]];
+    returns the number of failures (0 == every merge round identical)."""
+    files = sorted(glob.glob(os.path.join(out, "text_bpe_merges",
+                                          "*.parquet")))
+    if not files:
+        return 0  # key absent from this (possibly filtered) dump
+    sdf = con.execute("SELECT * FROM read_parquet(?) ORDER BY rank",
+                      [files]).fetchall()
+    ref = bpe_ref(con)
+    engine = [tuple(r) for r in sdf]
+    if engine != ref:
+        drift = next((i for i, (a, b) in enumerate(zip(engine, ref))
+                      if a != b), min(len(engine), len(ref)))
+        print(f"AUDIT-FAIL text_bpe_merges         differential BPE drift "
+              f"at round {drift + 1}: engine={engine[drift:drift+1]} "
+              f"ref={ref[drift:drift+1]}")
+        return 1
+    print(f"audit text_bpe_merges          {len(ref)} merge rounds match "
+          "the reference replay")
+    return 0
+
+
 def compare(key, sdf, odf):
     problems = []
     if len(sdf) != len(odf):
@@ -246,6 +309,7 @@ def main():
         print(f"FAIL {key:28s} oracle declared but no Verify output")
         n_fail += 1
     n_fail += audit(con, oracle)
+    n_fail += bpe_differential(con, out)
     print(f"\n{n_pass} pass / {n_fail} fail (sf={sf})")
     sys.exit(1 if n_fail else 0)
 

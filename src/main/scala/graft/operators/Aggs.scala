@@ -104,6 +104,33 @@ object Aggs {
       },
       None),
 
+    // The exact half of agg_hll_merge, hash-checked (VERDICT r6 task 4):
+    // per-shard exact distinct words plus the whole-corpus __ALL__ row —
+    // the ground truth the sketch estimates are graded against in
+    // InvariantSpec. Splitting it out gives the shard-distinct frame a
+    // driver-side oracle while the engine-specific sketch bytes stay
+    // rows-only above.
+    Q("agg_hll_merge_exact",
+      (s, dir) => {
+        val tok = Tables.table(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        tok.groupBy(col("source"))
+          .agg(countDistinct(col("word")).as("exact_distinct"))
+          .unionByName(tok
+            .agg(countDistinct(col("word")).as("exact_distinct"))
+            .select(lit("__ALL__").as("source"), col("exact_distinct")))
+          .orderBy(col("source"))
+      },
+      Some(sql("""WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word
+        |  FROM documents)
+        |SELECT source, count(DISTINCT word)::BIGINT AS exact_distinct
+        |FROM tok GROUP BY source
+        |UNION ALL
+        |SELECT '__ALL__' AS source, count(DISTINCT word)::BIGINT
+        |FROM tok
+        |ORDER BY source"""))),
+
     Q("agg_filtered",
       (s, dir) => Tables.table(s, dir, "supplier")
         .groupBy(col("s_nationkey"))

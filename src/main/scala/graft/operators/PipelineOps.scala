@@ -1358,10 +1358,19 @@ object PipelineOps {
 
   /** The 8-round BPE training loop behind `text_bpe_merges`, memoized per
     * (session, dir) so Verify/Bench/tests repeating the key pay training
-    * once (the codebookCache discipline). Symbols come from corpus text,
-    * so the merge regex quotes BOTH the pattern (`Pattern.quote`) and the
-    * replacement (`Matcher.quoteReplacement`) — a metacharacter in a
-    * winning pair must merge literally, not crash or mis-match. */
+    * once (the codebookCache discipline). The symbol alphabet is the
+    * DOCUMENTED [a-z]+: words outside it are dropped before training
+    * (inert on the fixtures — every token matches — but it makes the
+    * lexicographic tie-break well-defined: Spark's orderBy compares UTF-8
+    * bytes while the reference replay compares code points, and the two
+    * orders only agree on ASCII; ADVICE r6). The merge regex still quotes
+    * BOTH the pattern (`Pattern.quote`) and the replacement
+    * (`Matcher.quoteReplacement`) defensively — merged multi-char symbols
+    * must merge literally, not crash or mis-match.
+    *
+    * Training is differentially tested: `scripts/preflight.py` replays
+    * the same (word, freq) dict through an independent pure-Python BPE
+    * and asserts all 8 merge rounds identical (VERDICT r6 task 5). */
   private[graft] def bpeMerges(s: SparkSession,
       dir: String): Seq[(Long, String, String, String, Long)] = {
     val sessionCache = bpeCache.computeIfAbsent(s,
@@ -1373,6 +1382,7 @@ object PipelineOps {
       // keeps a trailing empty element — filter it); checkpointed so
       // round 1's argmax and first merge don't tokenize the corpus twice
       var cur = tokensOf(s, dir)
+        .filter(col("word").rlike("^[a-z]+$"))
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
         .select(concat(lit(" "), concat_ws(" ",
           expr("filter(split(word, ''), x -> x <> '')")), lit(" "))
