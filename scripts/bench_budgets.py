@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Shuffle-byte budget gate over bench_detail.json (VERDICT r6 task 7).
+
+Seconds on this box swing with host scheduling noise, but shuffle BYTES are
+a property of the plan: a lost broadcast, an unpushed filter, or a dropped
+partial aggregation shows up as a byte jump long before it is visible over
+the timing noise. This gate pins the 10 biggest shufflers (plus two global
+invariants) so a plan regression fails loudly.
+
+Usage: python3 scripts/bench_budgets.py [bench_detail.json]
+
+Budgets are per-key shuffle_write_bytes upper bounds at sf0.1, set ~1.5-2x
+above the round-7 measured values (bytes are stable run-to-run; headroom
+covers AQE coalescing variation, not plan changes). Only enforced when the
+detail file's _meta.sf is an sf0.1 run — at smaller SFs the bounds would
+pass trivially and mean nothing. The two global invariants always run:
+zero failed_runs and zero disk spill anywhere.
+"""
+import json
+import sys
+
+# key -> max shuffle_write_bytes at sf0.1 (round-7 measured value in the
+# comment; regenerate deliberately when a key's plan legitimately changes)
+BUDGETS = {
+    "text_ngram_jaccard":    35_000_000,  # 23.0 MB
+    "join_broadcast_hash":   27_000_000,  # 17.7 MB (result-sort exchange)
+    "window_first_last":     22_000_000,  # 14.5 MB
+    "join_sort_merge":       22_000_000,  # 14.4 MB
+    "window_nth_value":      22_000_000,  # 14.3 MB
+    "scalar_math":           16_000_000,  # 10.2 MB
+    "project_arithmetic":    15_000_000,  #  9.5 MB
+    "filter_null_semantics": 13_000_000,  #  8.2 MB
+    "join_skew_salted":      13_000_000,  #  8.0 MB
+    "window_running_sum":    12_000_000,  #  7.6 MB
+}
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else "bench_detail.json"
+    detail = json.load(open(path))
+    meta = detail.pop("_meta", {})
+    fails = 0
+    for key, d in sorted(detail.items()):
+        if d.get("failed_runs", 0):
+            print(f"BUDGET-FAIL {key:28s} failed_runs={d['failed_runs']}")
+            fails += 1
+        if d.get("disk_spill_bytes", 0):
+            print(f"BUDGET-FAIL {key:28s} "
+                  f"disk_spill_bytes={d['disk_spill_bytes']} (budget: 0)")
+            fails += 1
+    sf = meta.get("sf", "")
+    if not sf.rstrip("/").endswith("sf0.1"):
+        print(f"budgets: byte budgets skipped ({path} is from "
+              f"sf={sf or 'unknown'}, bounds are calibrated for sf0.1); "
+              f"global zero-failure/zero-spill invariants checked")
+        sys.exit(1 if fails else 0)
+    for key, budget in sorted(BUDGETS.items()):
+        if key not in detail:
+            print(f"BUDGET-FAIL {key:28s} missing from {path} "
+                  "(key renamed? update BUDGETS)")
+            fails += 1
+            continue
+        w = detail[key]["shuffle_write_bytes"]
+        if w > budget:
+            print(f"BUDGET-FAIL {key:28s} shuffle_write={w} > {budget} — "
+                  "plan regression (lost broadcast / unpushed filter / "
+                  "lost partial agg)?")
+            fails += 1
+        else:
+            print(f"budget {key:28s} shuffle_write={w:>10} <= {budget}")
+    print(f"\nbudgets: {fails} failure(s)")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

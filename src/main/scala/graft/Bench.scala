@@ -75,18 +75,29 @@ object Bench {
       val samples = (1 to RUNS).map { _ =>
         drainListeners()
         val before = metrics.snapshot()
+        // Plan vs exec split (VERDICT r6 task 8): toRdd pays analysis +
+        // optimization + physical planning + codegen; count() pays the
+        // actual run. The split quantifies the per-query scheduling/plan
+        // floor, so cross-host comparisons can subtract it instead of
+        // guessing. toRdd executes THIS physical plan (sorts, projections
+        // and all); df.count() would let Catalyst prune the operator
+        // under test.
         val t0 = System.nanoTime()
-        // toRdd executes THIS physical plan (sorts, projections and all);
-        // df.count() would let Catalyst prune the operator under test.
-        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-          catch { case e: Throwable =>
+        var t1 = t0
+        val ok = try {
+          val rdd = fn(spark, sfDir).queryExecution.toRdd
+          t1 = System.nanoTime()
+          rdd.count(); true
+        } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false }
-        val elapsed = (System.nanoTime() - t0) / 1e9
+        val t2 = System.nanoTime()
         drainListeners()
         val after = metrics.snapshot()
-        (if (ok) elapsed else -1.0,
-          after._1 - before._1, after._2 - before._2, after._3 - before._3)
+        (if (ok) (t2 - t0) / 1e9 else -1.0,
+          (after._1 - before._1, after._2 - before._2,
+            after._3 - before._3),
+          (t1 - t0) / 1e9, (t2 - t1) / 1e9)
       }
       val sorted = samples.sortBy(_._1)
       val med = sorted(RUNS / 2)
@@ -98,19 +109,24 @@ object Bench {
       val failed = RUNS - good.size
       val (minS, maxS) =
         if (good.isEmpty) (-1.0, -1.0) else (good.head._1, good.last._1)
+      val (planS, execS) = if (sec < 0) (-1.0, -1.0) else (med._3, med._4)
       detail += s"""  "$name": {"sec": $sec, """ +
         s""""min_sec": $minS, "max_sec": $maxS, "failed_runs": $failed, """ +
-        s""""shuffle_write_bytes": ${med._2}, """ +
-        s""""shuffle_read_bytes": ${med._3}, """ +
-        s""""disk_spill_bytes": ${med._4}}"""
+        s""""plan_sec": $planS, "exec_sec": $execS, """ +
+        s""""shuffle_write_bytes": ${med._2._1}, """ +
+        s""""shuffle_read_bytes": ${med._2._2}, """ +
+        s""""disk_spill_bytes": ${med._2._3}}"""
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // _meta first: scripts/bench_budgets.py only enforces its sf0.1
+    // budgets when the detail file actually came from an sf0.1 run.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      detail.result().mkString("{\n", ",\n", "\n}\n"))
+      (Seq(s"""  "_meta": {"sf": "$sfDir", "cpus": $cpus, "runs": $RUNS}""")
+        ++ detail.result()).mkString("{\n", ",\n", "\n}\n"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

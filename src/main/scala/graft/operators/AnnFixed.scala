@@ -31,8 +31,10 @@ import org.apache.spark.sql.functions._
   * join, the LUT lookup arithmetic, the shortlist window, or the rerank
   * join now fails the driver's hash gate instead of only AnnRecallSpec.
   *
-  * Scale shape is the trained keys': codebooks broadcast (they are KB),
-  * probe rows carry only (q_id, list_id), candidates are scored from m
+  * Scale shape is the trained keys': list assignment and PQ codes are
+  * ONE map-side projection over literal codebook arrays (no corpus
+  * shuffle anywhere — see [[PipelineOps]]'s nearestListMap rationale),
+  * the tiny probe/LUT frames broadcast, candidates are scored from m
   * `element_at` lookups into one flat LUT array, and raw vectors are
   * touched only for the ≤20 reranked rows per query.
   */
@@ -64,14 +66,30 @@ object AnnFixed {
                  "embedding::DOUBLE[]")})) AS u
        |  FROM embeddings)"""
 
-  /** 4 unit-normalized coarse centroids from the integer formula. */
-  private def coarseCb(s: SparkSession): DataFrame =
-    s.range(0, 4).select(col("id").as("list_id"),
-        expr("transform(sequence(1, 64), " +
-          "j -> CAST((id * 31 + j * 17) % 7 - 3 AS DOUBLE))").as("cv"))
-      .withColumn("cu", transform(col("cv"),
-        x => x / sqrt(dot(col("cv"), col("cv")))))
-      .select(col("list_id"), col("cu"))
+  /** The 4 unit-normalized coarse centroids, computed DRIVER-SIDE from
+    * the integer formula: the fold runs left-to-right like graft_dot /
+    * list_reduce, and Math.sqrt / division are IEEE-correctly-rounded,
+    * so these doubles are bit-identical to both engines' in-plan
+    * normalization of the same integers. */
+  private val coarseCu: Seq[Seq[Double]] = (0 until 4).map { l =>
+    val cv = (1 to 64).map(j => ((l * 31 + j * 17) % 7 - 3).toDouble)
+    val n = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+    cv.map(_ / n)
+  }
+
+  /** Same centroids as a 4-row frame, for the probe-selection window. */
+  private def coarseCb(s: SparkSession): DataFrame = {
+    import s.implicits._
+    coarseCu.zipWithIndex.map { case (cu, l) => (l.toLong, cu) }
+      .toDF("list_id", "cu")
+  }
+
+  /** PQ codebook cells in (sub·4 + code) order: exact integers over 8
+    * (a power of two), bit-identical to the oracle's in-SQL formula. */
+  private val pqCells: Seq[Seq[Double]] =
+    (for (s0 <- 0 until 4; c <- 0 until 4) yield
+      (1 to 16).map(j =>
+        ((s0 * 5 + c * 3 + j * 11) % 7 - 3) / 8.0).toSeq).toSeq
 
   private val sqlCoarseCb =
     s"""cb AS (SELECT l AS list_id,
@@ -83,15 +101,15 @@ object AnnFixed {
        |  FROM cb)"""
 
   /** Nearest coarse list per vector (argmax cosine, ties to the smallest
-    * list_id), u carried through for the scoring stage. */
-  private def assign(e: DataFrame, cb: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cb))
-      .withColumn("sim", dot(col("u"), col("cu")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("sim"), (-col("list_id")).as("negl"),
-        col("list_id").as("list_id"), col("u").as("u"))).as("m"))
-      .select(col("vec_id"), col("m.list_id").as("list_id"),
-        col("m.u").as("u"))
+    * list_id), u carried through for the scoring stage. Computed
+    * MAP-SIDE over the literal centroids — no crossJoin, no corpus
+    * shuffle; `array_position` picks the FIRST max, i.e. the smallest
+    * list_id, exactly the oracle window's `sim DESC, list_id ASC`. */
+  private def assign(e: DataFrame): DataFrame = {
+    val sims = array(coarseCu.map(cu => dot(col("u"), typedLit(cu))): _*)
+    e.withColumn("list_id",
+      (array_position(sims, array_max(sims)) - 1).cast("long"))
+  }
 
   private val sqlAssign =
     s"""assign AS (SELECT vec_id, list_id, u FROM (
@@ -129,12 +147,11 @@ object AnnFixed {
     Q("vec_ann_ivf_fixed",
       (s, dir) => {
         val e = normed(s, dir)
-        val cb = coarseCb(s)
-        val a = assign(e, cb)
-        val (q, probe) = probeOf(e, cb)
+        val a = assign(e)
+        val (q, probe) = probeOf(e, coarseCb(s))
         val wTop = Window.partitionBy(col("q_id"))
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
-        probe.join(a, "list_id")
+        broadcast(probe).join(a, "list_id")
           .filter(col("vec_id") =!= col("q_id"))
           .join(broadcast(q), "q_id")
           .withColumn("cos_sim", dot(col("qu"), col("u")))
@@ -169,33 +186,33 @@ object AnnFixed {
     // query reranked by exact cosine, top-3 emitted.
     Q("vec_ann_ivfpq_fixed",
       (s, dir) => {
+        import s.implicits._
         val e = normed(s, dir)
-        val cb = coarseCb(s)
-        val a = assign(e, cb)
-        val (q, probe) = probeOf(e, cb)
-        // PQ codebook: m=4 subspaces × k=4 codes over 16-dim subvectors
-        val pcb = s.range(0, 16).select(
-          expr("CAST(id DIV 4 AS INT)").as("sub"),
-          expr("CAST(id % 4 AS INT)").as("code"),
-          expr("transform(sequence(1, 16), j -> CAST((" +
-            "(id DIV 4) * 5 + (id % 4) * 3 + j * 11) % 7 - 3 AS DOUBLE)" +
-            " / 8.0)").as("cv"))
-          .withColumn("cnorm2", dot(col("cv"), col("cv")))
-        // per-(vector, subspace) nearest code: argmin |c|² − 2x·c
-        val codes = e
-          .select(col("vec_id"), posexplode(expr(
-            "transform(sequence(0, 3), j -> slice(u, j * 16 + 1, 16))"))
-            .as(Seq("sub", "sv")))
-          .join(broadcast(pcb), "sub")
-          .withColumn("cost",
-            col("cnorm2") - lit(2.0) * dot(col("sv"), col("cv")))
-          .groupBy(col("vec_id"), col("sub"))
-          .agg(min(struct(col("cost"), col("code"))).as("mc"))
-          .groupBy(col("vec_id"))
-          .agg(max(when(col("sub") === 0, col("mc.code"))).as("c0"),
-            (1 until 4).map(j =>
-              max(when(col("sub") === j, col("mc.code"))).as(s"c$j")): _*)
+        val (q, probe) = probeOf(e, coarseCb(s))
+        // coarse list + all 4 PQ codes in ONE map-side projection over
+        // the literal codebooks: per subspace, argmin |c|² − 2x·c via
+        // array_position (first = smallest code, matching the oracle's
+        // `cost ASC, code ASC` window); the corpus never shuffles.
+        val a = {
+          var out = assign(e)
+          for (j <- 0 until 4) {
+            out = out.withColumn(s"_sv$j",
+              expr(s"slice(u, ${j * 16 + 1}, 16)"))
+            val costs = array((0 until 4).map { c =>
+              val cv = pqCells(j * 4 + c)
+              lit(cv.foldLeft(0.0)((x, y) => x + y * y)) -
+                lit(2.0) * dot(col(s"_sv$j"), typedLit(cv)) }: _*)
+            out = out.withColumn(s"_costs$j", costs)
+              .withColumn(s"c$j", (array_position(col(s"_costs$j"),
+                array_min(col(s"_costs$j"))) - 1).cast("int"))
+              .drop(s"_sv$j", s"_costs$j")
+          }
+          out.drop("u")
+        }
         // per-query flat LUT: entry sub·4+code = qu_sub · cv
+        val pcb = pqCells.zipWithIndex
+          .map { case (cv, i) => (i / 4, i % 4, cv) }
+          .toDF("sub", "code", "cv")
         val lutArr = q.crossJoin(broadcast(pcb))
           .withColumn("idx", col("sub") * 4 + col("code"))
           .withColumn("lutval", dot(expr("slice(qu, sub * 16 + 1, 16)"),
@@ -204,10 +221,8 @@ object AnnFixed {
           .agg(expr("""transform(
             |  array_sort(collect_list(struct(idx, lutval))),
             |  x -> x.lutval)""".stripMargin).as("la"))
-        val shortlist = probe.join(a.select(col("vec_id"), col("list_id")),
-            "list_id")
+        val shortlist = broadcast(probe).join(a, "list_id")
           .filter(col("vec_id") =!= col("q_id"))
-          .join(codes, "vec_id")
           .join(broadcast(lutArr), "q_id")
           .withColumn("approx_sim",
             (0 until 4).map(j =>

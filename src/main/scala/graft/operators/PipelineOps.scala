@@ -1515,20 +1515,39 @@ object PipelineOps {
     })
   }
 
-  /** (vec_id, c0..c{m-1}) only — the search path's view of the codes.
-    * Unlike [[pqCodes]] it skips the reconstruction-error join (one full
-    * shuffle of the subvector frame) and the global orderBy: at scale
-    * those were pure waste on `vec_ann_ivfpq`, whose next operator is a
-    * hash join on vec_id. */
-  private def pqCodeColumns(e0: DataFrame, m: Int, k: Int,
-      iters: Int): DataFrame = {
-    val s = e0.sparkSession
-    val sub = subFrame(e0, m)
-    val cb = pqCodebook(e0, m, k, iters)
-    val cols = (0 until m).map(j =>
-      max(when(col("sub") === j, col("code"))).as(s"c$j"))
-    pqAssign(sub, pqCbFrame(s, cb))
-      .groupBy(col("vec_id")).agg(cols.head, cols.tail: _*)
+  /** Add `c0..c{m-1}` (and `cost0..cost{m-1}`) PQ code columns to
+    * `frame` MAP-SIDE: the trained codebook is a driver-side Seq, so
+    * per-subspace assignment is an argmin over k literal centroids — no
+    * subvector explode, no broadcast join, no corpus shuffle (the
+    * [[nearestListMap]] argument applied to the product quantizer; the
+    * old subFrame→pqAssign→pivot path exchanged m rows per corpus
+    * vector). `frame` must carry `embedding` as array<double>. |c|² is
+    * folded driver-side in the same left-to-right order as graft_dot, so
+    * every cost double is bit-identical to the join-based trainer's;
+    * tie-break matches pqAssign's min(struct(cost, code)): first
+    * (smallest) code among equal minima. */
+  private def pqCodeCols(frame: DataFrame, cb: Seq[(Int, Int, Seq[Double])],
+      m: Int, k: Int): DataFrame = {
+    val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
+    val bySub = cb.groupBy(_._1)
+    var out = frame
+    for (j <- 0 until m) {
+      val cells = bySub(j).sortBy(_._2)
+      require(cells.map(_._2) == (0 until k),
+        s"PQ codebook not dense in sub $j")
+      out = out.withColumn(s"_sv$j", expr(
+        s"slice(embedding, $j * (size(embedding) DIV $m) + 1, " +
+          s"size(embedding) DIV $m)"))
+      val costs = array(cells.map { case (_, _, cv) =>
+        val cn2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+        lit(cn2) - lit(2.0) * dotc(col(s"_sv$j"), typedLit(cv)) }: _*)
+      out = out.withColumn(s"_costs$j", costs)
+        .withColumn(s"c$j", (array_position(col(s"_costs$j"),
+          array_min(col(s"_costs$j"))) - 1).cast("int"))
+        .withColumn(s"cost$j", array_min(col(s"_costs$j")))
+        .drop(s"_sv$j", s"_costs$j")
+    }
+    out
   }
 
   private[graft] def pqCodes(e0: DataFrame, m: Int, k: Int,
@@ -1536,21 +1555,20 @@ object PipelineOps {
     val s = e0.sparkSession
     graft.plans.GraftFunctions.register(s)
     val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
-    val sub = subFrame(e0, m)
     val cb = pqCodebook(e0, m, k, iters)
-
-    // per-row |x|² completes cost into the true squared error
+    // single map-side projection: codes + per-subspace squared error
     // |x − c|² = |x|² + (|c|² − 2x·c); both terms are per-row folds
-    val withErr = pqAssign(sub, pqCbFrame(s, cb))
-      .join(sub, Seq("vec_id", "sub"))
-      .withColumn("sqerr",
-        greatest(dotc(col("sv"), col("sv")) + col("cost"), lit(0.0)))
-    val outCols = (0 until m).flatMap(j =>
-      Seq(max(when(col("sub") === j, col("code"))).as(s"c$j"),
-        max(when(col("sub") === j, col("sqerr"))).as(s"err$j")))
-    withErr
-      .groupBy(col("vec_id"))
-      .agg(outCols.head, outCols.tail: _*)
+    var out = pqCodeCols(e0.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding")),
+      cb, m, k)
+    for (j <- 0 until m) {
+      val sv = expr(s"slice(embedding, $j * (size(embedding) DIV $m) + 1," +
+        s" size(embedding) DIV $m)")
+      out = out.withColumn(s"err$j",
+        greatest(dotc(sv, sv) + col(s"cost$j"), lit(0.0)))
+    }
+    out.select(col("vec_id") +:
+        (0 until m).flatMap(j => Seq(col(s"c$j"), col(s"err$j"))): _*)
       .orderBy(col("vec_id"))
   }
 
@@ -1589,18 +1607,32 @@ object PipelineOps {
     cent.toDF("list_id", "cu")
   }
 
-  /** Nearest coarse list per vector against a broadcast codebook: single
-    * hash agg, tie-break to the smallest list_id via the -list_id struct
-    * field. `e` must be a [[normFrame]]. */
-  private def nearestList(e: DataFrame, centDf: DataFrame): DataFrame = {
+  /** Nearest coarse list per vector, computed MAP-SIDE: the codebook is
+    * always a driver-side Seq (trained centroids are collected k-means
+    * output; fixed codebooks are formulas), so each row's argmax is a
+    * pure projection over literal centroid arrays — one fused dot per
+    * centroid, `array_position(sims, array_max(sims))` for the argmax —
+    * with NO crossJoin and NO corpus shuffle. The previous
+    * crossJoin(broadcast)+groupBy(vec_id) formulation partial-aggregated
+    * map-side but still exchanged one (vec_id, u) row per corpus vector:
+    * at 100 TB that re-shuffles the whole corpus for what is logically a
+    * per-row function. Tie-break is identical: array_position returns
+    * the FIRST index holding the max, and `cent` is sorted by list_id,
+    * so equal sims resolve to the smallest list_id — exactly the old
+    * max(struct(sim, -list_id)) and the oracle's `ORDER BY sim DESC,
+    * list_id ASC` row_number. `e` must be a [[normFrame]]. */
+  private def nearestListMap(e: DataFrame,
+      cent: Seq[(Long, Seq[Double])]): DataFrame = {
     val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
-    e.crossJoin(broadcast(centDf))
-      .withColumn("sim", dotc(col("u"), col("cu")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("sim"), (-col("list_id")).as("negl"),
-        col("list_id").as("list_id"), col("u").as("u"))).as("m"))
-      .select(col("vec_id"), col("m.list_id").as("list_id"),
-        col("m.u").as("u"))
+    val sorted = cent.sortBy(_._1)
+    val sims = array(sorted.map { case (_, cu) =>
+      dotc(col("u"), typedLit(cu)) }: _*)
+    // Lloyd rounds can drop an unassigned list, leaving list_ids sparse —
+    // map the argmax POSITION back through the id table, never assume
+    // position == id (the trainCoarse dense-init lesson).
+    val ids = typedLit(sorted.map(_._1))
+    e.withColumn("list_id",
+      element_at(ids, array_position(sims, array_max(sims)).cast("int")))
   }
 
   /** Deterministic coarse k-means codebook over [[normFrame]] vectors —
@@ -1628,7 +1660,7 @@ object PipelineOps {
           .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
           .toSeq
       for (_ <- 1 to lloydIters) {
-        c = nearestList(e, centFrameOf(s, c))
+        c = nearestListMap(e, c)
           .select(col("list_id"), posexplode(col("u")).as(Seq("pos", "c")))
           .groupBy(col("list_id"), col("pos"))
           .agg((sum((col("c") * P53).cast(
@@ -1654,14 +1686,18 @@ object PipelineOps {
     graft.plans.GraftFunctions.register(s)
     val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
     val e = normFrame(e0)
-    val centDf = centFrameOf(s, trainCoarse(e0, nlists, lloydIters))
+    val cent = trainCoarse(e0, nlists, lloydIters)
 
-    val assign = nearestList(e, centDf).select(col("vec_id"), col("list_id"))
+    // map-side assignment carries u through, so the corpus is never
+    // shuffled: the probe join broadcasts the tiny probe side and the
+    // per-query top-k prunes map-side (WindowGroupLimit) before its
+    // k×queries-row exchange
+    val assign = nearestListMap(e, cent)
     // query set = the first nQueries vectors BY ORDER of vec_id (never
     // `vec_id < n`, which assumes dense 0-based ids — the PQ-init lesson)
     val qProbe = e.orderBy(col("vec_id")).limit(nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
-      .crossJoin(broadcast(centDf))
+      .crossJoin(broadcast(centFrameOf(s, cent)))
       .withColumn("sim", dotc(col("qu"), col("cu")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id"))
@@ -1670,9 +1706,8 @@ object PipelineOps {
       .select(col("q_id"), col("qu"), col("list_id"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    qProbe.join(assign, "list_id")
+    broadcast(qProbe).join(assign, "list_id")
       .filter(col("vec_id") =!= col("q_id"))
-      .join(e.select(col("vec_id"), col("u")), "vec_id")
       .withColumn("cos_sim", dotc(col("qu"), col("u")))
       .withColumn("rn", row_number().over(wTop).cast("long"))
       .filter(col("rn") <= 3)
@@ -1701,19 +1736,25 @@ object PipelineOps {
     graft.plans.GraftFunctions.register(s)
     val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
     val e = normFrame(e0)
-    val centDf = centFrameOf(s, trainCoarse(e0, nlists, iters))
-    val assign = nearestList(e, centDf).select(col("vec_id"), col("list_id"))
+    val cent = trainCoarse(e0, nlists, iters)
 
-    // PQ over the normalized vectors: metric matches the coarse stage
+    // ONE map-side projection computes the coarse list AND the m PQ
+    // codes per row (both codebooks are driver-side literals): the
+    // corpus is never shuffled anywhere in this search — candidates
+    // flow scan → broadcast-probe join → LUT lookups → map-side-pruned
+    // shortlist window.
     val eNorm = e.select(col("vec_id"), col("u").as("embedding"))
-    val codes = pqCodeColumns(eNorm, m, k, iters)
+    val assign = pqCodeCols(nearestListMap(e, cent)
+        .select(col("vec_id"), col("list_id"), col("u").as("embedding")),
+      pqCodebook(eNorm, m, k, iters), m, k)
+      .drop("embedding")
 
     val qs = e.orderBy(col("vec_id")).limit(nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
     // probe rows carry only (q_id, list_id): the 64-double query vector
     // must NOT fan out over every candidate — it re-joins from the tiny
     // broadcast qs frame for the <=20 reranked rows per query
-    val qProbe = qs.crossJoin(broadcast(centDf))
+    val qProbe = qs.crossJoin(broadcast(centFrameOf(s, cent)))
       .withColumn("sim", dotc(col("qu"), col("cu")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id"))
@@ -1737,9 +1778,8 @@ object PipelineOps {
       .agg(expr(s"""transform(
         |  array_sort(collect_list(struct(csub * $k + code AS idx, lutval))),
         |  x -> x.lutval)""".stripMargin).as("lutarr"))
-    val cand = qProbe.join(assign, "list_id")
+    val cand = broadcast(qProbe).join(assign, "list_id")
       .filter(col("vec_id") =!= col("q_id"))
-      .join(codes, "vec_id")
     val scored = cand.join(broadcast(lutArr), "q_id")
     // ADC shortlist → exact rerank (the production tail of IVF-PQ): the
     // LUT score is a shortlist builder, not the final ranking — the top
