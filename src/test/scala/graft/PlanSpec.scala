@@ -274,6 +274,30 @@ class PlanSpec extends AnyFunSuite {
     assert(native.collect().toSeq === stockRows)
   }
 
+  test("ANN search never shuffles the corpus (map-side assignment)") {
+    graft.plans.GraftFunctions.register(spark)
+    // The round-7 contract: nearest-list assignment is a projection over
+    // literal centroids, so no exchange may partition on vec_id (the old
+    // crossJoin+groupBy assignment exchanged one row per corpus vector),
+    // and the probe side joins via broadcast.
+    for (key <- Seq("vec_ann_ivf", "vec_ann_ivfpq", "vec_ann_ivf_fixed",
+        "vec_ann_ivfpq_fixed")) {
+      val p = Registry.queries(key)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("hashpartitioning(vec_id"),
+        s"$key re-shuffles the corpus by vec_id:\n${p.take(3000)}")
+      assert(p.contains("BroadcastHashJoin"), s"$key: ${p.take(2000)}")
+    }
+  }
+
+  test("vec_pq_codes is a single map-side projection (no joins/exchWide)") {
+    graft.plans.GraftFunctions.register(spark)
+    val p = Registry.queries("vec_pq_codes")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("native graft_dot equals the HOF fold bit-for-bit") {
     graft.plans.GraftFunctions.register(spark)
     val df = Tables.table(spark, sf, "embeddings")
