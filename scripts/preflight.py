@@ -122,6 +122,7 @@ EXEMPT_UNROUNDED = {
     "vec_ann_ivf_fixed",   # folds/sqrt over normalized vectors + an
                            # exact-integer-formula codebook (AnnFixed)
     "vec_ann_ivfpq_fixed", # same class; LUT sums in fixed l-to-r order
+    "vec_neardup_srp_fixed",  # sign bits + folds over literal planes
     "vec_matryoshka_prefix",  # sqrt(fold) over embedding prefixes
     "text_domain_mix",     # sqrt(division of identical exact BIGINTs)
 }

@@ -91,6 +91,17 @@ object AnnFixed {
       (1 to 16).map(j =>
         ((s0 * 5 + c * 3 + j * 11) % 7 - 3) / 8.0).toSeq).toSeq
 
+  /** 16 fixed SRP hyperplanes (2 bands × 8 bits) for the hash-checked
+    * LSH twin: small exact integers from a shared formula, like the
+    * codebooks above. The sign of v·plane is scale-invariant, so
+    * signatures are computed on the raw (double-widened) vectors. */
+  private val srpPlanes: Seq[Seq[Double]] = (0 until 16).map(p =>
+    (1 to 64).map(j => ((p * 29 + j * 13) % 9 - 4).toDouble))
+
+  private def sqlSrpPlane(p: Int): String =
+    s"list_transform(generate_series(1, 64), " +
+      s"j -> (($p * 29 + j * 13) % 9 - 4)::DOUBLE)"
+
   private val sqlCoarseCb =
     s"""cb AS (SELECT l AS list_id,
        |  list_transform(generate_series(1, 64),
@@ -300,5 +311,81 @@ object AnnFixed {
         |SELECT q_id, rn::BIGINT AS rn, vec_id AS neighbor_id,
         |  list_id::BIGINT AS list_id, approx_sim, cos_sim
         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn"""))),
+
+    // Fixed-plane SRP-banded LSH near-dup pairs (the hash-checked twin
+    // of vec_neardup_lsh, whose graft_srp_sig planes are engine-only):
+    // 2 bands × 8 sign bits from the literal hyperplanes, candidate
+    // pairs only within a (band, signature) bucket, buckets larger than
+    // 1000 dropped (mirrored HAVING twin), multi-band collisions deduped
+    // to (min band, cos_sim). Signatures are computed map-side on the
+    // raw vectors (sign is scale-invariant); every bit compares an
+    // identical double against zero, so the bucket JOIN of the 100 TB
+    // near-dup path is bit-exact across engines.
+    Q("vec_neardup_srp_fixed",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val cap = 1000
+        val e = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn("u", transform(col("v"),
+            x => x / sqrt(dot(col("v"), col("v")))))
+        def sig(b: Int): Column = (0 until 8).map { i =>
+          when(dot(col("v"), typedLit(srpPlanes(b * 8 + i))) >= 0,
+            lit(1 << i)).otherwise(lit(0))
+        }.reduce(_ + _)
+        val sigs = e.withColumn("s0", sig(0)).withColumn("s1", sig(1))
+          .select(col("vec_id"), col("u"), expr(
+            "explode(array(struct(0 AS band, s0 AS bsig), " +
+              "struct(1 AS band, s1 AS bsig)))").as("bs"))
+          .select(col("vec_id"), col("u"), col("bs.band").as("band"),
+            col("bs.bsig").as("bsig"))
+        val keep = sigs.groupBy(col("band"), col("bsig"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= cap)
+          .select(col("band"), col("bsig"))
+        val capped = sigs.join(broadcast(keep), Seq("band", "bsig"))
+        val x = capped.select(col("band"), col("bsig"),
+          col("vec_id").as("a_id"), col("u").as("ua"))
+        val y = capped.select(col("band").as("y_band"),
+          col("bsig").as("y_bsig"), col("vec_id").as("b_id"),
+          col("u").as("ub"))
+        x.join(y, col("band") === col("y_band")
+            && col("bsig") === col("y_bsig")
+            && col("a_id") < col("b_id"))
+          .select(col("band"), col("a_id"), col("b_id"),
+            dot(col("ua"), col("ub")).as("cos_sim"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(min(col("band")).cast("long").as("band"),
+            max(col("cos_sim")).as("cos_sim"))
+          .select(col("band"), col("a_id"), col("b_id"), col("cos_sim"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(sql(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  list_transform(embedding::DOUBLE[],
+        |    x -> x / sqrt(${sqlDot("embedding::DOUBLE[]",
+                 "embedding::DOUBLE[]")})) AS u
+        |  FROM embeddings),
+        |sigs AS (
+        |  SELECT vec_id, u, 0 AS band, ${sqlSrpSig(0)} AS bsig FROM e
+        |  UNION ALL
+        |  SELECT vec_id, u, 1 AS band, ${sqlSrpSig(1)} AS bsig FROM e),
+        |keep AS (SELECT band, bsig FROM sigs
+        |  GROUP BY band, bsig HAVING count(*) <= 1000),
+        |capped AS (SELECT s.* FROM sigs s JOIN keep USING (band, bsig)),
+        |pairs AS (SELECT x.band, x.vec_id AS a_id, y.vec_id AS b_id,
+        |  ${sqlDot("x.u", "y.u")} AS cos_sim
+        |  FROM capped x JOIN capped y
+        |  ON x.band = y.band AND x.bsig = y.bsig AND x.vec_id < y.vec_id)
+        |SELECT min(band)::BIGINT AS band, a_id, b_id,
+        |  max(cos_sim) AS cos_sim
+        |FROM pairs GROUP BY a_id, b_id ORDER BY a_id, b_id"""))),
   )
+
+  /** SQL twin of the band-`b` signature: 8 sign bits over the literal
+    * planes, identical doubles compared against zero on both engines. */
+  private def sqlSrpSig(b: Int): String = (0 until 8).map { i =>
+    s"(CASE WHEN ${sqlDot("v", sqlSrpPlane(b * 8 + i))} >= 0" +
+      s" THEN ${1 << i} ELSE 0 END)"
+  }.mkString(" + ")
 }

@@ -1621,7 +1621,7 @@ object PipelineOps {
     * so equal sims resolve to the smallest list_id — exactly the old
     * max(struct(sim, -list_id)) and the oracle's `ORDER BY sim DESC,
     * list_id ASC` row_number. `e` must be a [[normFrame]]. */
-  private def nearestListMap(e: DataFrame,
+  private[graft] def nearestListMap(e: DataFrame,
       cent: Seq[(Long, Seq[Double])]): DataFrame = {
     val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
     val sorted = cent.sortBy(_._1)

@@ -225,4 +225,26 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
     assert(a2.select("id").head.getLong(0) === 1L)
   }
+
+  test("nearestListMap honors sparse list ids and smallest-id tie-break") {
+    graft.plans.GraftFunctions.register(spark)
+    // Lloyd rounds can drop an unassigned list, so ids may be sparse
+    // (0, 2, 5): the argmax POSITION must map through the id table —
+    // the fixtures never exercise this, so pin it directly.
+    val cent: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(1.0, 0.0, 0.0),
+      2L -> Seq(0.0, 1.0, 0.0),
+      5L -> Seq(0.0, 0.0, 1.0))
+    val e = Seq(
+      (10L, Seq(0.9, 0.1, 0.0)),  // nearest: list 0
+      (11L, Seq(0.1, 0.9, 0.0)),  // nearest: list 2
+      (12L, Seq(0.0, 0.1, 0.9)),  // nearest: list 5
+      (13L, Seq(1.0, 1.0, 0.0))   // exact tie 0 vs 2 → smallest id (0)
+    ).toDF("vec_id", "u")
+      .withColumn("u", expr("transform(u, x -> cast(x as double))"))
+    val got = graft.operators.PipelineOps.nearestListMap(e, cent)
+      .select("vec_id", "list_id").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq(10L -> 0L, 11L -> 2L, 12L -> 5L, 13L -> 0L))
+  }
 }
