@@ -1747,7 +1747,7 @@ object PipelineOps {
     val assign = pqCodeCols(nearestListMap(e, cent)
         .select(col("vec_id"), col("list_id"), col("u").as("embedding")),
       pqCodebook(eNorm, m, k, iters), m, k)
-      .drop("embedding")
+      .drop("embedding" +: (0 until m).map(j => s"cost$j"): _*)
 
     val qs = e.orderBy(col("vec_id")).limit(nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))

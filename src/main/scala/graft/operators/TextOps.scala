@@ -255,6 +255,55 @@ object TextOps {
         |ANTI JOIN drops USING (doc_id)
         |ORDER BY doc_id"""))),
 
+    // Incremental batch-vs-corpus dedup, oracle-checked: the CW twin of
+    // `pipeline_dedup_incremental` (whose xxhash64 sketches keep it
+    // rows-only by design). Batch = source 'src1'; a batch doc drops
+    // when its sha256 already exists in the corpus or it forms a strong
+    // (est >= 0.875) banded candidate pair with a corpus doc;
+    // batch-internal dups are deliberately kept. With this, every stage
+    // of the dedup family — signatures, banded join, keep-set, and the
+    // incremental composition — has a hash-checked formulation.
+    Q("pipeline_dedup_incremental_banded",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val batch = docs.filter(col("source") === "src1")
+        val corpus = docs.filter(col("source") =!= "src1")
+        val corpusHashes = corpus
+          .select(sha2(col("text"), 256).as("h")).distinct()
+        val corpusIds = corpus.select(col("doc_id").as("o"))
+        val cands = cwBandPairs(s, dir)
+          .filter(col("est_jaccard") >= 0.875)
+        val nearDrops = cands
+          .select(col("doc_a").as("d"), col("doc_b").as("o"))
+          .unionByName(cands
+            .select(col("doc_b").as("d"), col("doc_a").as("o")))
+          .join(corpusIds, "o")
+          .select(col("d").as("doc_id")).distinct()
+        batch
+          .withColumn("h", sha2(col("text"), 256))
+          .join(corpusHashes, Seq("h"), "left_anti")
+          .join(nearDrops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(sql(s"""WITH $sqlCwSigCtes, $sqlCwPairCtes,
+        |ch AS (SELECT DISTINCT sha256(text) AS h FROM documents
+        |  WHERE source <> 'src1'),
+        |cids AS (SELECT doc_id FROM documents WHERE source <> 'src1'),
+        |strong AS (SELECT doc_a, doc_b FROM pairs
+        |  WHERE est_jaccard >= 0.875),
+        |sym AS (SELECT doc_a AS d, doc_b AS o FROM strong
+        |  UNION ALL SELECT doc_b AS d, doc_a AS o FROM strong),
+        |drops AS (SELECT DISTINCT sym.d AS doc_id
+        |  FROM sym JOIN cids ON sym.o = cids.doc_id),
+        |b AS (SELECT doc_id, lang, source, n_chars, sha256(text) AS h
+        |  FROM documents WHERE source = 'src1')
+        |SELECT doc_id, lang, source, n_chars FROM b
+        |ANTI JOIN ch USING (h)
+        |ANTI JOIN drops USING (doc_id)
+        |ORDER BY doc_id"""))),
+
     // URL parsing for web-corpus curation: host extraction, registered
     // domain, and per-host doc counts — the grouping every crawl-derived
     // corpus is filtered/weighted by (domain blocklists, per-host caps,
