@@ -340,11 +340,15 @@ object AnnFixed {
               "struct(1 AS band, s1 AS bsig)))").as("bs"))
           .select(col("vec_id"), col("u"), col("bs.band").as("band"),
             col("bs.bsig").as("bsig"))
-        val keep = sigs.groupBy(col("band"), col("bsig"))
-          .agg(count(lit(1)).as("bsz"))
+        // window-count cap (the cwBandPairs pattern, not a groupBy keep
+        // join): the window's (band, bsig) exchange is shared by both
+        // self-join sides, halving the corpus scans — measured 4 scans
+        // with the broadcast-keep formulation vs 2 here
+        val capped = sigs
+          .withColumn("bsz", count(lit(1)).over(
+            Window.partitionBy(col("band"), col("bsig"))))
           .filter(col("bsz") <= cap)
-          .select(col("band"), col("bsig"))
-        val capped = sigs.join(broadcast(keep), Seq("band", "bsig"))
+          .drop("bsz")
         val x = capped.select(col("band"), col("bsig"),
           col("vec_id").as("a_id"), col("u").as("ua"))
         val y = capped.select(col("band").as("y_band"),
