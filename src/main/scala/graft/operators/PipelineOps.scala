@@ -792,6 +792,12 @@ object PipelineOps {
     // Pairwise n-gram (3-shingle) Jaccard over shingle-bucket joins:
     // candidates come from shared shingles only — never an all-pairs
     // product. Exact bigint set arithmetic; division on identical doubles.
+    // The join key stays the shingle STRING deliberately: hashing it to a
+    // 60-bit BIGINT via the md5-derived whExpr (the only cross-engine
+    // hash) was measured 40% slower end-to-end at sf0.1 — the per-shingle
+    // md5 costs more than the ~2× shuffle-byte saving buys (the
+    // text_simhash lesson). A production engine free of the oracle-parity
+    // constraint would key on xxhash64(s) here.
     Q("text_ngram_jaccard",
       (s, dir) => {
         val shAll = Tables.table(s, dir, "documents")
