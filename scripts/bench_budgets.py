@@ -17,6 +17,7 @@ pass trivially and mean nothing. The two global invariants always run:
 zero failed_runs and zero disk spill anywhere.
 """
 import json
+import os
 import sys
 
 # key -> max shuffle_write_bytes at sf0.1 (round-7 measured value in the
@@ -39,6 +40,19 @@ def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "bench_detail.json"
     detail = json.load(open(path))
     meta = detail.pop("_meta", {})
+    # Provenance: budgets validate whatever bench run produced this file.
+    # If any engine source is newer, the bytes predate the code under test
+    # and a green gate is NOT evidence about the current tree (review r7).
+    import glob as _glob
+    bench_mtime = os.path.getmtime(path)
+    newer = [f for f in _glob.glob("src/main/**/*.scala", recursive=True)
+             if os.path.getmtime(f) > bench_mtime]
+    print(f"budgets: validating {path} from sf={meta.get('sf', 'unknown')} "
+          f"cpus={meta.get('cpus', '?')}")
+    if newer:
+        print(f"budgets: WARNING — {len(newer)} source file(s) are newer "
+              f"than {path} (e.g. {newer[0]}); these bytes predate the "
+              "current code. Rerun with RUN_BENCH=1 for a fresh gate.")
     fails = 0
     for key, d in sorted(detail.items()):
         if d.get("failed_runs", 0):

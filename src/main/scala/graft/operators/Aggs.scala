@@ -112,23 +112,28 @@ object Aggs {
     // rows-only above.
     Q("agg_hll_merge_exact",
       (s, dir) => {
-        val tok = Tables.table(s, dir, "documents")
+        // dedupe to (source, word) ONCE — both branches then aggregate
+        // the small deduped frame instead of re-tokenizing the corpus
+        // (review r7: the naive two-branch union scanned documents twice)
+        val sw = Tables.table(s, dir, "documents")
           .select(col("source"), explode(split(col("text"), " ")).as("word"))
-        tok.groupBy(col("source"))
-          .agg(countDistinct(col("word")).as("exact_distinct"))
-          .unionByName(tok
+          .distinct()
+        sw.groupBy(col("source"))
+          .agg(count(col("word")).as("exact_distinct"))
+          .unionByName(sw
             .agg(countDistinct(col("word")).as("exact_distinct"))
             .select(lit("__ALL__").as("source"), col("exact_distinct")))
           .orderBy(col("source"))
       },
-      Some(sql("""WITH tok AS (
-        |  SELECT source, unnest(string_split(text, ' ')) AS word
-        |  FROM documents)
-        |SELECT source, count(DISTINCT word)::BIGINT AS exact_distinct
-        |FROM tok GROUP BY source
+      Some(sql("""WITH sw AS (
+        |  SELECT DISTINCT source, word FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS word
+        |    FROM documents))
+        |SELECT source, count(word)::BIGINT AS exact_distinct
+        |FROM sw GROUP BY source
         |UNION ALL
         |SELECT '__ALL__' AS source, count(DISTINCT word)::BIGINT
-        |FROM tok
+        |FROM sw
         |ORDER BY source"""))),
 
     Q("agg_filtered",

@@ -48,16 +48,14 @@ object AnnFixed {
     (a: String, b: String) =>
       s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (x, y) -> x + y)"
 
-  /** (vec_id, u): unit-normalized double vectors. */
-  private def normed(s: SparkSession, dir: String): DataFrame = {
-    graft.plans.GraftFunctions.register(s)
-    Tables.table(s, dir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("u", transform(col("v"),
-        x => x / sqrt(dot(col("v"), col("v")))))
-      .select(col("vec_id"), col("u"))
-  }
+  /** (vec_id, u) via the production [[PipelineOps.normFrame]] — the
+    * fixed keys deliberately run the SAME helpers the trained keys run
+    * (normFrame / nearestListMap / pqCodeCols), so the oracle hash
+    * guards the production code path, not a parallel copy of it. */
+  private def normed(s: SparkSession, dir: String): DataFrame =
+    PipelineOps.normFrame(
+      Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")))
 
   private val sqlNormed =
     s"""e AS (SELECT vec_id,
@@ -111,16 +109,15 @@ object AnnFixed {
        |  list_transform(cv, x -> x / sqrt(${sqlDot("cv", "cv")})) AS cu
        |  FROM cb)"""
 
+  /** Coarse centroids in [[PipelineOps.nearestListMap]]'s shape. */
+  private val coarseCent: Seq[(Long, Seq[Double])] =
+    coarseCu.zipWithIndex.map { case (cu, l) => (l.toLong, cu) }
+
   /** Nearest coarse list per vector (argmax cosine, ties to the smallest
-    * list_id), u carried through for the scoring stage. Computed
-    * MAP-SIDE over the literal centroids — no crossJoin, no corpus
-    * shuffle; `array_position` picks the FIRST max, i.e. the smallest
-    * list_id, exactly the oracle window's `sim DESC, list_id ASC`. */
-  private def assign(e: DataFrame): DataFrame = {
-    val sims = array(coarseCu.map(cu => dot(col("u"), typedLit(cu))): _*)
-    e.withColumn("list_id",
-      (array_position(sims, array_max(sims)) - 1).cast("long"))
-  }
+    * list_id), u carried through for the scoring stage — the production
+    * map-side [[PipelineOps.nearestListMap]], fed the literal centroids. */
+  private def assign(e: DataFrame): DataFrame =
+    PipelineOps.nearestListMap(e, coarseCent)
 
   private val sqlAssign =
     s"""assign AS (SELECT vec_id, list_id, u FROM (
@@ -201,29 +198,18 @@ object AnnFixed {
         val e = normed(s, dir)
         val (q, probe) = probeOf(e, coarseCb(s))
         // coarse list + all 4 PQ codes in ONE map-side projection over
-        // the literal codebooks: per subspace, argmin |c|² − 2x·c via
-        // array_position (first = smallest code, matching the oracle's
-        // `cost ASC, code ASC` window); the corpus never shuffles.
-        val a = {
-          var out = assign(e)
-          for (j <- 0 until 4) {
-            out = out.withColumn(s"_sv$j",
-              expr(s"slice(u, ${j * 16 + 1}, 16)"))
-            val costs = array((0 until 4).map { c =>
-              val cv = pqCells(j * 4 + c)
-              lit(cv.foldLeft(0.0)((x, y) => x + y * y)) -
-                lit(2.0) * dot(col(s"_sv$j"), typedLit(cv)) }: _*)
-            out = out.withColumn(s"_costs$j", costs)
-              .withColumn(s"c$j", (array_position(col(s"_costs$j"),
-                array_min(col(s"_costs$j"))) - 1).cast("int"))
-              .drop(s"_sv$j", s"_costs$j")
-          }
-          out.drop("u")
-        }
-        // per-query flat LUT: entry sub·4+code = qu_sub · cv
-        val pcb = pqCells.zipWithIndex
+        // the literal codebooks — the production nearestListMap +
+        // pqCodeCols pair, exactly as ivfpqSearch composes them, so the
+        // oracle hash pins those helpers' argmax/argmin algebra.
+        val pqCb = pqCells.zipWithIndex
           .map { case (cv, i) => (i / 4, i % 4, cv) }
-          .toDF("sub", "code", "cv")
+        val a = PipelineOps.pqCodeCols(assign(e)
+            .select(col("vec_id"), col("list_id"),
+              col("u").as("embedding")),
+          pqCb, 4, 4)
+          .drop("embedding" +: (0 until 4).map(j => s"cost$j"): _*)
+        // per-query flat LUT: entry sub·4+code = qu_sub · cv
+        val pcb = pqCb.toDF("sub", "code", "cv")
         val lutArr = q.crossJoin(broadcast(pcb))
           .withColumn("idx", col("sub") * 4 + col("code"))
           .withColumn("lutval", dot(expr("slice(qu, sub * 16 + 1, 16)"),

@@ -1532,8 +1532,8 @@ object PipelineOps {
     * every cost double is bit-identical to the join-based trainer's;
     * tie-break matches pqAssign's min(struct(cost, code)): first
     * (smallest) code among equal minima. */
-  private def pqCodeCols(frame: DataFrame, cb: Seq[(Int, Int, Seq[Double])],
-      m: Int, k: Int): DataFrame = {
+  private[operators] def pqCodeCols(frame: DataFrame,
+      cb: Seq[(Int, Int, Seq[Double])], m: Int, k: Int): DataFrame = {
     val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
     val bySub = cb.groupBy(_._1)
     var out = frame
@@ -1596,8 +1596,9 @@ object PipelineOps {
         (String, Int, Int), Seq[(Long, Seq[Double])]]]())
 
   /** (vec_id, u): unit-normalized double vectors — cosine becomes a
-    * plain dot product downstream. Shared by the IVF family. */
-  private def normFrame(e0: DataFrame): DataFrame = {
+    * plain dot product downstream. Shared by the IVF family and the
+    * fixed-codebook twins in [[AnnFixed]]. */
+  private[operators] def normFrame(e0: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(e0.sparkSession)
     val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
     e0.select(col("vec_id"),

@@ -263,22 +263,29 @@ object TextOps {
     // batch-internal dups are deliberately kept. With this, every stage
     // of the dedup family — signatures, banded join, keep-set, and the
     // incremental composition — has a hash-checked formulation.
+    //
+    // The candidate join is batch-side × corpus-side directly (review
+    // r7): enumerating ALL within-bucket pairs and discarding the
+    // corpus×corpus majority afterwards would re-pay the full-dedup
+    // quadratic term for an incremental operation whose pair set is
+    // bounded by |batch|·bucket. The bucket CAP stays computed over the
+    // whole corpus (a bucket is degenerate regardless of which side its
+    // members came from).
     Q("pipeline_dedup_incremental_banded",
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")
         val batch = docs.filter(col("source") === "src1")
-        val corpus = docs.filter(col("source") =!= "src1")
-        val corpusHashes = corpus
+        val corpusHashes = docs.filter(col("source") =!= "src1")
           .select(sha2(col("text"), 256).as("h")).distinct()
-        val corpusIds = corpus.select(col("doc_id").as("o"))
-        val cands = cwBandPairs(s, dir)
-          .filter(col("est_jaccard") >= 0.875)
-        val nearDrops = cands
-          .select(col("doc_a").as("d"), col("doc_b").as("o"))
-          .unionByName(cands
-            .select(col("doc_b").as("d"), col("doc_a").as("o")))
-          .join(corpusIds, "o")
-          .select(col("d").as("doc_id")).distinct()
+        val srcs = docs.select(col("doc_id"), col("source"))
+        val cs = cwCappedBands(s, dir).join(srcs, "doc_id")
+        val xb = cs.filter(col("source") === "src1").drop("source")
+        val yc = cs.filter(col("source") =!= "src1").drop("source")
+        val nearDrops = xb.as("x").join(yc.as("y"),
+            col("x.band") === col("y.band")
+              && col("x.bkey") === col("y.bkey"))
+          .filter(cwEstJaccard >= 0.875)
+          .select(col("x.doc_id").as("doc_id")).distinct()
         batch
           .withColumn("h", sha2(col("text"), 256))
           .join(corpusHashes, Seq("h"), "left_anti")
@@ -287,16 +294,18 @@ object TextOps {
             col("n_chars"))
           .orderBy(col("doc_id"))
       },
-      Some(sql(s"""WITH $sqlCwSigCtes, $sqlCwPairCtes,
+      Some(sql(s"""WITH $sqlCwSigCtes, $sqlCwBandCtes,
         |ch AS (SELECT DISTINCT sha256(text) AS h FROM documents
         |  WHERE source <> 'src1'),
-        |cids AS (SELECT doc_id FROM documents WHERE source <> 'src1'),
-        |strong AS (SELECT doc_a, doc_b FROM pairs
-        |  WHERE est_jaccard >= 0.875),
-        |sym AS (SELECT doc_a AS d, doc_b AS o FROM strong
-        |  UNION ALL SELECT doc_b AS d, doc_a AS o FROM strong),
-        |drops AS (SELECT DISTINCT sym.d AS doc_id
-        |  FROM sym JOIN cids ON sym.o = cids.doc_id),
+        |cs AS (SELECT c.*, d.source FROM capped c
+        |  JOIN documents d USING (doc_id)),
+        |drops AS (SELECT DISTINCT x.doc_id
+        |  FROM cs x JOIN cs y
+        |    ON x.band = y.band AND x.bkey = y.bkey
+        |  WHERE x.source = 'src1' AND y.source <> 'src1'
+        |    AND (CAST(${(0 until 8).map(i =>
+             s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)")
+             .mkString(" + ")} AS DOUBLE) / 8) >= 0.875),
         |b AS (SELECT doc_id, lang, source, n_chars, sha256(text) AS h
         |  FROM documents WHERE source = 'src1')
         |SELECT doc_id, lang, source, n_chars FROM b
@@ -379,12 +388,13 @@ object TextOps {
     sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
 
-  /** Banded pair join over [[cwSignatures]]: (doc_a, doc_b, est_jaccard),
-    * deduped. Same skew guard as `neardupCandidates`: buckets over 1000
-    * docs are dropped before the pair join, so within-bucket all-pairs
-    * work is bounded regardless of data degeneracy. */
-  private[operators] def cwBandPairs(
-      s: SparkSession, dir: String): DataFrame = {
+  /** Banded, bucket-capped signature rows (doc_id, mh0..7, band, bkey) —
+    * the candidate-generation half shared by [[cwBandPairs]] and the
+    * incremental key's cross-boundary join. Same skew guard as
+    * `neardupCandidates`: buckets over 1000 docs are dropped before any
+    * pair join, so within-bucket all-pairs work is bounded regardless of
+    * data degeneracy. */
+  private def cwCappedBands(s: SparkSession, dir: String): DataFrame = {
     val sig = cwSignatures(s, dir)
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"),
@@ -392,20 +402,30 @@ object TextOps {
     val bands = sig.withColumn("bk", explode(array(bandStructs: _*)))
       .select(col("doc_id") +: (0 until 8).map(i => col(s"mh$i")) :+
         col("bk.band").as("band") :+ col("bk.bkey").as("bkey"): _*)
-    val capped = bands
+    bands
       .withColumn("bsz", count(lit(1)).over(
         Window.partitionBy(col("band"), col("bkey"))))
       .filter(col("bsz") <= 1000)
       .drop("bsz")
-    val matches = (0 until 8).map(i =>
+  }
+
+  /** Fraction of the 8 minhash minima two banded rows share. */
+  private def cwEstJaccard: Column =
+    (0 until 8).map(i =>
       when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
+      .reduce(_ + _).cast("double") / 8
+
+  /** Banded pair join over [[cwSignatures]]: (doc_a, doc_b, est_jaccard),
+    * deduped. */
+  private[operators] def cwBandPairs(
+      s: SparkSession, dir: String): DataFrame = {
+    val capped = cwCappedBands(s, dir)
     capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band")
           && col("x.bkey") === col("y.bkey")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        (matches.cast("double") / 8).as("est_jaccard"))
+        cwEstJaccard.as("est_jaccard"))
       .distinct()
   }
 
@@ -427,8 +447,8 @@ object TextOps {
             .mkString(", ")}
        |  FROM sh GROUP BY doc_id)""".stripMargin
 
-  /** Oracle CTE twins of [[cwBandPairs]] (`bands`, `capped`, `pairs`). */
-  private def sqlCwPairCtes: String =
+  /** Oracle CTE twins of [[cwCappedBands]] (`bands`, `capped`). */
+  private def sqlCwBandCtes: String =
     s"""bands AS (
        |  SELECT sig.*, b.band,
        |    CASE b.band ${(0 until 4).map(b =>
@@ -438,7 +458,11 @@ object TextOps {
        |capped AS (
        |  SELECT * FROM (
        |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz
-       |    FROM bands) WHERE bsz <= 1000),
+       |    FROM bands) WHERE bsz <= 1000)""".stripMargin
+
+  /** Oracle CTE twins of [[cwBandPairs]] (adds `pairs`). */
+  private def sqlCwPairCtes: String =
+    s"""$sqlCwBandCtes,
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |    (CAST(${(0 until 8).map(i =>
