@@ -123,6 +123,9 @@ EXEMPT_UNROUNDED = {
                            # exact-integer-formula codebook (AnnFixed)
     "vec_ann_ivfpq_fixed", # same class; LUT sums in fixed l-to-r order
     "vec_neardup_srp_fixed",  # sign bits + folds over literal planes
+    "pipeline_dedup_semantic",  # same SRP folds; 0.35 threshold compares
+                                # bit-identical doubles (vec_dedup_threshold
+                                # precedent)
     "vec_matryoshka_prefix",  # sqrt(fold) over embedding prefixes
     "text_domain_mix",     # sqrt(division of identical exact BIGINTs)
 }
@@ -165,17 +168,36 @@ def audit(con, oracle):
     return fails
 
 
-def bpe_ref(con, rounds=8):
+def bpe_ref(con, rounds=8, mode="word"):
     """Independent reference BPE (tooling, not engine — VERDICT r6 task 5):
-    replay the same [a-z]+ (word, freq) dict the engine trains on, count
+    replay the same (word, freq) dict the engine trains on, count
     adjacent symbol pairs weighted by word freq, merge the most frequent
     pair (ties to the lexicographically smallest (l, r)) greedily
-    left-to-right non-overlapping, for `rounds` rounds."""
-    words = con.execute("""
-        SELECT word, count(*) FROM (
-          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word""").fetchall()
-    seqs = {tuple(w): f for w, f in words}
+    left-to-right non-overlapping, for `rounds` rounds.
+
+    mode="word": the [a-z]+ char-level dict behind text_bpe_merges,
+    merged symbol = l + r. mode="byte" (VERDICT r7 task 5): every word's
+    UTF-8 bytes as decimal-string symbols, merged symbol = l + "." + r —
+    the alphabet behind text_bpe_bytes, no word filter."""
+    if mode == "word":
+        words = con.execute("""
+            SELECT word, count(*) FROM (
+              SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word""").fetchall()
+        seqs = {}
+        for w, f in words:
+            seqs[tuple(w)] = seqs.get(tuple(w), 0) + f
+        join = lambda l, r: l + r
+    else:
+        words = con.execute("""
+            SELECT word, count(*) FROM (
+              SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY word""").fetchall()
+        seqs = {}
+        for w, f in words:
+            t = tuple(str(b) for b in w.encode("utf-8"))
+            seqs[t] = seqs.get(t, 0) + f
+        join = lambda l, r: l + "." + r
     merges = []
     for r in range(1, rounds + 1):
         pf = {}
@@ -187,14 +209,14 @@ def bpe_ref(con, rounds=8):
             break
         maxf = max(pf.values())
         l, rr = min(p for p, f in pf.items() if f == maxf)
-        merges.append((r, l, rr, l + rr, maxf))
+        merges.append((r, l, rr, join(l, rr), maxf))
         new = {}
         for syms, f in seqs.items():
             out, i = [], 0
             while i < len(syms):
                 if (i + 1 < len(syms) and syms[i] == l
                         and syms[i + 1] == rr):
-                    out.append(l + rr)
+                    out.append(join(l, rr))
                     i += 2
                 else:
                     out.append(syms[i])
@@ -206,26 +228,30 @@ def bpe_ref(con, rounds=8):
 
 
 def bpe_differential(con, out):
-    """Compare the engine's text_bpe_merges dump against [[bpe_ref]];
-    returns the number of failures (0 == every merge round identical)."""
-    files = sorted(glob.glob(os.path.join(out, "text_bpe_merges",
-                                          "*.parquet")))
-    if not files:
-        return 0  # key absent from this (possibly filtered) dump
-    sdf = con.execute("SELECT * FROM read_parquet(?) ORDER BY rank",
-                      [files]).fetchall()
-    ref = bpe_ref(con)
-    engine = [tuple(r) for r in sdf]
-    if engine != ref:
-        drift = next((i for i, (a, b) in enumerate(zip(engine, ref))
-                      if a != b), min(len(engine), len(ref)))
-        print(f"AUDIT-FAIL text_bpe_merges         differential BPE drift "
-              f"at round {drift + 1}: engine={engine[drift:drift+1]} "
-              f"ref={ref[drift:drift+1]}")
-        return 1
-    print(f"audit text_bpe_merges          {len(ref)} merge rounds match "
-          "the reference replay")
-    return 0
+    """Compare the engine's text_bpe_merges / text_bpe_bytes dumps against
+    [[bpe_ref]]; returns the number of failures (0 == every merge round of
+    every present key identical)."""
+    fails = 0
+    for key, mode in (("text_bpe_merges", "word"), ("text_bpe_bytes",
+                                                    "byte")):
+        files = sorted(glob.glob(os.path.join(out, key, "*.parquet")))
+        if not files:
+            continue  # key absent from this (possibly filtered) dump
+        sdf = con.execute("SELECT * FROM read_parquet(?) ORDER BY rank",
+                          [files]).fetchall()
+        ref = bpe_ref(con, mode=mode)
+        engine = [tuple(r) for r in sdf]
+        if engine != ref:
+            drift = next((i for i, (a, b) in enumerate(zip(engine, ref))
+                          if a != b), min(len(engine), len(ref)))
+            print(f"AUDIT-FAIL {key:24s} differential BPE drift "
+                  f"at round {drift + 1}: engine={engine[drift:drift+1]} "
+                  f"ref={ref[drift:drift+1]}")
+            fails += 1
+        else:
+            print(f"audit {key:24s} {len(ref)} merge rounds match "
+                  "the reference replay")
+    return fails
 
 
 def compare(key, sdf, odf):

@@ -232,7 +232,9 @@ object AnnFixed {
             col("approx_sim"))
         val wTop = Window.partitionBy(col("q_id"))
           .orderBy(col("cos_sim").desc, col("vec_id").asc)
-        shortlist
+        // shortlist (≤20 rows/query) broadcast by construction, so the
+        // rerank join can never shuffle the corpus by vec_id (ADVICE r7)
+        broadcast(shortlist)
           .join(e, "vec_id")
           .join(broadcast(q), "q_id")
           .withColumn("cos_sim", dot(col("qu"), col("u")))
@@ -309,32 +311,7 @@ object AnnFixed {
     // near-dup path is bit-exact across engines.
     Q("vec_neardup_srp_fixed",
       (s, dir) => {
-        graft.plans.GraftFunctions.register(s)
-        val cap = 1000
-        val e = Tables.table(s, dir, "embeddings")
-          .select(col("vec_id"),
-            transform(col("embedding"), x => x.cast("double")).as("v"))
-          .withColumn("u", transform(col("v"),
-            x => x / sqrt(dot(col("v"), col("v")))))
-        def sig(b: Int): Column = (0 until 8).map { i =>
-          when(dot(col("v"), typedLit(srpPlanes(b * 8 + i))) >= 0,
-            lit(1 << i)).otherwise(lit(0))
-        }.reduce(_ + _)
-        val sigs = e.withColumn("s0", sig(0)).withColumn("s1", sig(1))
-          .select(col("vec_id"), col("u"), expr(
-            "explode(array(struct(0 AS band, s0 AS bsig), " +
-              "struct(1 AS band, s1 AS bsig)))").as("bs"))
-          .select(col("vec_id"), col("u"), col("bs.band").as("band"),
-            col("bs.bsig").as("bsig"))
-        // window-count cap (the cwBandPairs pattern, not a groupBy keep
-        // join): the window's (band, bsig) exchange is shared by both
-        // self-join sides, halving the corpus scans — measured 4 scans
-        // with the broadcast-keep formulation vs 2 here
-        val capped = sigs
-          .withColumn("bsz", count(lit(1)).over(
-            Window.partitionBy(col("band"), col("bsig"))))
-          .filter(col("bsz") <= cap)
-          .drop("bsz")
+        val capped = srpCapped(s, dir)
         val x = capped.select(col("band"), col("bsig"),
           col("vec_id").as("a_id"), col("u").as("ua"))
         val y = capped.select(col("band").as("y_band"),
@@ -351,18 +328,7 @@ object AnnFixed {
           .select(col("band"), col("a_id"), col("b_id"), col("cos_sim"))
           .orderBy(col("a_id"), col("b_id"))
       },
-      Some(sql(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-        |  list_transform(embedding::DOUBLE[],
-        |    x -> x / sqrt(${sqlDot("embedding::DOUBLE[]",
-                 "embedding::DOUBLE[]")})) AS u
-        |  FROM embeddings),
-        |sigs AS (
-        |  SELECT vec_id, u, 0 AS band, ${sqlSrpSig(0)} AS bsig FROM e
-        |  UNION ALL
-        |  SELECT vec_id, u, 1 AS band, ${sqlSrpSig(1)} AS bsig FROM e),
-        |keep AS (SELECT band, bsig FROM sigs
-        |  GROUP BY band, bsig HAVING count(*) <= 1000),
-        |capped AS (SELECT s.* FROM sigs s JOIN keep USING (band, bsig)),
+      Some(sql(s"""WITH $sqlSrpCappedCtes,
         |pairs AS (SELECT x.band, x.vec_id AS a_id, y.vec_id AS b_id,
         |  ${sqlDot("x.u", "y.u")} AS cos_sim
         |  FROM capped x JOIN capped y
@@ -370,7 +336,161 @@ object AnnFixed {
         |SELECT min(band)::BIGINT AS band, a_id, b_id,
         |  max(cos_sim) AS cos_sim
         |FROM pairs GROUP BY a_id, b_id ORDER BY a_id, b_id"""))),
+
+    // Embedding-space (semantic) dedup over documents (VERDICT r7 task 1)
+    // — the missing dedup modality: exact dedup catches byte-identical
+    // text, minhash/SimHash catch lexical overlap, but paraphrases only
+    // collide in EMBEDDING space. Composition (the production fuzzy-dedup
+    // pattern): documents join embeddings on doc_id = vec_id; vectors are
+    // SRP-banded with the fixed literal hyperplanes (no corpus shuffle —
+    // signatures are a map-side projection), candidate pairs only within
+    // a capped (band, signature) bucket, cosine ≥ 0.35 pairs drop the
+    // LARGER doc_id, unioned with the sha256 exact keep-set (the
+    // pipeline_dedup_keep_banded shape). Every number is hash-checked:
+    // sign bits and cosines are identical left-to-right folds in both
+    // engines, and 0.35 is a threshold on a bit-identical double (the
+    // vec_dedup_threshold precedent). At 100 TB: banding bounds candidate
+    // pairs to bucket-local work exactly as text_neardup_banded does —
+    // never all-pairs.
+    Q("pipeline_dedup_semantic",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val capped = srpCapped(s, dir)
+        val x = capped.select(col("band"), col("bsig"),
+          col("vec_id").as("a_id"), col("u").as("ua"))
+        val y = capped.select(col("band").as("y_band"),
+          col("bsig").as("y_bsig"), col("vec_id").as("b_id"),
+          col("u").as("ub"))
+        val nearDrops = x.join(y, col("band") === col("y_band")
+            && col("bsig") === col("y_bsig")
+            && col("a_id") < col("b_id"))
+          .filter(dot(col("ua"), col("ub")) >= 0.35)
+          .select(col("b_id").as("doc_id")).distinct()
+        val exactCanonical = docs
+          .groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        docs
+          .join(exactCanonical, Seq("doc_id"), "left_semi")
+          .join(nearDrops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(sql(s"""WITH $sqlSrpCappedCtes,
+        |drops AS (SELECT DISTINCT y.vec_id AS doc_id
+        |  FROM capped x JOIN capped y
+        |  ON x.band = y.band AND x.bsig = y.bsig AND x.vec_id < y.vec_id
+        |  WHERE ${sqlDot("x.u", "y.u")} >= 0.35),
+        |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY sha256(text))
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |JOIN exact_keep USING (doc_id)
+        |ANTI JOIN drops USING (doc_id)
+        |ORDER BY doc_id"""))),
+
+    // PQ codes + per-subspace reconstruction error with the FIXED literal
+    // codebook (VERDICT r7 task 6) — the hash-checked twin of
+    // vec_pq_codes, whose trained codebook keeps it rows-only. Runs the
+    // PRODUCTION pqCodeCols helper (argmin = array_position of array_min
+    // → smallest code among cost ties) and the production err fold
+    // err_j = max(|x_j|² + (|c|² − 2x_j·c), 0) over the raw
+    // (float-widened) subvectors — every cost is a fold over identical
+    // doubles, |c|² folded driver-side in graft_dot's left-to-right
+    // order. With this, the last ANN-family stage whose only signal was
+    // the trained output (codes + err) fails the driver's hash gate on
+    // regression instead of only AnnRecallSpec.
+    Q("vec_pq_codes_fixed",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val pqCb = pqCells.zipWithIndex
+          .map { case (cv, i) => (i / 4, i % 4, cv) }
+        val e0 = Tables.table(s, dir, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double"))
+              .as("embedding"))
+        var out = PipelineOps.pqCodeCols(e0, pqCb, 4, 4)
+        for (j <- 0 until 4) {
+          val sv = expr(s"slice(embedding, $j * 16 + 1, 16)")
+          out = out.withColumn(s"err$j",
+            greatest(dot(sv, sv) + col(s"cost$j"), lit(0.0)))
+        }
+        out.select(col("vec_id") +: (0 until 4).flatMap(j =>
+            Seq(col(s"c$j").cast("long").as(s"c$j"), col(s"err$j"))): _*)
+          .orderBy(col("vec_id"))
+      },
+      Some(sql(s"""WITH ed AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |pcb AS (SELECT s AS sub, c AS code,
+        |  list_transform(generate_series(1, 16),
+        |    j -> ((s * 5 + c * 3 + j * 11) % 7 - 3) / 8.0) AS cv
+        |  FROM generate_series(0, 3) ts(s)
+        |  CROSS JOIN generate_series(0, 3) tc(c)),
+        |sub AS (SELECT vec_id, s AS sub,
+        |  list_slice(v, s * 16 + 1, s * 16 + 16) AS sv
+        |  FROM ed CROSS JOIN generate_series(0, 3) t(s)),
+        |costs AS (SELECT v.vec_id, v.sub, p.code,
+        |  ${sqlDot("p.cv", "p.cv")} - 2.0 * ${sqlDot("v.sv", "p.cv")}
+        |    AS cost,
+        |  ${sqlDot("v.sv", "v.sv")} AS svn2
+        |  FROM sub v JOIN pcb p USING (sub)),
+        |best AS (SELECT vec_id, sub, code, cost, svn2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY cost ASC, code ASC) AS rn FROM costs) WHERE rn = 1)
+        |SELECT vec_id,
+        |  ${(0 until 4).map(j =>
+             s"max(CASE WHEN sub = $j THEN code END)::BIGINT AS c$j, " +
+               s"max(CASE WHEN sub = $j THEN greatest(svn2 + cost, 0.0) " +
+               s"END) AS err$j").mkString(", ")}
+        |FROM best GROUP BY vec_id ORDER BY vec_id"""))),
   )
+
+  /** (vec_id, u, band, bsig) rows of the fixed-plane SRP banding,
+    * bucket-capped at 1000 — the candidate-generation half shared by
+    * `vec_neardup_srp_fixed` and `pipeline_dedup_semantic`. Signatures
+    * are computed map-side on the raw (double-widened) vectors (sign is
+    * scale-invariant); the window-count cap's (band, bsig) exchange is
+    * shared by both self-join sides downstream, halving the corpus scans
+    * vs a broadcast-keep formulation (measured r7). */
+  private def srpCapped(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val e = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("u", transform(col("v"),
+        x => x / sqrt(dot(col("v"), col("v")))))
+    def sig(b: Int): Column = (0 until 8).map { i =>
+      when(dot(col("v"), typedLit(srpPlanes(b * 8 + i))) >= 0,
+        lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    e.withColumn("s0", sig(0)).withColumn("s1", sig(1))
+      .select(col("vec_id"), col("u"), expr(
+        "explode(array(struct(0 AS band, s0 AS bsig), " +
+          "struct(1 AS band, s1 AS bsig)))").as("bs"))
+      .select(col("vec_id"), col("u"), col("bs.band").as("band"),
+        col("bs.bsig").as("bsig"))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bsig"))))
+      .filter(col("bsz") <= 1000)
+      .drop("bsz")
+  }
+
+  /** Oracle CTE twins of [[srpCapped]] (`e`, `sigs`, `keep`, `capped`). */
+  private def sqlSrpCappedCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  list_transform(embedding::DOUBLE[],
+       |    x -> x / sqrt(${sqlDot("embedding::DOUBLE[]",
+              "embedding::DOUBLE[]")})) AS u
+       |  FROM embeddings),
+       |sigs AS (
+       |  SELECT vec_id, u, 0 AS band, ${sqlSrpSig(0)} AS bsig FROM e
+       |  UNION ALL
+       |  SELECT vec_id, u, 1 AS band, ${sqlSrpSig(1)} AS bsig FROM e),
+       |keep AS (SELECT band, bsig FROM sigs
+       |  GROUP BY band, bsig HAVING count(*) <= 1000),
+       |capped AS (SELECT s.* FROM sigs s JOIN keep USING (band, bsig))"""
+      .stripMargin
 
   /** SQL twin of the band-`b` signature: 8 sign bits over the literal
     * planes, identical doubles compared against zero on both engines. */

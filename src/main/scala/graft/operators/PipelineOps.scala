@@ -1037,6 +1037,21 @@ object PipelineOps {
       },
       None),
 
+    // Byte-level BPE merge-table training (VERDICT r7 task 5) — the
+    // production-tokenizer variant of text_bpe_merges: symbols start as
+    // UTF-8 bytes (decimal strings), so ANY input text trains without an
+    // alphabet filter. Same iterative-argmax shape → rows-only; gated by
+    // the independent pure-Python byte-BPE differential in
+    // scripts/preflight.py (all 8 merge rounds must match).
+    Q("text_bpe_bytes",
+      (s, dir) => {
+        import s.implicits._
+        bpeByteMerges(s, dir)
+          .toDF("rank", "left", "right", "merged", "pair_freq")
+          .orderBy(col("rank"))
+      },
+      None),
+
     // Sequence packing: each document's token-id sequence split into
     // fixed-length chunks of 32 (context-length packing for training).
     Q("text_chunk_pack",
@@ -1376,56 +1391,116 @@ object PipelineOps {
     *
     * Training is differentially tested: `scripts/preflight.py` replays
     * the same (word, freq) dict through an independent pure-Python BPE
-    * and asserts all 8 merge rounds identical (VERDICT r6 task 5). */
+    * and asserts all 8 merge rounds identical (VERDICT r6 task 5).
+    *
+    * Checkpoint-storage scale note (VERDICT r7 task 8): each merge round
+    * `localCheckpoint`s the working frame to bound the R-round lineage.
+    * That storage is NOT corpus-sized — the `groupBy(word)` pre-
+    * aggregation above bounds the checkpointed frame to one row per
+    * DISTINCT alphabet word (vocabulary-sized, ~sublinear in corpus
+    * bytes by Heaps' law), so 8 rounds checkpoint 8 vocabulary copies,
+    * not 8 corpus copies. The same bound carries to [[bpeByteMerges]],
+    * whose working frame is one row per distinct word as a byte-symbol
+    * string. */
   private[graft] def bpeMerges(s: SparkSession,
       dir: String): Seq[(Long, String, String, String, Long)] = {
     val sessionCache = bpeCache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String,
         Seq[(Long, String, String, String, Long)]]())
     sessionCache.computeIfAbsent(dir, _ => {
-      val R = 8
       // symbols as a space-joined string: ' h e l l o ' (split on ''
-      // keeps a trailing empty element — filter it); checkpointed so
-      // round 1's argmax and first merge don't tokenize the corpus twice
-      var cur = tokensOf(s, dir)
-        .filter(col("word").rlike("^[a-z]+$"))
+      // keeps a trailing empty element — filter it).
+      // \A..\z whole-input anchors (ADVICE r7): Java's `$` also matches
+      // before a trailing newline, while the preflight differential's
+      // DuckDB/RE2 `$` is end-of-text only — "abc\n" must be dropped by
+      // BOTH filters or the differential gate mis-fires on future data.
+      bpeTrain(tokensOf(s, dir)
+        .filter(col("word").rlike("\\A[a-z]+\\z"))
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
         .select(concat(lit(" "), concat_ws(" ",
           expr("filter(split(word, ''), x -> x <> '')")), lit(" "))
-          .as("syms"), col("freq"))
-        .localCheckpoint()
-      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-      for (r <- 1 to R) {
-        val top = cur
-          .select(col("freq"), split(trim(col("syms")), " ").as("a"))
-          // fully-merged single-symbol words have no pairs (and
-          // sequence(1, 0) would be DESCENDING, not empty)
-          .filter(size(col("a")) >= 2)
-          .select(col("freq"), explode(expr(
-            """transform(sequence(1, size(a) - 1),
-              |  i -> struct(element_at(a, i) AS l,
-              |              element_at(a, i + 1) AS r))"""
-              .stripMargin)).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("freq")).as("pf"))
-          .orderBy(col("pf").desc, col("l").asc, col("r").asc)
-          .limit(1).collect()
-        if (top.nonEmpty) {
-          val (l, rr, pf) = (top(0).getString(0), top(0).getString(1),
-            top(0).getLong(2))
-          merges += ((r.toLong, l, rr, l + rr, pf))
-          // greedy left-to-right non-overlapping replace = BPE's merge
-          // order; (?= ) keeps the trailing space as the next boundary
-          val pat = "(?<= )" + java.util.regex.Pattern.quote(l + " " + rr) +
-            "(?= )"
-          val rep = java.util.regex.Matcher.quoteReplacement(l + rr)
-          cur = cur.select(regexp_replace(col("syms"), pat, rep).as("syms"),
-            col("freq"))
-            .localCheckpoint() // bound the R-round plan lineage
-        }
-      }
-      merges.result()
+          .as("syms"), col("freq")),
+        rounds = 8, mergeSym = _ + _)
     })
+  }
+
+  /** Byte-level BPE training behind `text_bpe_bytes` (VERDICT r7 task 5):
+    * the same greedy merge loop as [[bpeMerges]], but the initial symbol
+    * alphabet is each word's UTF-8 BYTES rendered as decimal strings
+    * ("hello" → ' 104 101 108 108 111 '), the production-tokenizer
+    * alphabet — every word participates, no [a-z]+ filter needed, because
+    * any input (emoji, CJK, mojibake) decomposes into the same 256
+    * symbols. Merged symbols join their parts with '.' ("104.101"), so a
+    * symbol is always `[0-9.]+` and the lexicographic (l, r) tie-break
+    * compares pure-ASCII strings — identical under Spark's UTF-8-byte
+    * order and the Python replay's code-point order (the reason the
+    * word-level variant needs its alphabet filter at all).
+    * `scripts/preflight.py` replays the same (word, freq) dict through an
+    * independent pure-Python byte BPE and asserts all 8 merge rounds
+    * identical. Checkpoint storage is vocabulary-sized per round, exactly
+    * as documented on [[bpeMerges]]. */
+  private[graft] def bpeByteMerges(s: SparkSession,
+      dir: String): Seq[(Long, String, String, String, Long)] = {
+    val sessionCache = bpeCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String,
+        Seq[(Long, String, String, String, Long)]]())
+    sessionCache.computeIfAbsent(dir + "#bytes", _ => {
+      // hex(encode(w)) is 2 hex chars per UTF-8 byte; conv(_, 16, 10)
+      // renders each byte as its decimal string symbol
+      bpeTrain(tokensOf(s, dir)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .select(concat(lit(" "), concat_ws(" ", expr(
+          """transform(sequence(1, octet_length(word)),
+            |  i -> conv(substring(hex(encode(word, 'UTF-8')),
+            |            2 * i - 1, 2), 16, 10))""".stripMargin)),
+          lit(" ")).as("syms"), col("freq")),
+        rounds = 8, mergeSym = _ + "." + _)
+    })
+  }
+
+  /** The shared greedy BPE merge loop: `cur0` is the (syms, freq)
+    * dictionary with symbols space-joined and space-padded; each round
+    * counts adjacent symbol pairs weighted by freq, merges the most
+    * frequent (ties to the lexicographically smallest (l, r)) greedily
+    * left-to-right non-overlapping, `mergeSym` names the merged symbol.
+    * Checkpointed so round 1's argmax and the first merge don't
+    * re-derive the dictionary, and each round's checkpoint bounds the
+    * R-round plan lineage. */
+  private def bpeTrain(cur0: DataFrame, rounds: Int,
+      mergeSym: (String, String) => String)
+      : Seq[(Long, String, String, String, Long)] = {
+    var cur = cur0.localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = cur
+        .select(col("freq"), split(trim(col("syms")), " ").as("a"))
+        // fully-merged single-symbol words have no pairs (and
+        // sequence(1, 0) would be DESCENDING, not empty)
+        .filter(size(col("a")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(a) - 1),
+            |  i -> struct(element_at(a, i) AS l,
+            |              element_at(a, i + 1) AS r))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("pf"))
+        .orderBy(col("pf").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, rr, pf) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((r.toLong, l, rr, mergeSym(l, rr), pf))
+        // greedy left-to-right non-overlapping replace = BPE's merge
+        // order; (?= ) keeps the trailing space as the next boundary
+        val pat = "(?<= )" + java.util.regex.Pattern.quote(l + " " + rr) +
+          "(?= )"
+        val rep = java.util.regex.Matcher.quoteReplacement(mergeSym(l, rr))
+        cur = cur.select(regexp_replace(col("syms"), pat, rep).as("syms"),
+          col("freq"))
+          .localCheckpoint() // bound the R-round plan lineage
+      }
+    }
+    merges.result()
   }
 
   private val pqCache = java.util.Collections.synchronizedMap(
@@ -1802,7 +1877,12 @@ object PipelineOps {
       .filter(col("arn") <= 20)
       .select(col("q_id"), col("vec_id"), col("list_id"),
         col("approx_sim"))
-    shortlist
+    // broadcast the ≤20·nQueries-row shortlist by construction (ADVICE
+    // r7): without the hint the "corpus is never shuffled" contract held
+    // only because the fixture-scale corpus scan fell under the
+    // auto-broadcast threshold — at scale Spark could shuffle the whole
+    // corpus by vec_id here.
+    broadcast(shortlist)
       .join(e.select(col("vec_id"), col("u")), "vec_id")
       .join(broadcast(qs), "q_id") // qu recovered for <=20 rows/query
       .withColumn("cos_sim", dotc(col("qu"), col("u")))

@@ -757,6 +757,79 @@ class InvariantSpec extends AnyFunSuite {
     assert(r1.getAs[Long]("pair_freq") === bf)
   }
 
+  test("byte BPE: round 1 equals the corpus byte-bigram argmax") {
+    val rows = run("text_bpe_bytes").collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to 8L))
+    rows.foreach { r =>
+      assert(r.getAs[String]("merged") ===
+        r.getAs[String]("left") + "." + r.getAs[String]("right"))
+      assert(r.getAs[String]("merged").matches("[0-9.]+"))
+      assert(r.getAs[Long]("pair_freq") > 0L)
+    }
+    // independent round-1 oracle: most frequent adjacent UTF-8 byte pair
+    // over all word occurrences (decimal-string symbols), ties to the
+    // lexicographically smallest (left, right)
+    val words = Tables.table(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w")).collect()
+      .map(_.getString(0)).filter(_.nonEmpty)
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    words.foreach { w =>
+      val bs = w.getBytes("UTF-8").map(b => (b & 0xff).toString)
+      bs.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p(0), p(1))
+        counts(k) = counts.getOrElse(k, 0L) + 1L
+      }
+    }
+    val ((bl, br), bf) =
+      counts.toSeq.sortBy { case ((l, r), f) => (-f, l, r) }.head
+    val r1 = rows.find(_.getAs[Long]("rank") == 1L).get
+    assert(r1.getAs[String]("left") === bl)
+    assert(r1.getAs[String]("right") === br)
+    assert(r1.getAs[Long]("pair_freq") === bf)
+  }
+
+  test("semantic dedup: kept = exact canonicals minus larger-id strong pairs") {
+    // cross-key invariant: the SRP pair list (vec_neardup_srp_fixed, max
+    // cos per pair) fully determines pipeline_dedup_semantic's drop set
+    val kept = run("pipeline_dedup_semantic").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val drops = run("vec_neardup_srp_fixed").collect()
+      .filter(_.getAs[Double]("cos_sim") >= 0.35)
+      .map(_.getAs[Long]("b_id")).toSet
+    val canonical = Tables.table(spark, sf, "documents")
+      .groupBy(sha2(col("text"), 256)).agg(min(col("doc_id")).as("d"))
+      .collect().map(_.getAs[Long]("d")).toSet
+    assert(drops.nonEmpty, "threshold 0.35 should drop docs at sf0.001")
+    assert(kept === (canonical -- drops))
+  }
+
+  test("fixed PQ codes: codes/errs match a driver-side replay") {
+    val rows = run("vec_pq_codes_fixed").collect()
+    val emb = Tables.table(spark, sf, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble))
+      .toMap
+    assert(rows.length === emb.size)
+    val cells = (for (s0 <- 0 until 4; c <- 0 until 4) yield (s0, c) ->
+      (1 to 16).map(j => ((s0 * 5 + c * 3 + j * 11) % 7 - 3) / 8.0)).toMap
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+    rows.take(25).foreach { r =>
+      val v = emb(r.getAs[Long]("vec_id"))
+      for (j <- 0 until 4) {
+        val sv = v.slice(j * 16, j * 16 + 16)
+        val costs = (0 until 4).map { c =>
+          val cv = cells((j, c))
+          cv.foldLeft(0.0)((a, x) => a + x * x) - 2.0 * dot(sv, cv)
+        }
+        val best = costs.indexOf(costs.min) // first index = smallest code
+        assert(r.getAs[Long](s"c$j") === best.toLong)
+        assert(r.getAs[Double](s"err$j") ===
+          math.max(dot(sv, sv) + costs(best), 0.0))
+      }
+    }
+  }
+
   test("feature extraction: signed-byte range and L1 consistency") {
     val rows = run("mm_feature_extract").collect()
     assert(rows.length === Tables.table(spark, sf, "documents").count())
