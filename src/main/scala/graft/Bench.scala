@@ -69,44 +69,63 @@ object Bench {
     // 5x per query (VERDICT r3 task 5), which made round-over-round
     // regression calls noise. A query that throws in ANY run records -1.0
     // (never a fake elapsed time).
+    //
+    // Runs are PASS-MAJOR (VERDICT r7 task 3): the whole suite runs as
+    // RUNS interleaved passes (q1 q2 … qN, q1 q2 … qN, …), not RUNS
+    // back-to-back runs per key — so one key's samples are separated in
+    // time by a full suite pass and the host's roaming multi-second
+    // stall window (BASELINE.md) can no longer cover EVERY sample of a
+    // key and masquerade as a 9× per-key regression. min_sec is
+    // therefore a min ACROSS passes: a key whose min_sec is normal but
+    // whose median is inflated was stalled, not regressed.
     val RUNS = 3
+    val keys = SparkEntry.queries.toSeq.sortBy(_._1)
+    def sampleOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, (Long, Long, Long), Double, Double) = {
+      drainListeners()
+      val before = metrics.snapshot()
+      // Plan vs exec split (VERDICT r6 task 8): toRdd pays analysis +
+      // optimization + physical planning + codegen; count() pays the
+      // actual run. The split quantifies the per-query scheduling/plan
+      // floor, so cross-host comparisons can subtract it instead of
+      // guessing. toRdd executes THIS physical plan (sorts, projections
+      // and all); df.count() would let Catalyst prune the operator
+      // under test.
+      val t0 = System.nanoTime()
+      var t1 = t0
+      val ok = try {
+        val rdd = fn(spark, sfDir).queryExecution.toRdd
+        t1 = System.nanoTime()
+        rdd.count(); true
+      } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false }
+      val t2 = System.nanoTime()
+      drainListeners()
+      val after = metrics.snapshot()
+      (if (ok) (t2 - t0) / 1e9 else -1.0,
+        (after._1 - before._1, after._2 - before._2,
+          after._3 - before._3),
+        (t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    }
+    val byKey = scala.collection.mutable.Map.empty[
+      String, Vector[(Double, (Long, Long, Long), Double, Double)]]
+    for (_ <- 1 to RUNS; (name, fn) <- keys)
+      byKey(name) = byKey.getOrElse(name, Vector.empty) :+ sampleOnce(name, fn)
     val detail = Seq.newBuilder[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to RUNS).map { _ =>
-        drainListeners()
-        val before = metrics.snapshot()
-        // Plan vs exec split (VERDICT r6 task 8): toRdd pays analysis +
-        // optimization + physical planning + codegen; count() pays the
-        // actual run. The split quantifies the per-query scheduling/plan
-        // floor, so cross-host comparisons can subtract it instead of
-        // guessing. toRdd executes THIS physical plan (sorts, projections
-        // and all); df.count() would let Catalyst prune the operator
-        // under test.
-        val t0 = System.nanoTime()
-        var t1 = t0
-        val ok = try {
-          val rdd = fn(spark, sfDir).queryExecution.toRdd
-          t1 = System.nanoTime()
-          rdd.count(); true
-        } catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false }
-        val t2 = System.nanoTime()
-        drainListeners()
-        val after = metrics.snapshot()
-        (if (ok) (t2 - t0) / 1e9 else -1.0,
-          (after._1 - before._1, after._2 - before._2,
-            after._3 - before._3),
-          (t1 - t0) / 1e9, (t2 - t1) / 1e9)
-      }
-      val sorted = samples.sortBy(_._1)
-      val med = sorted(RUNS / 2)
-      val sec = if (samples.exists(_._1 < 0)) -1.0 else med._1
-      // min/max only over SUCCESSFUL samples: mixing the -1.0 failure
-      // sentinel into min_sec reads as a timing (ADVICE r5); the explicit
-      // failed_runs count carries the failure signal instead.
-      val good = sorted.filter(_._1 >= 0)
+    val results = keys.map { case (name, _) =>
+      val samples = byKey(name)
+      // min/max/median/bytes only over SUCCESSFUL samples: mixing the
+      // -1.0 failure sentinel into min_sec reads as a timing (ADVICE r5),
+      // and a failed sample's byte counters describe a PARTIAL run
+      // (ADVICE r7) — the explicit failed_runs count carries the failure
+      // signal instead.
+      val good = samples.sortBy(_._1).filter(_._1 >= 0)
       val failed = RUNS - good.size
+      val med = if (good.nonEmpty) good(good.size / 2)
+                else (-1.0, (-1L, -1L, -1L), -1.0, -1.0)
+      val sec = if (failed > 0) -1.0 else med._1
       val (minS, maxS) =
         if (good.isEmpty) (-1.0, -1.0) else (good.head._1, good.last._1)
       val (planS, execS) = if (sec < 0) (-1.0, -1.0) else (med._3, med._4)
