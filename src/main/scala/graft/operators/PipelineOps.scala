@@ -1548,8 +1548,7 @@ object PipelineOps {
     val sessionCache = pqCache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[
         (String, Int, Int, Int), Seq[(Int, Int, Seq[Double])]]())
-    val cacheKey = (e0.queryExecution.logical.canonicalized.toString,
-      m, k, iters)
+    val cacheKey = (planKey(e0), m, k, iters)
     sessionCache.computeIfAbsent(cacheKey, _ => {
       // Dense 0-based init: the first k vectors BY ORDER of vec_id seed
       // codes 0..k-1 in every subspace. The id value is never used as the
@@ -1664,11 +1663,26 @@ object PipelineOps {
     * normalizes expr IDs, so structurally equal frames render identically,
     * and distinct trees render distinctly — unlike the previous 32-bit
     * hashCode, which could silently serve a codebook trained on DIFFERENT
-    * data after a collision. */
+    * data after a collision.
+    *
+    * The canonicalized string alone is NOT sufficient (r8 regression,
+    * caught by the nprobe recall sweep): a parquet LogicalRelation's
+    * canonical form prints columns but no file path, so structurally
+    * identical reads of sf0.001 and sf0.1 render the SAME string and the
+    * second search silently reuses the first dataset's codebook. Every
+    * cache key therefore also embeds [[planKey]]'s sorted
+    * `Dataset.inputFiles` — the public API that names the backing
+    * files. */
   private val codebookCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[
         (String, Int, Int), Seq[(Long, Seq[Double])]]]())
+
+  /** Canonicalized-plan + backing-file cache key for train-once memos —
+    * see [[codebookCache]] for why both halves are load-bearing. */
+  private def planKey(df: DataFrame): String =
+    df.queryExecution.logical.canonicalized.toString +
+      "|" + df.inputFiles.sorted.mkString(",")
 
   /** (vec_id, u): unit-normalized double vectors — cosine becomes a
     * plain dot product downstream. Shared by the IVF family and the
@@ -1733,8 +1747,7 @@ object PipelineOps {
     val sessionCache = codebookCache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[
         (String, Int, Int), Seq[(Long, Seq[Double])]]())
-    val cacheKey = (e0.queryExecution.logical.canonicalized.toString,
-      nlists, lloydIters)
+    val cacheKey = (planKey(e0), nlists, lloydIters)
     sessionCache.computeIfAbsent(cacheKey, _ => {
       var c: Seq[(Long, Seq[Double])] =
         e.orderBy(col("vec_id")).limit(nlists).collect()
@@ -1813,7 +1826,8 @@ object PipelineOps {
     * in AnnRecallSpec; approximation error is PQ's documented trade → no
     * oracle (D3). */
   private[graft] def ivfpqSearch(e0: DataFrame, nlists: Int, nprobe: Int,
-      m: Int, k: Int, iters: Int, nQueries: Int): DataFrame = {
+      m: Int, k: Int, iters: Int, nQueries: Int,
+      rerank: Int = 128): DataFrame = {
     val s = e0.sparkSession
     graft.plans.GraftFunctions.register(s)
     val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
@@ -1865,8 +1879,13 @@ object PipelineOps {
     val scored = cand.join(broadcast(lutArr), "q_id")
     // ADC shortlist → exact rerank (the production tail of IVF-PQ): the
     // LUT score is a shortlist builder, not the final ranking — the top
-    // 20 approx candidates per query are reranked by exact cosine, so
-    // raw vectors are read for 20 rows/query instead of every candidate.
+    // `rerank` approx candidates per query are reranked by exact cosine,
+    // so raw vectors are read for `rerank` rows/query instead of every
+    // candidate. Depth is THE recall lever once probes saturate: at
+    // sf0.1 the 8×16 codes rank true neighbors outside the top 20 often
+    // enough to cap recall@3 near 0.6 regardless of nprobe (r8 sweep);
+    // 128 reads 0.82–0.88 across nprobe 1–8 for a still-tiny rerank
+    // fetch (128 raw vectors/query vs the corpus-sized candidate scan).
     val shortlist = scored
       .withColumn("approx_sim",
         (0 until m).map(j =>
@@ -1874,7 +1893,7 @@ object PipelineOps {
       .withColumn("arn", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("approx_sim").desc, col("vec_id").asc)))
-      .filter(col("arn") <= 20)
+      .filter(col("arn") <= rerank)
       .select(col("q_id"), col("vec_id"), col("list_id"),
         col("approx_sim"))
     // broadcast the ≤20·nQueries-row shortlist by construction (ADVICE

@@ -134,6 +134,56 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(overlap >= 0.5, f"overlap $overlap%.2f below 0.5")
   }
 
+  test("nprobe sweep: recall rises monotonically and saturates at sf0.1") {
+    // Recall-drift guard for the TRAINED ANN path (VERDICT r7 task 7):
+    // vec_ann_ivf/ivfpq stay rows-only (engine-derived centroids), so a
+    // k-means regression that still produces well-formed rows would pass
+    // the driver gate silently — this sweep fails it instead. IVF-flat
+    // recall is monotone in nprobe BY CONSTRUCTION for a fixed codebook
+    // (probed lists nest, ranking is exact cosine, so a recovered true
+    // neighbor can only be displaced by another true neighbor); IVF-PQ
+    // can dip a whisker when a larger candidate pool displaces a true
+    // neighbor from the ADC top-20 shortlist, so it gets a small epsilon.
+    graft.plans.GraftFunctions.register(spark)
+    val sfBig = "/root/testdata/sf0.1"
+    val e0 = Tables.table(spark, sfBig, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val e = e0.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val q = e.orderBy(col("vec_id")).limit(20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val brute = q.crossJoin(e)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", call_function("graft_dot", col("qv"), col("v"))
+        / (sqrt(call_function("graft_dot", col("qv"), col("qv")))
+          * sqrt(call_function("graft_dot", col("v"), col("v")))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size === 60)
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = res
+      .select(col("q_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(brute).size.toDouble / brute.size
+    val probes = Seq(1, 2, 4, 8)
+    val ivf = probes.map(p => recallOf(operators.PipelineOps.ivfSearch(
+      e0, nlists = 16, nprobe = p, lloydIters = 2, nQueries = 20)))
+    val pq = probes.map(p => recallOf(operators.PipelineOps.ivfpqSearch(
+      e0, nlists = 16, nprobe = p, m = 8, k = 16, iters = 2,
+      nQueries = 20)))
+    info(s"IVF recall@3 by nprobe ${probes.zip(ivf)}")
+    info(s"IVF-PQ recall@3 by nprobe ${probes.zip(pq)}")
+    ivf.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"IVF recall not monotone: $ivf") }
+    pq.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 0.05, s"IVF-PQ recall dipped beyond eps: $pq") }
+    assert(ivf.last >= 0.85, f"IVF recall@3(nprobe=8) ${ivf.last}%.2f < 0.85")
+    assert(pq.last >= 0.85, f"IVF-PQ recall@3(nprobe=8) ${pq.last}%.2f < 0.85")
+  }
+
   test("PQ codes: in range, complete, and Lloyd training cuts distortion") {
     graft.plans.GraftFunctions.register(spark)
     val rows = Registry.queries("vec_pq_codes")(spark, sf).collect()

@@ -247,4 +247,26 @@ class EdgeCaseSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === Seq(10L -> 0L, 11L -> 2L, 12L -> 5L, 13L -> 0L))
   }
+
+  test("codebook cache never aliases across input datasets (r8)") {
+    graft.plans.GraftFunctions.register(spark)
+    // A parquet LogicalRelation's CANONICALIZED plan prints columns but
+    // no file path, so structurally identical reads of two SF dirs render
+    // the same string — the train-once memo must still train separately
+    // (it reused the sf0.001 codebook for sf0.1 before the planKey fix,
+    // caught by the nprobe recall sweep reading garbage recall).
+    def emb(d: String) = Tables.table(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val small = emb("/root/testdata/sf0.001")
+    val big = emb("/root/testdata/sf0.1")
+    assert(small.queryExecution.logical.canonicalized.toString ===
+      big.queryExecution.logical.canonicalized.toString,
+      "precondition: canonical plans alias (else this test is vacuous)")
+    val cbSmall = graft.operators.PipelineOps
+      .trainCoarse(small, nlists = 4, lloydIters = 1)
+    val cbBig = graft.operators.PipelineOps
+      .trainCoarse(big, nlists = 4, lloydIters = 1)
+    assert(cbSmall !== cbBig,
+      "distinct datasets must train distinct codebooks")
+  }
 }
