@@ -33,6 +33,13 @@ final case class FunnelState(v_us: Long, c_us: Long, p_us: Long,
 /** A completed view→click→purchase funnel emitted by [[FunnelProcessor]]. */
 final case class FunnelHit(user_id: Long, v_us: Long, c_us: Long, p_us: Long)
 
+/** Per-user funnel progress for [[WatermarkFunnelProcessor]]: earliest µs
+  * per stage, a `decided` latch (the verdict became final when the
+  * watermark passed the first purchase — hit or miss), and the registered
+  * decision deadline (event-time ms; 0 = none). */
+final case class FunnelStateT(v_us: Long, c_us: Long, p_us: Long,
+    decided: Boolean, deadline_ms: Long)
+
 /** Event row with a real event-time column, for watermark-driven
   * operators ([[TimerSessionProcessor]]). */
 final case class EvT(event_id: Long, ts_us: Long, user_id: Long,
@@ -172,6 +179,87 @@ final class FunnelProcessor extends StatefulProcessor[Long, Ev, FunnelHit] {
   }
 }
 
+/** Out-of-order-tolerant funnel detector (VERDICT r7 task 4): the same
+  * first-view < first-click < first-purchase predicate as
+  * [[FunnelProcessor]], but the verdict is WATERMARK-DELAYED instead of
+  * fired the first micro-batch the ordering holds. [[FunnelProcessor]]'s
+  * latch is wrong under disorder: it fires on the current minima, and a
+  * late-arriving earlier click can invalidate an already-emitted hit
+  * (batch truth says miss, the stream said hit — unretractable in append
+  * mode).
+  *
+  * This processor instead registers an event-time timer at the first
+  * purchase's ceiling-ms whenever the min purchase changes, and decides
+  * only in `handleExpiredTimer`. Finality argument: the timer fires when
+  * the watermark has passed `p_us`, after which no event with
+  * `ts < p_us` can reach the processor (late rows beyond the watermark
+  * are dropped upstream), so the minima below `p_us` are frozen; any NEW
+  * event has `ts ≥ p_us`, and lowering v/c to a value ≥ p_us can never
+  * satisfy `v < c < p_us`. The v<c<p verdict at timer time is therefore
+  * permanent — emitted once on a hit, latched silently on a miss — and
+  * the emitted set equals the batch `events_funnel` filter's for any
+  * arrival order whose disorder stays within the watermark delay
+  * (exactness degrades to the watermark contract beyond it: dropped
+  * late rows are invisible to both minima and verdict).
+  *
+  * Scale notes: state is one [[FunnelStateT]] + at most one pending
+  * timer per user still inside its decision window; decided users keep
+  * only the latched row (a production deployment adds a TTL to age
+  * those out).
+  */
+final class WatermarkFunnelProcessor
+    extends StatefulProcessor[Long, EvT, FunnelHit] {
+  @transient private var st: ValueState[FunnelStateT] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[FunnelStateT]("wfunnel",
+      Encoders.product[FunnelStateT], TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[EvT],
+      tv: TimerValues): Iterator[FunnelHit] = {
+    val init = if (st.exists()) st.get()
+      else FunnelStateT(Long.MaxValue, Long.MaxValue, Long.MaxValue,
+        decided = false, deadline_ms = 0L)
+    if (init.decided) return Iterator.empty // verdict is final; drop rows
+    var s = init
+    rows.foreach { e =>
+      e.event_type match {
+        case "view"     => if (e.ts_us < s.v_us) s = s.copy(v_us = e.ts_us)
+        case "click"    => if (e.ts_us < s.c_us) s = s.copy(c_us = e.ts_us)
+        case "purchase" => if (e.ts_us < s.p_us) s = s.copy(p_us = e.ts_us)
+        case _          => ()
+      }
+    }
+    if (s.p_us != Long.MaxValue) {
+      // ceiling-ms (the TimerSessionProcessor lesson): the timer must
+      // not fire while an event at exactly p_us could still arrive
+      val d = (s.p_us + 999) / 1000
+      if (d != s.deadline_ms) {
+        if (s.deadline_ms != 0L) getHandle.deleteTimer(s.deadline_ms)
+        getHandle.registerTimer(d)
+        s = s.copy(deadline_ms = d)
+      }
+    }
+    if (s != init) st.update(s)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(uid: Long, tv: TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[FunnelHit] = {
+    if (!st.exists()) return Iterator.empty
+    val s = st.get()
+    // only the timer matching the CURRENT deadline decides; earlier
+    // registrations are stale survivors of a p_us decrease
+    if (s.decided || s.deadline_ms != info.getExpiryTimeInMs)
+      return Iterator.empty
+    st.update(s.copy(decided = true))
+    if (s.v_us < s.c_us && s.c_us < s.p_us)
+      Iterator.single(FunnelHit(uid, s.v_us, s.c_us, s.p_us))
+    else Iterator.empty
+  }
+}
+
 /** Structured Streaming twins of the §2.1-H batch operators
   * (SURVEY §2.9 / §7.1 slice 5).
   *
@@ -306,12 +394,28 @@ object StreamOps {
   }
 
   /** First-completion funnel per user via Spark 4's `transformWithState`
-    * (RocksDB state store required) — see [[FunnelProcessor]]. */
+    * (RocksDB state store required) — see [[FunnelProcessor]]. The
+    * LOW-LATENCY variant: fires the micro-batch the ordering first holds,
+    * correct only for in-order arrival; use [[funnelWatermarked]] when
+    * the source can deliver stages out of order. */
   def funnelFirstCompletion(events: Dataset[Ev]): Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor, TimeMode.None(),
         OutputMode.Append())
+  }
+
+  /** Out-of-order-tolerant funnel via event-time timers (RocksDB state
+    * store required) — see [[WatermarkFunnelProcessor]]. The input must
+    * carry a watermark on `ts_t`; each user's verdict is emitted when the
+    * watermark passes their first purchase, so the emitted set equals the
+    * batch `events_funnel` filter for any disorder within the watermark
+    * delay (at the price of that delay in emission latency). */
+  def funnelWatermarked(events: Dataset[EvT]): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new WatermarkFunnelProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Watermark-driven sessionization via `transformWithState` event-time
