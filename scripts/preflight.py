@@ -126,6 +126,9 @@ EXEMPT_UNROUNDED = {
     "pipeline_dedup_semantic",  # same SRP folds; 0.35 threshold compares
                                 # bit-identical doubles (vec_dedup_threshold
                                 # precedent)
+    "pipeline_dedup_semantic_incremental",  # same SRP folds + threshold
+    "pipeline_curate",  # SRP folds for the drop set; the quality gate
+                        # itself is exact BIGINT arithmetic
     "vec_matryoshka_prefix",  # sqrt(fold) over embedding prefixes
     "text_domain_mix",     # sqrt(division of identical exact BIGINTs)
 }

@@ -355,33 +355,18 @@ object AnnFixed {
     Q("pipeline_dedup_semantic",
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")
-        val capped = srpCapped(s, dir)
-        val x = capped.select(col("band"), col("bsig"),
-          col("vec_id").as("a_id"), col("u").as("ua"))
-        val y = capped.select(col("band").as("y_band"),
-          col("bsig").as("y_bsig"), col("vec_id").as("b_id"),
-          col("u").as("ub"))
-        val nearDrops = x.join(y, col("band") === col("y_band")
-            && col("bsig") === col("y_bsig")
-            && col("a_id") < col("b_id"))
-          .filter(dot(col("ua"), col("ub")) >= 0.35)
-          .select(col("b_id").as("doc_id")).distinct()
         val exactCanonical = docs
           .groupBy(sha2(col("text"), 256).as("h"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
         docs
           .join(exactCanonical, Seq("doc_id"), "left_semi")
-          .join(nearDrops, Seq("doc_id"), "left_anti")
+          .join(srpNearDrops(s, dir), Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"), col("source"),
             col("n_chars"))
           .orderBy(col("doc_id"))
       },
-      Some(sql(s"""WITH $sqlSrpCappedCtes,
-        |drops AS (SELECT DISTINCT y.vec_id AS doc_id
-        |  FROM capped x JOIN capped y
-        |  ON x.band = y.band AND x.bsig = y.bsig AND x.vec_id < y.vec_id
-        |  WHERE ${sqlDot("x.u", "y.u")} >= 0.35),
+      Some(sql(s"""WITH $sqlSrpCappedCtes, $sqlSrpDropsCte,
         |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents
         |  GROUP BY sha256(text))
         |SELECT d.doc_id, d.lang, d.source, d.n_chars
@@ -389,6 +374,141 @@ object AnnFixed {
         |JOIN exact_keep USING (doc_id)
         |ANTI JOIN drops USING (doc_id)
         |ORDER BY doc_id"""))),
+
+    // Incremental batch-vs-corpus SEMANTIC dedup (r8): the embedding-
+    // space twin of pipeline_dedup_incremental_banded, completing the
+    // dedup matrix — {exact, lexical, semantic} × {full-corpus,
+    // incremental} all hash-checked. Batch = source 'src1'; a batch doc
+    // drops when its sha256 already exists in the corpus or it forms a
+    // cosine ≥ 0.35 SRP-bucket pair with a CORPUS embedding
+    // (batch-internal near-dups deliberately kept — they're the full
+    // pass's job). Candidate pairs are enumerated batch×corpus directly,
+    // never corpus×corpus (the r7 incremental lesson: the discarded
+    // majority re-pays the full-dedup quadratic term); the bucket cap
+    // stays corpus-wide.
+    Q("pipeline_dedup_semantic_incremental",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val srcs = docs.select(col("doc_id").as("vec_id"), col("source"))
+        val cs = srpCapped(s, dir).join(srcs, "vec_id")
+        val xb = cs.filter(col("source") === "src1")
+          .select(col("band"), col("bsig"), col("vec_id").as("a_id"),
+            col("u").as("ua"))
+        val yc = cs.filter(col("source") =!= "src1")
+          .select(col("band").as("y_band"), col("bsig").as("y_bsig"),
+            col("vec_id").as("b_id"), col("u").as("ub"))
+        val nearDrops = xb.join(yc, col("band") === col("y_band")
+            && col("bsig") === col("y_bsig"))
+          .filter(dot(col("ua"), col("ub")) >= 0.35)
+          .select(col("a_id").as("doc_id")).distinct()
+        val corpusHashes = docs.filter(col("source") =!= "src1")
+          .select(sha2(col("text"), 256).as("h")).distinct()
+        docs.filter(col("source") === "src1")
+          .withColumn("h", sha2(col("text"), 256))
+          .join(corpusHashes, Seq("h"), "left_anti")
+          .join(nearDrops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(sql(s"""WITH $sqlSrpCappedCtes,
+        |cs AS (SELECT c.*, d.source FROM capped c
+        |  JOIN documents d ON d.doc_id = c.vec_id),
+        |drops AS (SELECT DISTINCT x.vec_id AS doc_id
+        |  FROM cs x JOIN cs y
+        |  ON x.band = y.band AND x.bsig = y.bsig
+        |  WHERE x.source = 'src1' AND y.source <> 'src1'
+        |    AND ${sqlDot("x.u", "y.u")} >= 0.35),
+        |ch AS (SELECT DISTINCT sha256(text) AS h FROM documents
+        |  WHERE source <> 'src1'),
+        |b AS (SELECT doc_id, lang, source, n_chars, sha256(text) AS h
+        |  FROM documents WHERE source = 'src1')
+        |SELECT doc_id, lang, source, n_chars FROM b
+        |ANTI JOIN ch USING (h)
+        |ANTI JOIN drops USING (doc_id)
+        |ORDER BY doc_id"""))),
+
+    // End-to-end curation pipeline (r8) — the composition a training-data
+    // user actually runs, every stage the hash-checked shape it was
+    // verified in individually: quality gate (text_quality_score's exact
+    // integer arithmetic — no double ever compared to a boundary), lang
+    // gate, exact sha256 canonicalization, embedding-space near-dup drop
+    // (fixed-plane SRP bands), and train/val/test split assignment
+    // (sample_hash_bucket's md5-derived bucket). At 100 TB: quality +
+    // lang + split are narrow map stages fused into the scan, exact
+    // dedup is one hash aggregate, the semantic drop is the capped
+    // banded join — no stage is all-pairs and nothing shuffles the
+    // corpus more than once.
+    Q("pipeline_curate",
+      (s, dir) => {
+        val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+        val pool = Tables.table(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("w")).cast("long"))
+          .withColumn("n_distinct",
+            size(array_distinct(col("w"))).cast("long"))
+          .withColumn("n_stop",
+            size(filter(col("w"), x => x.isin(stop: _*))).cast("long"))
+          .withColumn("qnum",
+            lit(400L) * col("n_distinct")
+              + lit(300L) * (col("n_tokens") - col("n_stop"))
+              + lit(3L) * least(col("n_tokens"), lit(100L))
+                * col("n_tokens"))
+          // half-up-rounded quality × 1e6, all in BIGINT (the
+          // text_quality_score scheme) — the ≥ 0.63 gate compares exact
+          // integers, so no engine can disagree at the boundary
+          .withColumn("qscaled",
+            expr("(2000 * qnum + n_tokens) div (2 * n_tokens)"))
+          .filter(col("qscaled") >= 630000L)
+          .filter(col("lang").isin("en", "de", "es", "fr"))
+        val exactCanonical = pool
+          .groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val wh = PipelineOps.whExpr("CAST(doc_id AS STRING)")
+        pool
+          .join(exactCanonical, Seq("doc_id"), "left_semi")
+          .join(srpNearDrops(s, dir), Seq("doc_id"), "left_anti")
+          .withColumn("bucket", pmod(expr(wh), lit(10L)))
+          .select(col("doc_id"), col("lang"), col("source"),
+            when(col("bucket") === 0, "test")
+              .when(col("bucket") === 1, "val")
+              .otherwise("train").as("split"),
+            col("n_tokens"),
+            (col("qscaled").cast("double") / lit(1000000.0))
+              .as("quality_r6"))
+          .orderBy(col("doc_id"))
+      },
+      Some(sql(s"""WITH $sqlSrpCappedCtes, $sqlSrpDropsCte,
+        |b AS (SELECT doc_id, lang, source, n_chars,
+        |  string_split(text, ' ') AS w, text FROM documents),
+        |m AS (SELECT doc_id, lang, source, text,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        |  CAST(len(list_filter(w, x -> x IN
+        |    ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stop
+        |  FROM b),
+        |q AS (SELECT *, 400 * n_distinct + 300 * (n_tokens - n_stop)
+        |    + 3 * least(n_tokens, 100) * n_tokens AS qnum FROM m),
+        |pool AS (SELECT *,
+        |  (2000 * qnum + n_tokens) // (2 * n_tokens) AS qscaled
+        |  FROM q
+        |  WHERE (2000 * qnum + n_tokens) // (2 * n_tokens) >= 630000
+        |    AND lang IN ('en', 'de', 'es', 'fr')),
+        |exact_keep AS (SELECT min(doc_id) AS doc_id FROM pool
+        |  GROUP BY sha256(text))
+        |SELECT p.doc_id, p.lang, p.source,
+        |  CASE WHEN ${PipelineOps.sqlWh("CAST(p.doc_id AS VARCHAR)")} % 10
+        |         = 0 THEN 'test'
+        |       WHEN ${PipelineOps.sqlWh("CAST(p.doc_id AS VARCHAR)")} % 10
+        |         = 1 THEN 'val'
+        |       ELSE 'train' END AS split,
+        |  p.n_tokens,
+        |  (CAST(p.qscaled AS DOUBLE) / 1000000.0) AS quality_r6
+        |FROM pool p
+        |JOIN exact_keep USING (doc_id)
+        |ANTI JOIN drops USING (doc_id)
+        |ORDER BY p.doc_id"""))),
 
     // PQ codes + per-subspace reconstruction error with the FIXED literal
     // codebook (VERDICT r7 task 6) — the hash-checked twin of
@@ -475,6 +595,33 @@ object AnnFixed {
       .filter(col("bsz") <= 1000)
       .drop("bsz")
   }
+
+  /** Corpus-wide semantic near-dup DROP set: the larger doc_id of every
+    * SRP-bucket pair with cosine ≥ 0.35 — shared by
+    * `pipeline_dedup_semantic` and `pipeline_curate`. The 0.35 threshold
+    * compares bit-identical fold doubles (the vec_dedup_threshold
+    * precedent). */
+  private def srpNearDrops(s: SparkSession, dir: String): DataFrame = {
+    val capped = srpCapped(s, dir)
+    val x = capped.select(col("band"), col("bsig"),
+      col("vec_id").as("a_id"), col("u").as("ua"))
+    val y = capped.select(col("band").as("y_band"),
+      col("bsig").as("y_bsig"), col("vec_id").as("b_id"),
+      col("u").as("ub"))
+    x.join(y, col("band") === col("y_band")
+        && col("bsig") === col("y_bsig")
+        && col("a_id") < col("b_id"))
+      .filter(dot(col("ua"), col("ub")) >= 0.35)
+      .select(col("b_id").as("doc_id")).distinct()
+  }
+
+  /** Oracle CTE twin of [[srpNearDrops]] (`drops`); requires
+    * [[sqlSrpCappedCtes]] in scope. */
+  private def sqlSrpDropsCte: String =
+    s"""drops AS (SELECT DISTINCT y.vec_id AS doc_id
+       |  FROM capped x JOIN capped y
+       |  ON x.band = y.band AND x.bsig = y.bsig AND x.vec_id < y.vec_id
+       |  WHERE ${sqlDot("x.u", "y.u")} >= 0.35)""".stripMargin
 
   /** Oracle CTE twins of [[srpCapped]] (`e`, `sigs`, `keep`, `capped`). */
   private def sqlSrpCappedCtes: String =
