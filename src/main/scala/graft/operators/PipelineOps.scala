@@ -1052,6 +1052,75 @@ object PipelineOps {
       },
       None),
 
+    // BPE ENCODE — the apply half of the tokenizer (train builds the
+    // merge table; this segments text with it): each vocabulary word is
+    // split to chars and the trained merges are applied in rank order,
+    // one greedy left-to-right non-overlapping pass per rule (a merged
+    // symbol is a new token that cannot re-match its own rule, so one
+    // pass per rule IS the BPE apply semantics — identical to the
+    // training loop's own replace). Trained merges are engine-derived →
+    // rows-only; the APPLY algebra is hash-checked by
+    // `text_bpe_encode_fixed` below, and the roundtrip (strip spaces =
+    // word) is pinned in InvariantSpec. One scan + one vocab-sized
+    // groupBy at 100 TB: encoding is per-distinct-word, then a
+    // broadcast-join maps documents to their encoded forms — this key
+    // emits the vocabulary-level encoding, the reusable artifact.
+    Q("text_bpe_encode",
+      (s, dir) => {
+        val merges = bpeMerges(s, dir).map(m => (m._2, m._3))
+        tokensOf(s, dir)
+          .filter(col("word").rlike("\\A[a-z]+\\z"))
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+          .withColumn("syms", trim(applyMerges(
+            concat(lit(" "), concat_ws(" ",
+              expr("filter(split(word, ''), x -> x <> '')")), lit(" ")),
+            merges)))
+          .select(col("word"), col("freq"),
+            size(split(col("syms"), " ")).cast("long").as("n_syms"),
+            col("syms"))
+          .orderBy(col("word"))
+      },
+      None),
+
+    // The BPE apply algebra hash-checked (r8): same fold as
+    // text_bpe_encode but over a FIXED literal merge table, so both
+    // engines run the identical replace chain. Lookbehind is not
+    // RE2-expressible, so the shared formulation uses the double-space
+    // trick instead: double every gap, match the plain literal
+    // ' l  r ' (each symbol's flanking space is then exclusively its
+    // own — adjacent matches no longer contend for one shared space),
+    // replace with ' lr ', re-collapse. Leftmost non-overlapping global
+    // replace is identical in Java and RE2 for a literal pattern, so
+    // every intermediate string is equal cross-engine.
+    Q("text_bpe_encode_fixed",
+      (s, dir) => {
+        tokensOf(s, dir)
+          .filter(col("word").rlike("\\A[a-z]+\\z"))
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+          .withColumn("syms", trim(applyMerges(
+            concat(lit(" "), concat_ws(" ",
+              expr("filter(split(word, ''), x -> x <> '')")), lit(" ")),
+            FIXED_MERGES)))
+          .select(col("word"), col("freq"),
+            size(split(col("syms"), " ")).cast("long").as("n_syms"),
+            col("syms"))
+          .orderBy(col("word"))
+      },
+      Some(sql(s"""WITH v AS (
+        |  SELECT word, count(*)::BIGINT AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+        |enc AS (
+        |  SELECT word, freq,
+        |    trim(${sqlApplyMerges(
+               "' ' || array_to_string(string_split(word, ''), ' ') || ' '",
+               FIXED_MERGES)}) AS syms
+        |  FROM v)
+        |SELECT word, freq,
+        |  len(string_split(syms, ' '))::BIGINT AS n_syms, syms
+        |FROM enc ORDER BY word"""))),
+
     // Sequence packing: each document's token-id sequence split into
     // fixed-length chunks of 32 (context-length packing for training).
     Q("text_chunk_pack",
@@ -1457,6 +1526,45 @@ object PipelineOps {
         rounds = 8, mergeSym = _ + "." + _)
     })
   }
+
+  /** Fixed literal merge table for `text_bpe_encode_fixed` — rank order;
+    * rule 2 consumes rule 1's output ("th"+"e"), so the apply fold's
+    * multi-char symbol matching is exercised, not just char pairs.
+    * A `def`, not a `val`: `qs` above initializes first and would read
+    * null from a val declared below it (the TextOps CW_P lesson). */
+  private def FIXED_MERGES: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"))
+
+  /** Apply `merges` in rank order to a space-joined, space-padded symbol
+    * string: per rule, double every gap, replace the literal ' l  r '
+    * with ' lr ', re-collapse. The doubling gives each symbol an
+    * exclusively-owned flanking space, so adjacent matches never contend
+    * for a shared boundary space — the lookaround-free equivalent of the
+    * training loop's `(?<= )…(?= )` replace, expressible identically in
+    * Java and RE2 (RE2 has no lookbehind). One greedy leftmost
+    * non-overlapping pass per rule is exact BPE apply semantics: a
+    * merged symbol is a new token that cannot re-match its own rule. */
+  private def applyMerges(c0: Column,
+      merges: Seq[(String, String)]): Column =
+    merges.foldLeft(c0) { case (c, (l, r)) =>
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, " ", "  "),
+          " " + java.util.regex.Pattern.quote(l) + "  " +
+            java.util.regex.Pattern.quote(r) + " ",
+          java.util.regex.Matcher.quoteReplacement(s" ${l + r} ")),
+        " +", " ")
+    }
+
+  /** DuckDB twin of [[applyMerges]] (symbols here are [a-z]+ so no
+    * regex/quote escaping is needed in the inlined literals). */
+  private def sqlApplyMerges(e: String,
+      merges: Seq[(String, String)]): String =
+    merges.foldLeft(e) { case (s, (l, r)) =>
+      s"regexp_replace(regexp_replace(regexp_replace($s, ' ', '  ', " +
+        s"'g'), ' $l  $r ', ' ${l + r} ', 'g'), ' +', ' ', 'g')"
+    }
 
   /** The shared greedy BPE merge loop: `cur0` is the (syms, freq)
     * dictionary with symbols space-joined and space-padded; each round

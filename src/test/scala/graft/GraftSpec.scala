@@ -757,6 +757,43 @@ class InvariantSpec extends AnyFunSuite {
     assert(r1.getAs[Long]("pair_freq") === bf)
   }
 
+  test("BPE encode: roundtrip, segmentation validity, trained-merge use") {
+    val merges = run("text_bpe_merges").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    for (key <- Seq("text_bpe_encode", "text_bpe_encode_fixed")) {
+      val rows = run(key).collect()
+      assert(rows.nonEmpty, s"$key empty")
+      rows.foreach { r =>
+        val word = r.getAs[String]("word")
+        val syms = r.getAs[String]("syms").split(" ").toSeq
+        // roundtrip: concatenating the symbols recovers the word
+        assert(syms.mkString === word, s"$key roundtrip broke on $word")
+        assert(r.getAs[Long]("n_syms") === syms.length.toLong)
+        assert(syms.forall(_.nonEmpty))
+      }
+      // encoding must actually compress: at least one vocabulary word
+      // ends with fewer symbols than characters
+      assert(rows.exists(r => r.getAs[Long]("n_syms") <
+        r.getAs[String]("word").length.toLong),
+        s"$key applied no merge anywhere")
+    }
+    // the trained encoder leaves no adjacent pair that equals a trained
+    // merge rule un-merged IF the left part appears as a whole symbol
+    // (greedy single pass per rule in rank order can legitimately leave
+    // rule-i pairs formed by LATER rules, so check rule 1 only: its pass
+    // runs first on raw chars and nothing can re-create a raw char pair)
+    val (l1, r1) = merges.head
+    run("text_bpe_encode").collect().foreach { r =>
+      val syms = r.getAs[String]("syms").split(" ").toSeq
+      syms.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(!(a == l1 && b == r1),
+            s"rule-1 pair ($l1,$r1) left unmerged in ${r.getAs[String]("word")}")
+        case _ => ()
+      }
+    }
+  }
+
   test("byte BPE: round 1 equals the corpus byte-bigram argmax") {
     val rows = run("text_bpe_bytes").collect()
     assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to 8L))
