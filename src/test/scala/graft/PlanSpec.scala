@@ -298,6 +298,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(3000))
   }
 
+  test("vec_pq_codes_fixed keeps the map-side shape (sort is the only exchange)") {
+    graft.plans.GraftFunctions.register(spark)
+    val p = Registry.queries("vec_pq_codes_fixed")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // literal codebook ⇒ codes/errs are projections; only the output
+    // ORDER BY may exchange (rangepartitioning), never a hash shuffle
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("curate/semantic-dedup: no cartesian products, lang gate pushed to scan") {
+    graft.plans.GraftFunctions.register(spark)
+    for (key <- Seq("pipeline_curate", "pipeline_dedup_semantic",
+        "pipeline_dedup_semantic_incremental")) {
+      val p = Registry.queries(key)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$key plans a cartesian product:\n${p.take(3000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$key plans a nested-loop join:\n${p.take(3000)}")
+    }
+    // the lang IN (...) gate must reach the documents parquet scan —
+    // a curation pass that decodes every row to filter on a scan column
+    // reads the whole corpus for nothing at 100 TB
+    val p = Registry.queries("pipeline_curate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("In(lang"), p.take(3000))
+  }
+
   test("native graft_dot equals the HOF fold bit-for-bit") {
     graft.plans.GraftFunctions.register(spark)
     val df = Tables.table(spark, sf, "embeddings")
