@@ -129,6 +129,7 @@ EXEMPT_UNROUNDED = {
     "pipeline_dedup_semantic_incremental",  # same SRP folds + threshold
     "pipeline_curate",  # SRP folds for the drop set; the quality gate
                         # itself is exact BIGINT arithmetic
+    "text_contamination_semantic",  # same SRP folds + threshold class
     "vec_matryoshka_prefix",  # sqrt(fold) over embedding prefixes
     "text_domain_mix",     # sqrt(division of identical exact BIGINTs)
 }

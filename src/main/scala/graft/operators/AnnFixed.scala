@@ -510,6 +510,53 @@ object AnnFixed {
         |ANTI JOIN drops USING (doc_id)
         |ORDER BY p.doc_id"""))),
 
+    // Embedding-space benchmark decontamination (r8) — the semantic twin
+    // of text_contamination_ngrams: n-gram overlap catches verbatim
+    // leakage, but a paraphrased benchmark item only collides in
+    // embedding space. Benchmark = source 'src1' (the ngram key's
+    // convention); for every candidate doc with at least one SRP-bucket
+    // benchmark neighbor: how many distinct benchmark docs it met, its
+    // max cosine against any of them, and the ≥ 0.35 contamination flag
+    // (a threshold on a bit-identical fold double). Candidate×benchmark
+    // pairs only — the corpus×corpus term is never enumerated, exactly
+    // like the incremental dedup keys.
+    Q("text_contamination_semantic",
+      (s, dir) => {
+        val srcs = Tables.table(s, dir, "documents")
+          .select(col("doc_id").as("vec_id"), col("source"))
+        val cs = srpCapped(s, dir).join(srcs, "vec_id")
+        val cand = cs.filter(col("source") =!= "src1")
+          .select(col("band"), col("bsig"), col("vec_id").as("doc_id"),
+            col("u").as("ua"))
+        val bench = cs.filter(col("source") === "src1")
+          .select(col("band").as("y_band"), col("bsig").as("y_bsig"),
+            col("vec_id").as("bench_id"), col("u").as("ub"))
+        cand.join(bench, col("band") === col("y_band")
+            && col("bsig") === col("y_bsig"))
+          .select(col("doc_id"), col("bench_id"),
+            dot(col("ua"), col("ub")).as("cos"))
+          .groupBy(col("doc_id"), col("bench_id"))
+          .agg(max(col("cos")).as("cos")) // dedupe multi-band collisions
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bench_candidates"),
+            max(col("cos")).as("max_bench_cos"))
+          .withColumn("contaminated", col("max_bench_cos") >= 0.35)
+          .orderBy(col("doc_id"))
+      },
+      Some(sql(s"""WITH $sqlSrpCappedCtes,
+        |cs AS (SELECT c.*, d.source FROM capped c
+        |  JOIN documents d ON d.doc_id = c.vec_id),
+        |pairs AS (SELECT x.vec_id AS doc_id, y.vec_id AS bench_id,
+        |  max(${sqlDot("x.u", "y.u")}) AS cos
+        |  FROM cs x JOIN cs y
+        |  ON x.band = y.band AND x.bsig = y.bsig
+        |  WHERE x.source <> 'src1' AND y.source = 'src1'
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, count(*)::BIGINT AS n_bench_candidates,
+        |  max(cos) AS max_bench_cos,
+        |  (max(cos) >= 0.35) AS contaminated
+        |FROM pairs GROUP BY doc_id ORDER BY doc_id"""))),
+
     // PQ codes + per-subspace reconstruction error with the FIXED literal
     // codebook (VERDICT r7 task 6) — the hash-checked twin of
     // vec_pq_codes, whose trained codebook keeps it rows-only. Runs the
@@ -568,14 +615,25 @@ object AnnFixed {
 
   /** (vec_id, u, band, bsig) rows of the fixed-plane SRP banding,
     * bucket-capped at 1000 — the candidate-generation half shared by
-    * `vec_neardup_srp_fixed` and `pipeline_dedup_semantic`. Signatures
+    * `vec_neardup_srp_fixed`, `pipeline_dedup_semantic`,
+    * `pipeline_curate`, and `text_contamination_semantic`. Signatures
     * are computed map-side on the raw (double-widened) vectors (sign is
     * scale-invariant); the window-count cap's (band, bsig) exchange is
     * shared by both self-join sides downstream, halving the corpus scans
     * vs a broadcast-keep formulation (measured r7). */
   private def srpCapped(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
-    val e = Tables.table(s, dir, "embeddings")
+    srpCappedOf(Tables.table(s, dir, "embeddings"))
+  }
+
+  /** Frame-based body of [[srpCapped]], so property tests can drive the
+    * production banding with PLANTED duplicates (the fixtures contain no
+    * true near-dups — max bucket-pair cosine ≈ 0.51 — so without this
+    * the dedup keys' drop rule is only ever exercised on near-random
+    * pairs). `e0` must carry (vec_id, embedding). */
+  private[graft] def srpCappedOf(e0: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(e0.sparkSession)
+    val e = e0
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("u", transform(col("v"),

@@ -90,6 +90,40 @@ class LshSpec extends AnyFunSuite {
     assert(pairsOf(dupes, cap = 50).count() === 50L * 49 / 2)
   }
 
+  test("fixed-plane SRP banding catches planted duplicates (production path)") {
+    // The fixtures contain no true near-dups (max bucket-pair cosine
+    // ≈ 0.51), so pipeline_dedup_semantic's drop rule is only exercised
+    // on near-random pairs by the oracle gate. Drive the PRODUCTION
+    // banding (AnnFixed.srpCappedOf — the exact frame the dedup keys
+    // join) with planted duplicates: a scaled copy has IDENTICAL sign
+    // bits in every band (sign is scale-invariant), so it must share
+    // both buckets and score cosine 1 — above any sane threshold.
+    import spark.implicits._
+    val base = (0 until 30).map(id =>
+      (id.toLong, (0 until 64).map(i =>
+        (SrpPlanes.component(id + 500, i) * 0.4).toFloat)))
+    val dup = (100L, base(3)._2.map(x => 2.0f * x)) // scaled copy of id 3
+    val capped = operators.AnnFixed.srpCappedOf(
+      (base :+ dup).toDF("vec_id", "embedding"))
+    val x = capped.select(col("band"), col("bsig"),
+      col("vec_id").as("a_id"), col("u").as("ua"))
+    val y = capped.select(col("band").as("yb"), col("bsig").as("ys"),
+      col("vec_id").as("b_id"), col("u").as("ub"))
+    val pairs = x.join(y, col("band") === col("yb")
+        && col("bsig") === col("ys") && col("a_id") < col("b_id"))
+      .select(col("band"), col("a_id"), col("b_id"),
+        call_function("graft_dot", col("ua"), col("ub")).as("cos"))
+      .collect()
+    val dupPairs = pairs.filter(r =>
+      r.getAs[Long]("a_id") == 3L && r.getAs[Long]("b_id") == 100L)
+    // identical sign bits ⇒ the pair collides in BOTH bands
+    assert(dupPairs.map(_.getAs[Int]("band")).toSet === Set(0, 1),
+      s"planted dup must collide in every band, got ${dupPairs.toSeq}")
+    dupPairs.foreach(r => assert(r.getAs[Double]("cos") > 0.999999))
+    // and a threshold drop at 0.35 would remove exactly the larger id
+    assert(dupPairs.forall(_.getAs[Long]("b_id") == 100L))
+  }
+
   test("fixture run is non-empty, deduped, and rerun-stable") {
     val df = Registry.queries("vec_neardup_lsh")(spark, sf)
     val r1 = df.collect()
