@@ -130,6 +130,8 @@ EXEMPT_UNROUNDED = {
     "pipeline_curate",  # SRP folds for the drop set; the quality gate
                         # itself is exact BIGINT arithmetic
     "text_contamination_semantic",  # same SRP folds + threshold class
+    "pipeline_semantic_search",  # the vec_ann_ivf_fixed fold class +
+                                 # a metadata equi-join
     "vec_matryoshka_prefix",  # sqrt(fold) over embedding prefixes
     "text_domain_mix",     # sqrt(division of identical exact BIGINTs)
 }

@@ -149,44 +149,81 @@ object AnnFixed {
        |      ORDER BY ${sqlDot("q.qu", "c.cu")} DESC, c.list_id ASC) AS rn
        |  FROM q CROSS JOIN cbn c) WHERE rn <= 2)"""
 
+  /** IVF-flat top-3 with the fixed codebook (probe 2 of 4 lists, exact
+    * cosine over the probed lists, ids tie-break) — the search body
+    * shared by `vec_ann_ivf_fixed` and `pipeline_semantic_search`. */
+  private def ivfFixedTop3(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir)
+    val a = assign(e)
+    val (q, probe) = probeOf(e, coarseCb(s))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    broadcast(probe).join(a, "list_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(q), "q_id")
+      .withColumn("cos_sim", dot(col("qu"), col("u")))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        col("list_id").cast("long").as("list_id"), col("cos_sim"))
+  }
+
+  /** Oracle CTE twins of [[ivfFixedTop3]] (`scored`, `ranked`); requires
+    * the normed/codebook/assign/probe CTEs in scope. */
+  private def sqlIvfTop3Ctes: String =
+    s"""scored AS (
+       |  SELECT p.q_id, a.vec_id, a.list_id,
+       |    ${sqlDot("q.qu", "a.u")} AS cos_sim
+       |  FROM probe p JOIN assign a USING (list_id)
+       |  JOIN q ON q.q_id = p.q_id
+       |  WHERE a.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, list_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id ASC) AS rn
+       |  FROM scored)""".stripMargin
+
   val qs: Seq[Q] = Seq(
     // IVF-flat with the fixed codebook: probe 2 of 4 lists, exact cosine
     // over the probed lists' vectors, top-3 per query.
     Q("vec_ann_ivf_fixed",
+      (s, dir) => ivfFixedTop3(s, dir).orderBy(col("q_id"), col("rn")),
+      Some(sql(s"""WITH $sqlNormed,
+        |$sqlCoarseCb,
+        |$sqlAssign,
+        |$sqlProbe,
+        |$sqlIvfTop3Ctes
+        |SELECT q_id, rn::BIGINT AS rn, vec_id AS neighbor_id,
+        |  list_id::BIGINT AS list_id, cos_sim
+        |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn"""))),
+
+    // Semantic RETRIEVAL over documents (r8): the ANN search composed
+    // with its payload join — the read path of a RAG/doc-search system,
+    // and the reason the engine stores doc_id = vec_id. The tiny top-3
+    // result (24 rows) broadcasts against the documents scan, so
+    // retrieval adds ONE metadata scan and zero shuffles beyond the
+    // search itself; at 100 TB the payload fetch is a broadcast-hash
+    // probe of the result into the (column-pruned) documents table.
+    Q("pipeline_semantic_search",
       (s, dir) => {
-        val e = normed(s, dir)
-        val a = assign(e)
-        val (q, probe) = probeOf(e, coarseCb(s))
-        val wTop = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos_sim").desc, col("vec_id").asc)
-        broadcast(probe).join(a, "list_id")
-          .filter(col("vec_id") =!= col("q_id"))
-          .join(broadcast(q), "q_id")
-          .withColumn("cos_sim", dot(col("qu"), col("u")))
-          .withColumn("rn", row_number().over(wTop).cast("long"))
-          .filter(col("rn") <= 3)
-          .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
-            col("list_id").cast("long").as("list_id"), col("cos_sim"))
+        val docs = Tables.table(s, dir, "documents")
+          .select(col("doc_id").as("neighbor_id"), col("lang"),
+            col("source"), col("n_chars"))
+        broadcast(ivfFixedTop3(s, dir))
+          .join(docs, "neighbor_id")
+          .select(col("q_id"), col("rn"), col("neighbor_id"),
+            col("cos_sim"), col("lang"), col("source"), col("n_chars"))
           .orderBy(col("q_id"), col("rn"))
       },
       Some(sql(s"""WITH $sqlNormed,
         |$sqlCoarseCb,
         |$sqlAssign,
         |$sqlProbe,
-        |scored AS (
-        |  SELECT p.q_id, a.vec_id, a.list_id,
-        |    ${sqlDot("q.qu", "a.u")} AS cos_sim
-        |  FROM probe p JOIN assign a USING (list_id)
-        |  JOIN q ON q.q_id = p.q_id
-        |  WHERE a.vec_id <> p.q_id),
-        |ranked AS (
-        |  SELECT q_id, vec_id, list_id, cos_sim,
-        |    row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cos_sim DESC, vec_id ASC) AS rn
-        |  FROM scored)
-        |SELECT q_id, rn::BIGINT AS rn, vec_id AS neighbor_id,
-        |  list_id::BIGINT AS list_id, cos_sim
-        |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn"""))),
+        |$sqlIvfTop3Ctes
+        |SELECT r.q_id, r.rn::BIGINT AS rn, r.vec_id AS neighbor_id,
+        |  r.cos_sim, d.lang, d.source, d.n_chars
+        |FROM ranked r JOIN documents d ON d.doc_id = r.vec_id
+        |WHERE r.rn <= 3 ORDER BY r.q_id, rn"""))),
 
     // IVF-PQ with both codebooks fixed: coarse probe bounds candidates,
     // 4×4 PQ codes + a per-query flat LUT (sorted by sub·k+code, summed
