@@ -194,6 +194,36 @@ object Aggs {
         .orderBy(col("o_orderstatus")),
       None),
 
+    // EXACT percentiles — the oracle-checked twin of agg_percentile_approx
+    // (the approx key is rows-only by D3; this pins the family's algebra).
+    // Spark `percentile` aggregates an exact value→count map then
+    // interpolates at rank (n-1)·p; DuckDB `quantile_cont` uses the same
+    // continuous-rank definition. Determinism: p ∈ {.25,.5,.75} are exact
+    // binary rationals, so rank and interpolation fraction are identical
+    // doubles in both engines, and o_totalprice is a 2-dp decimal stored
+    // as double — the interpolated true value is exact at scale 4 while
+    // each engine's formula (a·(1−f)+b·f vs a+(b−a)·f) lands within ulps
+    // of it, so the DECIMAL(18,4) snap recovers the identical value.
+    // Scale shape: the exact percentile map is O(distinct values) per
+    // group partial-aggregated map-side — fine for bounded-cardinality
+    // measures like prices; for unbounded doubles at 100 TB the approx
+    // (KLL-sketch) key is the right tool, which is why both exist.
+    Q("agg_percentile_exact",
+      (s, dir) => Tables.table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          dexact(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          dexact(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          dexact(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus")),
+      Some(sql(s"""SELECT o_orderstatus,
+        |${sqlDexact("quantile_cont(o_totalprice, 0.25)", 4)} AS p25,
+        |${sqlDexact("quantile_cont(o_totalprice, 0.5)", 4)} AS p50,
+        |${sqlDexact("quantile_cont(o_totalprice, 0.75)", 4)} AS p75,
+        |count(*)::BIGINT AS cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))),
+
     Q("agg_rollup",
       (s, dir) => {
         val li = Tables.table(s, dir, "lineitem")

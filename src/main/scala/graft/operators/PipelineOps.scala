@@ -596,6 +596,43 @@ object PipelineOps {
         |  < thr
         |ORDER BY doc_id"""))),
 
+    // Deterministic global shuffle into training shards — the final step
+    // before writing a training dataset: examples must be decorrelated
+    // from crawl/source order (doc_id order IS source order in a scraped
+    // corpus), reproducibly. Order key is an md5-derived uniform, shard =
+    // key mod 16, position = rank within the shard by (key, doc_id) — a
+    // doc's (shard, pos) is a pure function of its id, identical on any
+    // engine, cluster size, or input row order. Plan shape: one hash
+    // shuffle on `shard` (16-way) + a per-shard sort — at corpus scale
+    // each shard sorts locally in its own partitions, the same cost class
+    // as the D1 output sort every row-emitting key already pays. A
+    // production WRITER drops the `pos` column and replaces the window
+    // with repartition(shard).sortWithinPartitions(hk).write — same one
+    // shuffle, no rank materialization; the rank is emitted here because
+    // it is the verifiable contract (pos is dense 1..n per shard, and the
+    // (shard, pos) assignment is what reproducibility means).
+    Q("pipeline_shuffle_shard",
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents")
+          .select(col("doc_id"),
+            expr(whExpr("concat('shuf|', CAST(doc_id AS STRING))"))
+              .as("hk"))
+          .withColumn("shard", pmod(col("hk"), lit(16L)))
+        d.withColumn("pos",
+            row_number().over(Window.partitionBy(col("shard"))
+              .orderBy(col("hk"), col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some(sql(s"""WITH d AS (
+        |  SELECT doc_id,
+        |    ${sqlWh("concat('shuf|', CAST(doc_id AS VARCHAR))")} AS hk
+        |  FROM documents)
+        |SELECT doc_id, hk % 16 AS shard,
+        |  row_number() OVER (PARTITION BY hk % 16 ORDER BY hk, doc_id)
+        |    AS pos
+        |FROM d ORDER BY shard, pos"""))),
+
     // Duplicate-span removal (the line/paragraph-level dedup of CCNet /
     // RefinedWeb, on 16-word spans since the fixture corpus has no line
     // structure): every span keeps only its globally-first occurrence

@@ -86,6 +86,25 @@ class InvariantSpec extends AnyFunSuite {
     assert(joined.count() === 0)
   }
 
+  test("shuffle-shard: permutation of the corpus with dense per-shard pos") {
+    val out = run("pipeline_shuffle_shard")
+    val docs = Tables.table(spark, sf, "documents")
+    assert(out.count() === docs.count(), "shard assignment must be total")
+    assert(out.select("doc_id").distinct().count() === docs.count(),
+      "each doc appears exactly once")
+    // pos is dense 1..n within every shard (max pos == count == n)
+    val holes = out.groupBy("shard")
+      .agg(max("pos").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n"))
+    assert(holes.count() === 0, "per-shard positions must be dense")
+    // exact percentiles bracket: p25 <= p50 <= p75, all within min..max
+    val p = run("agg_percentile_exact").collect()
+    p.foreach { r =>
+      assert(r.getAs[Double]("p25") <= r.getAs[Double]("p50"))
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p75"))
+    }
+  }
+
   test("dedup-latest keeps exactly one row per (user, type)") {
     val d = run("events_dedup_latest")
     assert(d.groupBy("user_id", "event_type").count()
