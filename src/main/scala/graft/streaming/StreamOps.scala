@@ -4,7 +4,8 @@ import graft.Det
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig,
+  ValueState}
 
 /** Event row as fed from a stream source (same fields `Tables.events`
   * derives for batch: exact epoch-µs plus its timestamp form). */
@@ -129,6 +130,104 @@ final class TimerSessionProcessor(gapMinutes: Int)
     }
     Iterator.empty
   }
+}
+
+/** A buffered event awaiting session finalization in
+  * [[BufferedSessionProcessor]]: exact epoch-µs, the id tiebreak, and the
+  * value in exact integer cents. */
+final case class BufEv(ts_us: Long, event_id: Long, cents: Long)
+
+/** OUT-OF-ORDER-TOLERANT gap sessionizer: buffers each user's events in a
+  * `ListState` and only emits a session once the WATERMARK passes its gap
+  * deadline — at which point no admissible future event can extend, merge
+  * into, or precede it, so the emitted session equals the batch gap
+  * algebra over the time-sorted stream EXACTLY, for any disorder within
+  * the watermark delay. This removes [[TimerSessionProcessor]]'s
+  * documented divergence on events arriving > gap before the open session
+  * (its price for O(1) state): here the whole not-yet-final suffix stays
+  * buffered and is re-sorted on each reconcile.
+  *
+  * Finality argument: a session with last event `b` is final once the
+  * watermark W ≥ ceil-ms(b + gap). Any event the engine still admits has
+  * ts > W ≥ b + gap, so it cannot extend the session (gap exceeded) and
+  * cannot fall before it (ts > b); events that could have (ts ≤ W) are
+  * exactly the ones the watermark now drops as too late. Sessions are
+  * time-ordered, so finality is a prefix property of the session list:
+  * emit the final prefix, keep the suffix's events buffered.
+  *
+  * State: O(events inside the watermark horizon + the open session) per
+  * user — bounded by disorder tolerance × event rate, NOT stream length
+  * (the horizon, not the corpus, sizes RocksDB at 100 TB). Each
+  * reconcile re-reads and sorts one user's buffer: the cost of exact
+  * out-of-order semantics vs [[TimerSessionProcessor]]'s O(1) state —
+  * pick per pipeline, both are registered surface.
+  */
+final class BufferedSessionProcessor(gapMinutes: Int)
+    extends StatefulProcessor[Long, EvT, ClosedSession] {
+  private val gapUs = gapMinutes * 60L * 1000000L
+  @transient private var buf: ListState[BufEv] = _
+  @transient private var dl: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[BufEv]("buf",
+      Encoders.product[BufEv], TTLConfig.NONE)
+    dl = getHandle.getValueState[Long]("dl",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  /** Ceiling-ms close deadline (see [[TimerSessionProcessor]]: floor would
+    * fire up to 999 µs before the inclusive gap boundary). */
+  private def deadline(lastUs: Long): Long = (lastUs + gapUs + 999) / 1000
+
+  /** Sort the buffer, emit every watermark-final session, retain the rest,
+    * and (re)register the timer for the earliest pending deadline. Pure
+    * function of (buffer, watermark) ⇒ idempotent: a stale timer fire
+    * re-checks and emits nothing new. */
+  private def reconcile(uid: Long, wmMs: Long): Iterator[ClosedSession] = {
+    val evs = buf.get().toSeq.sortBy(e => (e.ts_us, e.event_id))
+    if (evs.isEmpty) return Iterator.empty
+    // split into gap-delimited sessions (batch algebra on the sorted view)
+    val sessions = Seq.newBuilder[Seq[BufEv]]
+    var cur = Seq.newBuilder[BufEv]
+    var last = evs.head.ts_us
+    evs.foreach { e =>
+      if (e.ts_us - last > gapUs) { sessions += cur.result(); cur = Seq.newBuilder }
+      cur += e
+      last = e.ts_us
+    }
+    sessions += cur.result()
+    val (done, pending) =
+      sessions.result().span(s => deadline(s.last.ts_us) <= wmMs)
+    val remaining = pending.flatten
+    buf.clear()
+    if (remaining.nonEmpty) buf.put(remaining.toArray)
+    val newDl = pending.headOption.map(s => deadline(s.last.ts_us))
+    val oldDl = if (dl.exists()) Some(dl.get()) else None
+    if (newDl != oldDl) {
+      oldDl.foreach(getHandle.deleteTimer)
+      newDl match {
+        case Some(d) => getHandle.registerTimer(d); dl.update(d)
+        case None => dl.clear()
+      }
+    }
+    if (remaining.isEmpty) dl.clear()
+    done.iterator.map { s =>
+      ClosedSession(uid, s.head.ts_us, s.last.ts_us - s.head.ts_us,
+        s.size.toLong, s.map(_.cents).sum / 100.0)
+    }
+  }
+
+  override def handleInputRows(uid: Long, rows: Iterator[EvT],
+      tv: TimerValues): Iterator[ClosedSession] = {
+    rows.foreach(e =>
+      buf.appendValue(BufEv(e.ts_us, e.event_id, math.round(e.value * 100))))
+    reconcile(uid, tv.getCurrentWatermarkInMs())
+  }
+
+  override def handleExpiredTimer(uid: Long, tv: TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[ClosedSession] =
+    reconcile(uid, tv.getCurrentWatermarkInMs())
 }
 
 /** Spark-4 `transformWithState` funnel detector — the streaming twin of the
@@ -428,6 +527,21 @@ object StreamOps {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new TimerSessionProcessor(gapMinutes),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Out-of-order-tolerant sessionization via a watermark-finalized event
+    * buffer (RocksDB state store required) — see
+    * [[BufferedSessionProcessor]]. The input must carry a watermark on
+    * `ts_t`; emitted sessions equal the batch gap algebra EXACTLY for any
+    * disorder within the watermark delay, at the cost of buffering the
+    * not-yet-final suffix per user (state = watermark horizon, not
+    * stream length). */
+  def sessionizeBuffered(events: Dataset[EvT],
+      gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new BufferedSessionProcessor(gapMinutes),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

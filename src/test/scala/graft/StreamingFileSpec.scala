@@ -193,6 +193,49 @@ class StreamingFileSpec extends AnyFunSuite {
     }
   }
 
+  test("buffered sessionizer matches batch on an OUT-OF-ORDER replay") {
+    StreamTestUtil.withRocksDb(spark) {
+      val base = java.nio.file.Files.createTempDirectory("graft_bsess")
+      val src = s"$base/src"
+      val ev = Tables.table(spark, sf001, "events")
+        .select("event_id", "ts_us", "user_id", "event_type", "value")
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      // same deterministic scramble as the watermarked-funnel test:
+      // (event_id % 7, event_id) is uncorrelated with event time, so
+      // every micro-batch spans the whole fixture and sessions routinely
+      // receive events out of order — including the "> gap BEFORE the
+      // open session" case the O(1)-state sessionizers document as
+      // divergent. The 40-day delay exceeds the fixture span: nothing is
+      // dropped, so batch equivalence must be EXACT.
+      val rows = ev.collect().toSeq
+        .sortBy(r => (r.getLong(0) % 7, r.getLong(0)))
+      val maxUs = rows.map(_.getLong(1)).max
+      appendFile(src, rows.take(2000), ev.schema)
+      val q = StreamOps.sessionizeBuffered(
+        spark.readStream.schema(ev.schema).parquet(src)
+          .withWatermark("ts_t", "40 days").as[EvT])
+        .writeStream.format("memory").queryName("buf_sess")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        rows.drop(2000).grouped(2000).foreach { chunk =>
+          appendFile(src, chunk, ev.schema)
+          q.processAllAvailable()
+        }
+        // two far-future sentinels: advance the watermark past every
+        // pending gap deadline, then trigger the batch firing the timers
+        Seq(50L, 51L).zipWithIndex.foreach { case (d, i) =>
+          val us = maxUs + d * 86400L * 1000000L
+          appendFile(src, Seq(Row(-1L - i, us, -1L, "sentinel", 0.0,
+            new java.sql.Timestamp(us / 1000))), ev.schema)
+          q.processAllAvailable()
+        }
+        StreamTestUtil.assertSessionsMatchBatch(spark, sf001,
+          spark.table("buf_sess"))
+      } finally q.stop()
+    }
+  }
+
   test("watermarked funnel matches batch on an OUT-OF-ORDER replay") {
     StreamTestUtil.withRocksDb(spark) {
       val base = java.nio.file.Files.createTempDirectory("graft_wfun")
