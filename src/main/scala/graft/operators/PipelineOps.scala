@@ -1158,6 +1158,35 @@ object PipelineOps {
         |  len(string_split(syms, ' '))::BIGINT AS n_syms, syms
         |FROM enc ORDER BY word"""))),
 
+    // BYTE-level BPE encode — the apply half of `text_bpe_bytes`,
+    // completing the {word, byte} × {train, encode} tokenizer matrix:
+    // each word rendered as its UTF-8 bytes (decimal-string symbols, the
+    // same alphabet the byte trainer uses — any input decomposes, no
+    // [a-z]+ filter), trained byte merges applied in rank order with the
+    // '.'-joined merged-symbol naming. Trained merges are engine-derived
+    // → rows-only; the apply fold is the SAME applyMerges the
+    // hash-checked `text_bpe_encode_fixed` pins, and the byte roundtrip
+    // (syms with '.' → ' ' = the original byte rendering) is pinned in
+    // InvariantSpec. Same 100 TB shape as the word-level encode: one
+    // vocab-sized groupBy, then documents broadcast-join their words.
+    Q("text_bpe_encode_bytes",
+      (s, dir) => {
+        val merges = bpeByteMerges(s, dir).map(m => (m._2, m._3))
+        tokensOf(s, dir)
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+          .withColumn("syms", trim(applyMerges(
+            concat(lit(" "), concat_ws(" ", expr(
+              """transform(sequence(1, octet_length(word)),
+                |  i -> conv(substring(hex(encode(word, 'UTF-8')),
+                |            2 * i - 1, 2), 16, 10))""".stripMargin)),
+              lit(" ")), merges, _ + "." + _)))
+          .select(col("word"), col("freq"),
+            size(split(col("syms"), " ")).cast("long").as("n_syms"),
+            col("syms"))
+          .orderBy(col("word"))
+      },
+      None),
+
     // Sequence packing: each document's token-id sequence split into
     // fixed-length chunks of 32 (context-length packing for training).
     Q("text_chunk_pack",
@@ -1582,15 +1611,15 @@ object PipelineOps {
     * Java and RE2 (RE2 has no lookbehind). One greedy leftmost
     * non-overlapping pass per rule is exact BPE apply semantics: a
     * merged symbol is a new token that cannot re-match its own rule. */
-  private def applyMerges(c0: Column,
-      merges: Seq[(String, String)]): Column =
+  private def applyMerges(c0: Column, merges: Seq[(String, String)],
+      mergeSym: (String, String) => String = _ + _): Column =
     merges.foldLeft(c0) { case (c, (l, r)) =>
       regexp_replace(
         regexp_replace(
           regexp_replace(c, " ", "  "),
           " " + java.util.regex.Pattern.quote(l) + "  " +
             java.util.regex.Pattern.quote(r) + " ",
-          java.util.regex.Matcher.quoteReplacement(s" ${l + r} ")),
+          java.util.regex.Matcher.quoteReplacement(s" ${mergeSym(l, r)} ")),
         " +", " ")
     }
 

@@ -844,6 +844,42 @@ class InvariantSpec extends AnyFunSuite {
     assert(r1.getAs[Long]("pair_freq") === bf)
   }
 
+  test("byte BPE encode: byte roundtrip and rule-1 exhaustiveness") {
+    val merges = run("text_bpe_bytes").collect()
+      .map(r => (r.getAs[String]("merged")))
+    val rows = run("text_bpe_encode_bytes").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val word = r.getAs[String]("word")
+      val syms = r.getAs[String]("syms").split(" ").toSeq
+      // roundtrip: '.'-splitting the symbols recovers the word's exact
+      // UTF-8 byte sequence (decimal-string alphabet)
+      val bytes = word.getBytes("UTF-8").map(b => (b & 0xff).toString).toSeq
+      assert(syms.flatMap(_.split("\\.").toSeq) === bytes,
+        s"byte roundtrip broke on $word")
+      assert(r.getAs[Long]("n_syms") === syms.length.toLong)
+    }
+    // encoding must actually compress somewhere
+    assert(rows.exists(r => r.getAs[Long]("n_syms") <
+      r.getAs[String]("word").getBytes("UTF-8").length.toLong),
+      "no byte merge applied anywhere")
+    // at least one trained merged symbol appears verbatim in the output
+    assert(rows.exists(r =>
+      r.getAs[String]("syms").split(" ").exists(merges.contains)),
+      "no trained merged symbol used")
+    // rule 1 runs first on raw byte symbols; nothing re-creates raw
+    // byte pairs, so its pair can never survive adjacent
+    val Array(l1, r1) = merges.head.split("\\.", 2)
+    rows.foreach { row =>
+      row.getAs[String]("syms").split(" ").toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(!(a == l1 && b == r1),
+          s"rule-1 byte pair ($l1,$r1) left unmerged in " +
+            row.getAs[String]("word"))
+        case _ => ()
+      }
+    }
+  }
+
   test("semantic dedup: kept = exact canonicals minus larger-id strong pairs") {
     // cross-key invariant: the SRP pair list (vec_neardup_srp_fixed, max
     // cos per pair) fully determines pipeline_dedup_semantic's drop set
