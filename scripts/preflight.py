@@ -129,6 +129,8 @@ EXEMPT_UNROUNDED = {
     "pipeline_dedup_semantic_incremental",  # same SRP folds + threshold
     "pipeline_curate",  # SRP folds for the drop set; the quality gate
                         # itself is exact BIGINT arithmetic
+    "pipeline_pretokenize",  # the pipeline_curate keep-set (same SRP
+                             # folds); everything downstream is integer
     "text_contamination_semantic",  # same SRP folds + threshold class
     "pipeline_semantic_search",  # the vec_ann_ivf_fixed fold class +
                                  # a metadata equi-join

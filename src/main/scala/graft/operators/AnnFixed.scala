@@ -477,75 +477,97 @@ object AnnFixed {
     // banded join — no stage is all-pairs and nothing shuffles the
     // corpus more than once.
     Q("pipeline_curate",
+      (s, dir) => curateKept(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("split"),
+          col("n_tokens"),
+          (col("qscaled").cast("double") / lit(1000000.0))
+            .as("quality_r6"))
+        .orderBy(col("doc_id")),
+      Some(sql(s"""WITH $sqlSrpCappedCtes, $sqlSrpDropsCte,
+        |$sqlCurateKeptCtes
+        |SELECT doc_id, lang, source, split, n_tokens,
+        |  (CAST(qscaled AS DOUBLE) / 1000000.0) AS quality_r6
+        |FROM kept ORDER BY doc_id"""))),
+
+    // The full training-data MATERIALIZATION (r8) — what a user runs
+    // after curation to produce tensors: the curated train split is
+    // tokenized against a frequency-ranked vocabulary built on that same
+    // curated corpus (the production order: tokenizer trains on what
+    // survives curation, not on raw crawl), packed into fixed-length
+    // context chunks of 32, and the chunks dealt into 8 training shards
+    // by a deterministic md5-derived shuffle with dense per-shard
+    // positions — curate → tokenize → pack → shard, every stage the
+    // hash-checked shape of its standalone key (pipeline_curate,
+    // text_tokenize_ids, text_chunk_pack, pipeline_shuffle_shard). At
+    // 100 TB: the vocab is a broadcast (token types, not token count),
+    // packing is one groupBy(doc_id), the shard deal is one 8-way hash
+    // exchange — nothing here shuffles more than the curate stages
+    // already did, and a production writer replaces the rank window
+    // with repartition(shard).sortWithinPartitions(hk).write.
+    Q("pipeline_pretokenize",
       (s, dir) => {
-        val stop = Seq("the", "a", "of", "and", "is", "to", "in")
-        val pool = Tables.table(s, dir, "documents")
-          .withColumn("w", split(col("text"), " "))
-          .withColumn("n_tokens", size(col("w")).cast("long"))
-          .withColumn("n_distinct",
-            size(array_distinct(col("w"))).cast("long"))
-          .withColumn("n_stop",
-            size(filter(col("w"), x => x.isin(stop: _*))).cast("long"))
-          .withColumn("qnum",
-            lit(400L) * col("n_distinct")
-              + lit(300L) * (col("n_tokens") - col("n_stop"))
-              + lit(3L) * least(col("n_tokens"), lit(100L))
-                * col("n_tokens"))
-          // half-up-rounded quality × 1e6, all in BIGINT (the
-          // text_quality_score scheme) — the ≥ 0.63 gate compares exact
-          // integers, so no engine can disagree at the boundary
-          .withColumn("qscaled",
-            expr("(2000 * qnum + n_tokens) div (2 * n_tokens)"))
-          .filter(col("qscaled") >= 630000L)
-          .filter(col("lang").isin("en", "de", "es", "fr"))
-        val exactCanonical = pool
-          .groupBy(sha2(col("text"), 256).as("h"))
-          .agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"))
-        val wh = PipelineOps.whExpr("CAST(doc_id AS STRING)")
-        pool
-          .join(exactCanonical, Seq("doc_id"), "left_semi")
-          .join(srpNearDrops(s, dir), Seq("doc_id"), "left_anti")
-          .withColumn("bucket", pmod(expr(wh), lit(10L)))
-          .select(col("doc_id"), col("lang"), col("source"),
-            when(col("bucket") === 0, "test")
-              .when(col("bucket") === 1, "val")
-              .otherwise("train").as("split"),
-            col("n_tokens"),
-            (col("qscaled").cast("double") / lit(1000000.0))
-              .as("quality_r6"))
-          .orderBy(col("doc_id"))
+        val kept = curateKept(s, dir).filter(col("split") === "train")
+          .select(col("doc_id"), col("text"))
+        val tokens = kept.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        val vocab = PipelineOps.vocabOf(tokens)
+        val chunks = tokens.join(broadcast(vocab), "word")
+          .groupBy(col("doc_id"))
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(pos, id))), x -> x.id)")
+            .as("ids"))
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, (size(ids) + 31) div 32 - 1),
+              |  i -> slice(ids, i * 32 + 1, 32))""".stripMargin))
+            .as(Seq("chunk_idx", "chunk")))
+        val wh = PipelineOps.whExpr(
+          "concat('shard|', CAST(doc_id AS STRING), ':', " +
+            "CAST(chunk_idx AS STRING))")
+        chunks
+          .withColumn("hk", expr(wh))
+          .withColumn("shard", pmod(col("hk"), lit(8L)))
+          .withColumn("pos",
+            row_number().over(Window.partitionBy(col("shard"))
+              .orderBy(col("hk"), col("doc_id"), col("chunk_idx")))
+              .cast("long"))
+          .select(col("shard"), col("pos"), col("doc_id"),
+            col("chunk_idx").cast("long").as("chunk_idx"),
+            size(col("chunk")).cast("long").as("chunk_len"),
+            concat_ws(",", expr("transform(chunk, x -> cast(x as string))"))
+              .as("chunk_csv"))
+          .orderBy(col("shard"), col("pos"))
       },
       Some(sql(s"""WITH $sqlSrpCappedCtes, $sqlSrpDropsCte,
-        |b AS (SELECT doc_id, lang, source, n_chars,
-        |  string_split(text, ' ') AS w, text FROM documents),
-        |m AS (SELECT doc_id, lang, source, text,
-        |  CAST(len(w) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
-        |  CAST(len(list_filter(w, x -> x IN
-        |    ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stop
-        |  FROM b),
-        |q AS (SELECT *, 400 * n_distinct + 300 * (n_tokens - n_stop)
-        |    + 3 * least(n_tokens, 100) * n_tokens AS qnum FROM m),
-        |pool AS (SELECT *,
-        |  (2000 * qnum + n_tokens) // (2 * n_tokens) AS qscaled
-        |  FROM q
-        |  WHERE (2000 * qnum + n_tokens) // (2 * n_tokens) >= 630000
-        |    AND lang IN ('en', 'de', 'es', 'fr')),
-        |exact_keep AS (SELECT min(doc_id) AS doc_id FROM pool
-        |  GROUP BY sha256(text))
-        |SELECT p.doc_id, p.lang, p.source,
-        |  CASE WHEN ${PipelineOps.sqlWh("CAST(p.doc_id AS VARCHAR)")} % 10
-        |         = 0 THEN 'test'
-        |       WHEN ${PipelineOps.sqlWh("CAST(p.doc_id AS VARCHAR)")} % 10
-        |         = 1 THEN 'val'
-        |       ELSE 'train' END AS split,
-        |  p.n_tokens,
-        |  (CAST(p.qscaled AS DOUBLE) / 1000000.0) AS quality_r6
-        |FROM pool p
-        |JOIN exact_keep USING (doc_id)
-        |ANTI JOIN drops USING (doc_id)
-        |ORDER BY p.doc_id"""))),
+        |$sqlCurateKeptCtes,
+        |ktokens AS (SELECT doc_id,
+        |  unnest(generate_series(0, len(string_split(text, ' ')) - 1))
+        |    AS pos,
+        |  unnest(string_split(text, ' ')) AS word
+        |  FROM kept WHERE split = 'train'),
+        |vocab AS (SELECT word,
+        |  row_number() OVER (ORDER BY count(*) DESC, word ASC) AS id
+        |  FROM ktokens GROUP BY word),
+        |seqs AS (SELECT doc_id, list(id ORDER BY pos) AS ids
+        |  FROM ktokens JOIN vocab USING (word) GROUP BY doc_id),
+        |chunked AS (SELECT doc_id,
+        |  unnest(generate_series(0, (len(ids) + 31) // 32 - 1))
+        |    AS chunk_idx, ids
+        |  FROM seqs),
+        |ch AS (SELECT doc_id, chunk_idx,
+        |  ids[chunk_idx * 32 + 1 : (chunk_idx + 1) * 32] AS chunk
+        |  FROM chunked),
+        |sh AS (SELECT doc_id, chunk_idx,
+        |  len(chunk)::BIGINT AS chunk_len,
+        |  array_to_string(chunk, ',') AS chunk_csv,
+        |  ${PipelineOps.sqlWh("concat('shard|', " +
+             "CAST(doc_id AS VARCHAR), ':', CAST(chunk_idx AS VARCHAR))")}
+        |    AS hk
+        |  FROM ch)
+        |SELECT hk % 8 AS shard,
+        |  row_number() OVER (PARTITION BY hk % 8
+        |    ORDER BY hk, doc_id, chunk_idx) AS pos,
+        |  doc_id, chunk_idx, chunk_len, chunk_csv
+        |FROM sh ORDER BY shard, pos"""))),
 
     // Embedding-space benchmark decontamination (r8) — the semantic twin
     // of text_contamination_ngrams: n-gram overlap catches verbatim
@@ -709,6 +731,82 @@ object AnnFixed {
       .filter(dot(col("ua"), col("ub")) >= 0.35)
       .select(col("b_id").as("doc_id")).distinct()
   }
+
+  /** The curated keep-set shared by `pipeline_curate` and
+    * `pipeline_pretokenize`: quality gate (text_quality_score's exact
+    * integer arithmetic — no double ever compared to a boundary), lang
+    * gate, exact sha256 canonicalization, embedding-space near-dup drop
+    * ([[srpNearDrops]]), and the md5-derived train/val/test split.
+    * Carries (doc_id, lang, source, text, n_tokens, qscaled, split). */
+  private def curateKept(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+    val pool = Tables.table(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_distinct",
+        size(array_distinct(col("w"))).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("w"), x => x.isin(stop: _*))).cast("long"))
+      .withColumn("qnum",
+        lit(400L) * col("n_distinct")
+          + lit(300L) * (col("n_tokens") - col("n_stop"))
+          + lit(3L) * least(col("n_tokens"), lit(100L))
+            * col("n_tokens"))
+      // half-up-rounded quality × 1e6, all in BIGINT (the
+      // text_quality_score scheme) — the ≥ 0.63 gate compares exact
+      // integers, so no engine can disagree at the boundary
+      .withColumn("qscaled",
+        expr("(2000 * qnum + n_tokens) div (2 * n_tokens)"))
+      .filter(col("qscaled") >= 630000L)
+      .filter(col("lang").isin("en", "de", "es", "fr"))
+    val exactCanonical = pool
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val wh = PipelineOps.whExpr("CAST(doc_id AS STRING)")
+    pool
+      .join(exactCanonical, Seq("doc_id"), "left_semi")
+      .join(srpNearDrops(s, dir), Seq("doc_id"), "left_anti")
+      .withColumn("bucket", pmod(expr(wh), lit(10L)))
+      .withColumn("split",
+        when(col("bucket") === 0, "test")
+          .when(col("bucket") === 1, "val")
+          .otherwise("train"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        col("n_tokens"), col("qscaled"), col("split"))
+  }
+
+  /** Oracle CTE twins of [[curateKept]] (`b`,`m`,`q`,`pool`,
+    * `exact_keep`,`kept`); requires [[sqlSrpCappedCtes]] and
+    * [[sqlSrpDropsCte]] in scope. */
+  private def sqlCurateKeptCtes: String =
+    s"""b AS (SELECT doc_id, lang, source, n_chars,
+       |  string_split(text, ' ') AS w, text FROM documents),
+       |m AS (SELECT doc_id, lang, source, text,
+       |  CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       |  CAST(len(list_filter(w, x -> x IN
+       |    ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stop
+       |  FROM b),
+       |q AS (SELECT *, 400 * n_distinct + 300 * (n_tokens - n_stop)
+       |    + 3 * least(n_tokens, 100) * n_tokens AS qnum FROM m),
+       |pool AS (SELECT *,
+       |  (2000 * qnum + n_tokens) // (2 * n_tokens) AS qscaled
+       |  FROM q
+       |  WHERE (2000 * qnum + n_tokens) // (2 * n_tokens) >= 630000
+       |    AND lang IN ('en', 'de', 'es', 'fr')),
+       |exact_keep AS (SELECT min(doc_id) AS doc_id FROM pool
+       |  GROUP BY sha256(text)),
+       |kept AS (SELECT p.doc_id, p.lang, p.source, p.text, p.n_tokens,
+       |  p.qscaled,
+       |  CASE WHEN ${PipelineOps.sqlWh("CAST(p.doc_id AS VARCHAR)")} % 10
+       |         = 0 THEN 'test'
+       |       WHEN ${PipelineOps.sqlWh("CAST(p.doc_id AS VARCHAR)")} % 10
+       |         = 1 THEN 'val'
+       |       ELSE 'train' END AS split
+       |  FROM pool p
+       |  JOIN exact_keep USING (doc_id)
+       |  ANTI JOIN drops USING (doc_id))""".stripMargin
 
   /** Oracle CTE twin of [[srpNearDrops]] (`drops`); requires
     * [[sqlSrpCappedCtes]] in scope. */

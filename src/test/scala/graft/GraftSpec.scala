@@ -880,6 +880,31 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("pretokenize: token conservation vs curate and dense shards") {
+    val kept = run("pipeline_curate").filter(col("split") === "train")
+      .select(col("doc_id"), col("n_tokens"))
+    val packed = run("pipeline_pretokenize")
+    // every kept train doc is packed, in full: sum(chunk_len) = n_tokens
+    val perDoc = packed.groupBy("doc_id")
+      .agg(sum("chunk_len").as("packed_tokens"))
+    assert(perDoc.count() === kept.count(),
+      "every curated train doc must be packed")
+    assert(kept.join(perDoc, "doc_id")
+      .filter(col("n_tokens") =!= col("packed_tokens")).count() === 0,
+      "packing must conserve tokens")
+    // only full-or-final chunks: every chunk but a doc's last is len 32
+    val shortNonFinal = packed.withColumn("mx",
+        max("chunk_idx").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")))
+      .filter(col("chunk_idx") < col("mx") && col("chunk_len") =!= 32)
+    assert(shortNonFinal.count() === 0)
+    // shard positions are dense 1..n
+    val holes = packed.groupBy("shard")
+      .agg(max("pos").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n"))
+    assert(holes.count() === 0)
+  }
+
   test("semantic dedup: kept = exact canonicals minus larger-id strong pairs") {
     // cross-key invariant: the SRP pair list (vec_neardup_srp_fixed, max
     // cos per pair) fully determines pipeline_dedup_semantic's drop set
