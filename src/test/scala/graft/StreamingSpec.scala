@@ -200,6 +200,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("buffered sessionizer: inclusive gap boundary under reversed arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EvT
+    StreamTestUtil.withRocksDb(spark) {
+      val gapUs = 30L * 60 * 1000000
+      def ev(id: Long, us: Long, v: Double): EvT =
+        EvT(id, us, 7L, "view", v, new java.sql.Timestamp(us / 1000))
+      // e1 and e2 are EXACTLY gap apart (inclusive boundary: same
+      // session); e3 exceeds the gap by 1 µs (new session). Delivered
+      // fully REVERSED, one micro-batch each — the arrival pattern the
+      // O(1)-state sessionizers document as divergent.
+      val t1 = 1000000L
+      val e1 = ev(1, t1, 1.0)
+      val e2 = ev(2, t1 + gapUs, 2.0)
+      val e3 = ev(3, t1 + 2 * gapUs + 1, 4.0)
+      val stream = MemoryStream[EvT]
+      val q = graft.streaming.StreamOps.sessionizeBuffered(
+        stream.toDS().withWatermark("ts_t", "30 days").as[EvT])
+        .writeStream.format("memory").queryName("buf_boundary_test")
+        .outputMode("append").start()
+      try {
+        Seq(e3, e2, e1).foreach { e =>
+          stream.addData(Seq(e))
+          q.processAllAvailable()
+        }
+        Seq(40L, 41L).zipWithIndex.foreach { case (d, i) =>
+          stream.addData(Seq(ev(-1L - i, t1 + d * 86400L * 1000000L, 0.0)
+            .copy(user_id = -1L)))
+          q.processAllAvailable()
+        }
+        val got = spark.table("buf_boundary_test")
+          .filter(col("user_id") === 7L)
+          .orderBy("start_us")
+          .select("start_us", "span_us", "ev_cnt", "sum_value")
+          .collect().toSeq.map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        assert(got === Seq(
+          (t1, gapUs, 2L, 3.0),           // e1+e2: boundary is inclusive
+          (t1 + 2 * gapUs + 1, 0L, 1L, 4.0))) // e3: gap exceeded by 1 µs
+      } finally q.stop()
+    }
+  }
+
   test("mapGroupsWithState keep-latest matches batch events_dedup_latest") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
