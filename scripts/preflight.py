@@ -131,6 +131,8 @@ EXEMPT_UNROUNDED = {
                         # itself is exact BIGINT arithmetic
     "pipeline_pretokenize",  # the pipeline_curate keep-set (same SRP
                              # folds); everything downstream is integer
+    "pipeline_curate_incremental",  # same SRP folds + threshold class,
+                                    # batch-vs-corpus pairs only
     "text_contamination_semantic",  # same SRP folds + threshold class
     "pipeline_semantic_search",  # the vec_ann_ivf_fixed fold class +
                                  # a metadata equi-join

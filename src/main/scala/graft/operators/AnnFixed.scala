@@ -569,6 +569,80 @@ object AnnFixed {
         |  doc_id, chunk_idx, chunk_len, chunk_csv
         |FROM sh ORDER BY shard, pos"""))),
 
+    // Incremental curation (r8) — the highest-frequency production run:
+    // curate a NEW batch (source = 'src1') for admission into an
+    // already-curated corpus, without re-curating the corpus. The batch
+    // passes the same quality/lang gates, canonicalizes exactly WITHIN
+    // the batch, then drops docs whose sha256 already exists in the
+    // CURATED corpus (the non-src1 pool — rejected corpus docs don't
+    // block admission) or that form a cosine ≥ 0.35 SRP pair with a
+    // curated-corpus embedding. Candidate pairs are batch×corpus only
+    // (never corpus×corpus — the r7 incremental lesson); completes the
+    // curate family {full, incremental} alongside the dedup matrix.
+    Q("pipeline_curate_incremental",
+      (s, dir) => {
+        val pool = curatePool(s, dir)
+        val bpool = pool.filter(col("source") === "src1")
+        val cpool = pool.filter(col("source") =!= "src1")
+        val batchCanonical = bpool
+          .groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val corpusHashes = cpool
+          .select(sha2(col("text"), 256).as("h")).distinct()
+        val srcs = Tables.table(s, dir, "documents")
+          .select(col("doc_id").as("vec_id"), col("source"))
+        val cs = srpCapped(s, dir).join(srcs, "vec_id")
+        val xb = cs.filter(col("source") === "src1")
+          .select(col("band"), col("bsig"), col("vec_id").as("a_id"),
+            col("u").as("ua"))
+        val yc = cs.filter(col("source") =!= "src1")
+          .join(cpool.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+          .select(col("band").as("y_band"), col("bsig").as("y_bsig"),
+            col("vec_id").as("b_id"), col("u").as("ub"))
+        val nearDrops = xb.join(yc, col("band") === col("y_band")
+            && col("bsig") === col("y_bsig"))
+          .filter(dot(col("ua"), col("ub")) >= 0.35)
+          .select(col("a_id").as("doc_id")).distinct()
+        withSplit(bpool
+          .join(batchCanonical, Seq("doc_id"), "left_semi")
+          .withColumn("h", sha2(col("text"), 256))
+          .join(corpusHashes, Seq("h"), "left_anti")
+          .join(nearDrops, Seq("doc_id"), "left_anti"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("split"), col("n_tokens"),
+            (col("qscaled").cast("double") / lit(1000000.0))
+              .as("quality_r6"))
+          .orderBy(col("doc_id"))
+      },
+      Some(sql(s"""WITH $sqlSrpCappedCtes,
+        |$sqlCuratePoolCtes,
+        |bpool AS (SELECT * FROM pool WHERE source = 'src1'),
+        |cpool AS (SELECT * FROM pool WHERE source <> 'src1'),
+        |bkeep AS (SELECT min(doc_id) AS doc_id FROM bpool
+        |  GROUP BY sha256(text)),
+        |chash AS (SELECT DISTINCT sha256(text) AS h FROM cpool),
+        |cs AS (SELECT c.*, d.source FROM capped c
+        |  JOIN documents d ON d.doc_id = c.vec_id),
+        |idrops AS (SELECT DISTINCT x.vec_id AS doc_id
+        |  FROM cs x JOIN cs y
+        |  ON x.band = y.band AND x.bsig = y.bsig
+        |  WHERE x.source = 'src1' AND y.source <> 'src1'
+        |    AND y.vec_id IN (SELECT doc_id FROM cpool)
+        |    AND ${sqlDot("x.u", "y.u")} >= 0.35),
+        |bb AS (SELECT doc_id, lang, source, n_tokens, qscaled,
+        |  sha256(text) AS h FROM bpool)
+        |SELECT doc_id, lang, source,
+        |  ${sqlSplitCase("doc_id")} AS split,
+        |  n_tokens,
+        |  (CAST(qscaled AS DOUBLE) / 1000000.0) AS quality_r6
+        |FROM bb
+        |JOIN bkeep USING (doc_id)
+        |ANTI JOIN chash USING (h)
+        |ANTI JOIN idrops USING (doc_id)
+        |ORDER BY doc_id"""))),
+
     // Embedding-space benchmark decontamination (r8) — the semantic twin
     // of text_contamination_ngrams: n-gram overlap catches verbatim
     // leakage, but a paraphrased benchmark item only collides in
@@ -738,9 +812,11 @@ object AnnFixed {
     * gate, exact sha256 canonicalization, embedding-space near-dup drop
     * ([[srpNearDrops]]), and the md5-derived train/val/test split.
     * Carries (doc_id, lang, source, text, n_tokens, qscaled, split). */
-  private def curateKept(s: SparkSession, dir: String): DataFrame = {
+  /** The quality/lang-gated candidate pool (gates only — no dedup):
+    * the stage `curateKept` and `pipeline_curate_incremental` share. */
+  private def curatePool(s: SparkSession, dir: String): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
-    val pool = Tables.table(s, dir, "documents")
+    Tables.table(s, dir, "documents")
       .withColumn("w", split(col("text"), " "))
       .withColumn("n_tokens", size(col("w")).cast("long"))
       .withColumn("n_distinct",
@@ -759,27 +835,40 @@ object AnnFixed {
         expr("(2000 * qnum + n_tokens) div (2 * n_tokens)"))
       .filter(col("qscaled") >= 630000L)
       .filter(col("lang").isin("en", "de", "es", "fr"))
+  }
+
+  /** Train/val/test assignment (sample_hash_bucket's md5 bucket). */
+  private def withSplit(d: DataFrame): DataFrame = d
+    .withColumn("bucket",
+      pmod(expr(PipelineOps.whExpr("CAST(doc_id AS STRING)")), lit(10L)))
+    .withColumn("split",
+      when(col("bucket") === 0, "test")
+        .when(col("bucket") === 1, "val")
+        .otherwise("train"))
+
+  private def curateKept(s: SparkSession, dir: String): DataFrame = {
+    val pool = curatePool(s, dir)
     val exactCanonical = pool
       .groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val wh = PipelineOps.whExpr("CAST(doc_id AS STRING)")
-    pool
+    withSplit(pool
       .join(exactCanonical, Seq("doc_id"), "left_semi")
-      .join(srpNearDrops(s, dir), Seq("doc_id"), "left_anti")
-      .withColumn("bucket", pmod(expr(wh), lit(10L)))
-      .withColumn("split",
-        when(col("bucket") === 0, "test")
-          .when(col("bucket") === 1, "val")
-          .otherwise("train"))
+      .join(srpNearDrops(s, dir), Seq("doc_id"), "left_anti"))
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         col("n_tokens"), col("qscaled"), col("split"))
   }
 
-  /** Oracle CTE twins of [[curateKept]] (`b`,`m`,`q`,`pool`,
-    * `exact_keep`,`kept`); requires [[sqlSrpCappedCtes]] and
-    * [[sqlSrpDropsCte]] in scope. */
-  private def sqlCurateKeptCtes: String =
+  /** Oracle twin of [[withSplit]]'s CASE over a doc_id expression. */
+  private def sqlSplitCase(docId: String): String =
+    s"""CASE WHEN ${PipelineOps.sqlWh(s"CAST($docId AS VARCHAR)")} % 10
+       |       = 0 THEN 'test'
+       |     WHEN ${PipelineOps.sqlWh(s"CAST($docId AS VARCHAR)")} % 10
+       |       = 1 THEN 'val'
+       |     ELSE 'train' END""".stripMargin
+
+  /** Oracle CTE twins of [[curatePool]] (`b`,`m`,`q`,`pool`). */
+  private def sqlCuratePoolCtes: String =
     s"""b AS (SELECT doc_id, lang, source, n_chars,
        |  string_split(text, ' ') AS w, text FROM documents),
        |m AS (SELECT doc_id, lang, source, text,
@@ -794,16 +883,17 @@ object AnnFixed {
        |  (2000 * qnum + n_tokens) // (2 * n_tokens) AS qscaled
        |  FROM q
        |  WHERE (2000 * qnum + n_tokens) // (2 * n_tokens) >= 630000
-       |    AND lang IN ('en', 'de', 'es', 'fr')),
+       |    AND lang IN ('en', 'de', 'es', 'fr'))""".stripMargin
+
+  /** Oracle CTE twins of [[curateKept]] (adds `exact_keep`,`kept`);
+    * requires [[sqlSrpCappedCtes]] and [[sqlSrpDropsCte]] in scope. */
+  private def sqlCurateKeptCtes: String =
+    s"""$sqlCuratePoolCtes,
        |exact_keep AS (SELECT min(doc_id) AS doc_id FROM pool
        |  GROUP BY sha256(text)),
        |kept AS (SELECT p.doc_id, p.lang, p.source, p.text, p.n_tokens,
        |  p.qscaled,
-       |  CASE WHEN ${PipelineOps.sqlWh("CAST(p.doc_id AS VARCHAR)")} % 10
-       |         = 0 THEN 'test'
-       |       WHEN ${PipelineOps.sqlWh("CAST(p.doc_id AS VARCHAR)")} % 10
-       |         = 1 THEN 'val'
-       |       ELSE 'train' END AS split
+       |  ${sqlSplitCase("p.doc_id")} AS split
        |  FROM pool p
        |  JOIN exact_keep USING (doc_id)
        |  ANTI JOIN drops USING (doc_id))""".stripMargin
