@@ -299,6 +299,86 @@ def compare(key, sdf, odf):
     return problems
 
 
+def schema_fingerprint(sf):
+    """Fixture-drift tripwire (VERDICT r8 missing #3): compare each table's
+    physical parquet schema against the pin in scripts/fixture_schemas.json.
+    r08 lesson: the fixture generator switched events.ts from INT64
+    TIMESTAMP(NANOS) to timestamp[us] silently and 19 keys died at plan
+    time with no diagnostic. Drift is a loud banner + hard failure here
+    (the engine reader is drift-tolerant, but a drifted fixture means the
+    pin — and possibly oracle SQL — needs a deliberate re-audit; re-pin by
+    rerunning this file with GRAFT_REPIN_SCHEMAS=1)."""
+    import pyarrow.parquet as pq
+    pin_path = os.path.join(os.path.dirname(__file__),
+                            "fixture_schemas.json")
+    observed = {}
+    for t in TABLES:
+        try:
+            s = pq.read_schema(os.path.join(sf, f"{t}.parquet"))
+            observed[t] = [[f.name, str(f.type)] for f in s]
+        except Exception as e:
+            observed[t] = [["<unreadable>", str(e)[:120]]]
+    if os.environ.get("GRAFT_REPIN_SCHEMAS") == "1":
+        with open(pin_path, "w") as f:
+            json.dump(observed, f, indent=1, sort_keys=True)
+        print(f"schema fingerprint re-pinned ({len(TABLES)} tables)")
+        return 0
+    with open(pin_path) as f:
+        pinned = json.load(f)
+    drift = {t for t in TABLES if observed.get(t) != pinned.get(t)}
+    if drift:
+        print("=" * 72)
+        print("FIXTURE SCHEMA DRIFT — physical parquet schemas changed "
+              "since the pin:")
+        for t in sorted(drift):
+            print(f"  {t}: pinned={pinned.get(t)}")
+            print(f"  {t}: observed={observed.get(t)}")
+        print("re-audit Tables.* readers + oracle SQL, then re-pin with "
+              "GRAFT_REPIN_SCHEMAS=1")
+        print("=" * 72)
+        return len(drift)
+    print(f"schema fingerprint: {len(TABLES)} tables match the pin")
+    return 0
+
+
+def keyset_manifest(out, verified_keys):
+    """Registry-vs-verified diff (VERDICT r8 missing #2): Verify writes
+    keys.json {registry, attempted, failed}; hard-fail when any attempted
+    key produced no output or threw, and when a full (unfiltered) run
+    attempted fewer keys than the registry declares — so a silent drop can
+    never read as green again."""
+    path = os.path.join(out, "keys.json")
+    if not os.path.exists(path):
+        print("FAIL keys.json missing from Verify output — rerun Verify "
+              "(stale dump predates the key-set manifest)")
+        return 1
+    with open(path) as f:
+        m = json.load(f)
+    fails = 0
+    for key in m.get("failed", []):
+        print(f"FAIL {key:28s} threw during Verify (see Verify stderr)")
+        fails += 1
+    holes = sorted(set(m["attempted"]) - set(m.get("failed", []))
+                   - set(verified_keys))
+    for key in holes:
+        print(f"FAIL {key:28s} attempted but no output dir on disk")
+        fails += 1
+    full_run = set(m["attempted"]) == set(m["registry"])
+    if not full_run and len(m["attempted"]) < len(m["registry"]):
+        # A filtered local smoke is legitimate; just make it unmistakable.
+        print(f"note: filtered Verify run — {len(m['attempted'])}/"
+              f"{len(m['registry'])} registry keys attempted")
+    missing_reg = sorted(set(m["registry"]) - set(m["attempted"]))
+    if full_run and missing_reg:
+        for key in missing_reg:
+            print(f"FAIL {key:28s} in registry but never attempted")
+        fails += len(missing_reg)
+    if not fails and full_run:
+        print(f"key-set manifest: all {len(m['registry'])} registry keys "
+              "attempted and dumped")
+    return fails
+
+
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -345,6 +425,8 @@ def main():
     for key in missing:
         print(f"FAIL {key:28s} oracle declared but no Verify output")
         n_fail += 1
+    n_fail += schema_fingerprint(sf)
+    n_fail += keyset_manifest(out, keys)
     n_fail += audit(con, oracle)
     n_fail += bpe_differential(con, out)
     print(f"\n{n_pass} pass / {n_fail} fail (sf={sf})")

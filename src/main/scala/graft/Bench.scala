@@ -14,9 +14,6 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet is INT64 TIMESTAMP(NANOS); declared up front so
-      // the session behavior is explicit, not a hidden mutation
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Native functions + rewrites active from the first warmup plan, so

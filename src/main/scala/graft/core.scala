@@ -29,25 +29,43 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) in parquet, which Spark 4 refuses
-    * to read as a timestamp. Read it as a long of epoch-nanos (legacy conf)
-    * and derive `ts_us` (epoch-µs, exact integer division — never the
-    * double-division path, epoch-ns exceeds double's 53-bit mantissa) and
-    * `ts_t` (µs TimestampType). This matches DuckDB's `ts::TIMESTAMP`
-    * truncation, so oracle twins compare on identical µs values
-    * (SURVEY §7.4 R1). Queries must never emit raw `ts`.
+  /** Schema-drift-tolerant events reader. The fixture generator has shipped
+    * `events.ts` under two physical encodings so far: INT64 TIMESTAMP(NANOS)
+    * (which Spark 4 only reads via the legacy nanos-as-long conf, as a raw
+    * epoch-ns long) and tz-naive `timestamp[us]` (which resolves to
+    * TIMESTAMP_NTZ). Branch on the *resolved* Spark type so either variant —
+    * or a future flip back — yields the same downstream contract:
+    * `ts_us` (epoch-µs long; integer division for the ns variant, never the
+    * double path — epoch-ns exceeds double's 53-bit mantissa) and `ts_t`
+    * (µs TimestampType). Every graft entry point pins the session timezone
+    * to UTC, so the NTZ→timestamp cast is identity and both variants match
+    * DuckDB's `epoch_us(ts::TIMESTAMP)` truncation (SURVEY §7.4 R1).
+    * Queries must never emit raw `ts`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // Also declared in the Verify/Bench/test session builders; this set is
-    // a defensive fallback for externally-built sessions (driver smoke).
-    // NOTE it is session-wide: other INT64(NANOS) parquet reads in the
-    // same session will also come back as raw longs.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000"))
-      .withColumn("ts_t",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.col("ts_us")))
+    val path = s"$dir/events.parquet"
+    val raw =
+      try spark.read.parquet(path)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          // INT64(NANOS) variant: parquet schema inference refuses the type
+          // unless the legacy conf is on. Set it only when actually needed,
+          // so a µs fixture never pays the session-wide side effect of
+          // longs-for-NANOS on unrelated reads.
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path)
+      }
+    import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
+    val tsUs: Column = raw.schema("ts").dataType match {
+      case LongType | IntegerType => expr("ts DIV 1000") // epoch-ns as long
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other " +
+          "(expected integral epoch-ns or timestamp[us])")
+    }
+    raw.withColumn("ts_us", tsUs)
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
       .drop("ts")
   }
 }

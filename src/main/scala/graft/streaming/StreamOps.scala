@@ -388,6 +388,25 @@ object StreamOps {
       .select(Det.second(col("w.start")).as("hour_start"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** 1-hour windows sliding every 15 min — the streaming twin of
+    * `events_sliding_window` (each event lands in exactly 4 windows).
+    * Windowed aggregation with a watermark is out-of-order-exact by
+    * construction: Spark buffers every window still above the watermark
+    * and (append mode) emits a window only once the watermark passes its
+    * end, so any arrival order within `horizon` yields identical output.
+    * StreamingFileSpec replays the fixture in a deliberately scrambled
+    * order and asserts equality against the batch key. State is O(open
+    * windows × types): 4 windows per 15-min slide bucket within the
+    * horizon — bounded, scale-safe. */
+  def slidingCounts(events: Dataset[Ev],
+      horizon: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts_t", horizon)
+      .groupBy(window(col("ts_t"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("value"), 2).as("sum_value"))
+      .select(Det.second(col("w.start")).as("window_start"),
+        col("cnt"), col("sum_value"))
+
   /** Gap-based sessions via `session_window` (30-min inactivity), the
     * streaming twin of `events_sessionization`'s window algebra. */
   def sessionCounts(events: Dataset[Ev]): DataFrame =

@@ -12,7 +12,6 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .appName("graft-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

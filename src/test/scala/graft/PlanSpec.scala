@@ -290,6 +290,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN broadcast joins are hint-forced, not size-estimated") {
+    // VERDICT r8 #2 done-criterion: with auto-broadcast disabled, the only
+    // way a BroadcastHashJoin appears is the explicit broadcast(...) hint
+    // on the probe/shortlist side. If any of these joins were relying on
+    // the planner's size estimate, this run would degrade to a sort-merge
+    // join that shuffles the corpus by vec_id — the 100 TB failure mode.
+    graft.plans.GraftFunctions.register(spark)
+    val conf = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "-1")
+      for (key <- Seq("vec_ann_ivf_fixed", "vec_ann_ivfpq_fixed",
+          "pipeline_semantic_search")) {
+        val p = Registry.queries(key)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!p.contains("hashpartitioning(vec_id"),
+          s"$key re-shuffles the corpus by vec_id with auto-broadcast " +
+            s"off:\n${p.take(3000)}")
+        assert(p.contains("BroadcastHashJoin"),
+          s"$key lost its broadcast join with auto-broadcast off — a " +
+            s"join is hint-less:\n${p.take(3000)}")
+      }
+    } finally spark.conf.set(conf, saved)
+  }
+
   test("vec_pq_codes is a single map-side projection (no joins/exchWide)") {
     graft.plans.GraftFunctions.register(spark)
     val p = Registry.queries("vec_pq_codes")(spark, sf)

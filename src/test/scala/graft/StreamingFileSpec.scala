@@ -236,6 +236,55 @@ class StreamingFileSpec extends AnyFunSuite {
     }
   }
 
+  test("sliding window matches batch on an OUT-OF-ORDER replay") {
+    // events_sliding_window's streaming twin (VERDICT r8 task 7): windowed
+    // aggregation with a watermark buffers all open windows, so the same
+    // deterministic scramble the sessionizer/funnel OOO tests use must
+    // yield output EXACTLY equal to the batch key — nothing is dropped
+    // because the 40-day horizon exceeds the fixture's event-time span.
+    val base = java.nio.file.Files.createTempDirectory("graft_slide")
+    val src = s"$base/src"
+    val ev = Tables.table(spark, sf001, "events")
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+    val rows = ev.collect().toSeq
+      .sortBy(r => (r.getLong(0) % 7, r.getLong(0)))
+    val maxUs = rows.map(_.getLong(1)).max
+    appendFile(src, rows.take(2000), ev.schema)
+    val q = StreamOps.slidingCounts(
+      spark.readStream.schema(ev.schema).parquet(src).as[Ev], "40 days")
+      .writeStream.format("memory").queryName("slide_win")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      rows.drop(2000).grouped(2000).foreach { chunk =>
+        appendFile(src, chunk, ev.schema)
+        q.processAllAvailable()
+      }
+      // far-future sentinels push the watermark past every fixture
+      // window's end so append mode finalizes them all
+      Seq(50L, 51L).zipWithIndex.foreach { case (d, i) =>
+        val us = maxUs + d * 86400L * 1000000L
+        appendFile(src, Seq(Row(-1L - i, us, -1L, "sentinel", 0.0)),
+          ev.schema)
+        q.processAllAvailable()
+      }
+      // drop the sentinel-only windows (they start ≥ maxUs + 50 days;
+      // every fixture window starts ≤ maxUs) — lexicographic compare is
+      // chronological for "yyyy-MM-dd HH:mm:ss"
+      val cutoff = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(maxUs / 1000000 + 86400))
+      val streamed = spark.table("slide_win")
+        .filter(col("window_start") < cutoff)
+        .orderBy("window_start").collect().toSeq
+      val batch = Registry.queries("events_sliding_window")(spark, sf001)
+        .collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("watermarked funnel matches batch on an OUT-OF-ORDER replay") {
     StreamTestUtil.withRocksDb(spark) {
       val base = java.nio.file.Files.createTempDirectory("graft_wfun")
