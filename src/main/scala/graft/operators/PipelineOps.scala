@@ -596,6 +596,138 @@ object PipelineOps {
         |  < thr
         |ORDER BY doc_id"""))),
 
+    // Domain-mix schedule (the reweighting table behind Pile/DoReMi-style
+    // corpus mixing): per source, token share of the corpus and the
+    // downsample-only weight min(1, uniform_target/share) that would move
+    // the mix to uniform. Shares/weights are half-up 6dp computed entirely
+    // in BIGINT (text_quality_score precedent — no double chain, so no
+    // boundary audit needed). Scale shape: one corpus scan, one
+    // groupBy(source), then corpus totals as a global window over the
+    // domain-sized aggregate. BIGINT headroom: 2e6·tokens stays exact
+    // below ~4.6e12 corpus tokens; widen the fixed-point to
+    // DECIMAL(38,0) beyond that.
+    Q("pipeline_mix_schedule",
+      (s, dir) => {
+        val per = Tables.table(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        // totals via a global window over the PER-DOMAIN frame: ONE corpus
+        // scan (a separate agg branch would re-read parquet — Spark plans
+        // DAG branches independently). The single-partition window only
+        // ever sees #domains rows, so it is the right plan at any corpus
+        // size.
+        val w = Window.partitionBy(lit(0))
+        per
+          .withColumn("tot", sum(col("n_tokens")).over(w))
+          .withColumn("k", count(lit(1)).over(w))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            (expr("(2000000 * n_tokens + tot) DIV (2 * tot)")
+              .cast("double") / 1000000.0).as("share_r6"),
+            (least(lit(1000000L),
+              expr("(2000000 * tot + k * n_tokens) DIV (2 * k * n_tokens)"))
+              .cast("double") / 1000000.0).as("weight_r6"))
+          .orderBy(col("source"))
+      },
+      Some(sql("""WITH per AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n_tokens)::BIGINT AS tot,
+        |               count(*)::BIGINT AS k FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  ((2000000 * n_tokens + tot) // (2 * tot))::DOUBLE
+        |    / 1000000.0 AS share_r6,
+        |  least(1000000,
+        |    (2000000 * tot + k * n_tokens) // (2 * k * n_tokens))::DOUBLE
+        |    / 1000000.0 AS weight_r6
+        |FROM per, tot ORDER BY source"""))),
+
+    // Power-of-2 token-length histogram — the sequence-length planning
+    // view a pretokenization run reads before picking context/pack sizes.
+    // bucket = floor(log2(n_tokens)) computed EXACTLY as
+    // length(bin(n)) - 1 (bit math on BIGINT, no transcendental, so the
+    // bucket edges can never drift cross-engine). One scan + one
+    // ~60-group aggregate; embarrassingly scale-safe.
+    Q("pipeline_token_histogram",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("toks"))
+        .filter(col("toks") >= 1L)
+        .withColumn("bucket", (length(bin(col("toks"))) - 1).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .select(col("bucket"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))")
+            .as("bucket_lo"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) + 1) - 1")
+            .as("bucket_hi"),
+          col("n_docs"), col("n_tokens"))
+        .orderBy(col("bucket")),
+      Some(sql("""WITH d AS (
+        |  SELECT len(string_split(text, ' '))::BIGINT AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1)
+        |SELECT (length(bin(toks)) - 1)::BIGINT AS bucket,
+        |  (1::BIGINT << (length(bin(toks)) - 1))::BIGINT AS bucket_lo,
+        |  ((1::BIGINT << length(bin(toks))) - 1)::BIGINT AS bucket_hi,
+        |  count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS n_tokens
+        |FROM d GROUP BY 1, 2, 3 ORDER BY bucket"""))),
+
+    // Unigram-LM quality proxy (the perplexity-filter family, CCNet
+    // lineage): per doc, the arithmetic mean of the inverse unigram
+    // probability n_tot/freq(w) over its tokens. AM ≥ GM, so this
+    // upper-bounds true unigram perplexity exp(mean NLL) while staying
+    // EXACT: the per-word ratio is 6dp fixed-point BIGINT ((1e6·n_tot)
+    // DIV freq), summed and averaged with half-up integer division — no
+    // libm anywhere, hence hash-checkable across oracle builds (the ln
+    // formulation would hinge pico-rounding on ≤ulp libm agreement, the
+    // class VERDICT r2 warned on). Scale shape (the text_tf_idf class,
+    // improved): ONE explode into the (doc, word, tf) frame; vocab freqs
+    // derive from that frame, the word join runs on it too (strictly
+    // smaller than the raw token stream — S = Σ tf·ip6 distributes over
+    // multiplicity), and the n_tot scalar comes from a no-explode
+    // sum-of-sizes scan broadcast as one row. BIGINT headroom: 1e6·n_tot
+    // exact below ~9e12 corpus tokens (same fixed-point ceiling as
+    // pipeline_mix_schedule).
+    Q("text_perplexity_proxy",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf"))
+        val freq = tf.groupBy(col("word")).agg(sum(col("tf")).as("freq"))
+        val nTot = docs.agg(
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tot"))
+        val ip = freq.crossJoin(broadcast(nTot))
+          .select(col("word"), expr("(1000000 * n_tot) DIV freq").as("ip6"))
+        tf.join(ip, "word")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("n_tokens"),
+            sum(col("tf") * col("ip6")).as("s"))
+          .select(col("doc_id"), col("n_tokens"),
+            (expr("(2 * s + n_tokens) DIV (2 * n_tokens)")
+              .cast("double") / 1000000.0).as("mean_invp_r6"))
+          .orderBy(col("doc_id"))
+      },
+      Some(sql("""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM toks
+        |       GROUP BY doc_id, word),
+        |f AS (SELECT word, sum(tf)::BIGINT AS freq FROM tf
+        |      GROUP BY word),
+        |n AS (SELECT sum(len(string_split(text, ' ')))::BIGINT AS n_tot
+        |      FROM documents),
+        |ip AS (SELECT word, (1000000 * n_tot) // freq AS ip6 FROM f, n),
+        |d AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+        |        sum(tf * ip6)::BIGINT AS s
+        |      FROM tf JOIN ip USING (word) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  ((2 * s + n_tokens) // (2 * n_tokens))::DOUBLE
+        |    / 1000000.0 AS mean_invp_r6
+        |FROM d ORDER BY doc_id"""))),
+
     // Deterministic global shuffle into training shards — the final step
     // before writing a training dataset: examples must be decorrelated
     // from crawl/source order (doc_id order IS source order in a scraped

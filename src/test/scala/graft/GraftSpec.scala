@@ -156,6 +156,38 @@ class InvariantSpec extends AnyFunSuite {
       Tables.table(spark, sf, "orders").count())
   }
 
+  test("mix schedule / token histogram / perplexity agree on the corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.table(spark, sf, "documents")
+    val nDocs = docs.count()
+    val mix = run("pipeline_mix_schedule").collect()
+    val hist = run("pipeline_token_histogram").collect()
+    val ppl = run("text_perplexity_proxy").collect()
+    // all three count the same corpus tokens (split-on-space)
+    val mixTok = mix.map(_.getAs[Long]("n_tokens")).sum
+    val histTok = hist.map(_.getAs[Long]("n_tokens")).sum
+    val pplTok = ppl.map(_.getAs[Long]("n_tokens")).sum
+    assert(mixTok === histTok && histTok === pplTok)
+    assert(hist.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    assert(ppl.length === nDocs)
+    // histogram buckets are disjoint dyadic ranges covering their docs
+    hist.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("bucket_lo"), r.getAs[Long]("bucket_hi"))
+      assert(hi === 2 * lo - 1)
+      assert(lo === (1L << r.getAs[Long]("bucket").toInt))
+    }
+    // weights are downsample-only, and some domain keeps weight 1.0
+    // (the smallest-share domain is never downsampled)
+    val ws = mix.map(_.getAs[Double]("weight_r6"))
+    assert(ws.forall(w => w > 0.0 && w <= 1.0))
+    assert(ws.contains(1.0))
+    // shares sum to ~1 (each rounded half-up at 6dp)
+    val shareSum = mix.map(_.getAs[Double]("share_r6")).sum
+    assert(math.abs(shareSum - 1.0) < mix.length * 5e-7)
+    // inverse unigram probability is >= 1 by construction
+    assert(ppl.forall(_.getAs[Double]("mean_invp_r6") >= 1.0))
+  }
+
   test("attribution: attributed view is at-or-before its purchase") {
     // the frame is rows-strictly-prior, so a ts-tied view with a lower
     // event_id may legitimately yield last_view_us == purchase_us
