@@ -138,6 +138,10 @@ EXEMPT_UNROUNDED = {
                                  # a metadata equi-join
     "vec_matryoshka_prefix",  # sqrt(fold) over embedding prefixes
     "text_domain_mix",     # sqrt(division of identical exact BIGINTs)
+    "sample_temperature",  # sqrt of an exact-BIGINT share ratio, then a
+                           # value-sorted sequential fold normalizer
+                           # (aggregate ≡ list_reduce) — no rounding step,
+                           # strict bit-equality claimed and checked
 }
 
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Det, Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.1-D — aggregations (SURVEY.md:201-212).
@@ -405,5 +406,51 @@ object Aggs {
         |count(*)::BIGINT AS supplier_cnt
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name"""))),
+
+    // Deterministic mode: most frequent o_orderpriority per order status,
+    // ties to the SMALLEST value. Spark's built-in `mode` aggregate is
+    // documented non-deterministic on ties — unusable under hash-check —
+    // so mode composes as two-phase count + per-group top-1 window (the
+    // topk_per_group k=1 shape, also served by the native TopK plan).
+    Q("agg_mode",
+      (s, dir) => {
+        val c = Tables.table(s, dir, "orders")
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+        c.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_orderstatus"),
+            col("o_orderpriority").as("mode_priority"),
+            col("cnt").as("mode_cnt"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(sql("""WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |        ORDER BY cnt DESC, o_orderpriority ASC) AS rn FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |  cnt AS mode_cnt
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus"""))),
+
+    // Bitwise aggregates (bitmask accumulation — feature flags, bloom-ish
+    // membership unions): AND/OR/XOR are associative+commutative, so the
+    // two-phase partial/final split is exact at any partition count.
+    Q("agg_bitwise",
+      (s, dir) => Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("bit_and(l_orderkey)").as("band"),
+          expr("bit_or(l_orderkey)").as("bor"),
+          expr("bit_xor(l_orderkey)").as("bxor"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag")),
+      Some(sql("""SELECT l_returnflag,
+        |bit_and(l_orderkey)::BIGINT AS band,
+        |bit_or(l_orderkey)::BIGINT AS bor,
+        |bit_xor(l_orderkey)::BIGINT AS bxor,
+        |count(*)::BIGINT AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
   )
 }

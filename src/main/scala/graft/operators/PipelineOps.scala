@@ -596,6 +596,48 @@ object PipelineOps {
         |  < thr
         |ORDER BY doc_id"""))),
 
+    // Temperature-scaled domain mixing (the multilingual-corpus sampling
+    // rule of mC4 / XLM-R: w_i ∝ p_i^α). α is fixed at 0.5 because sqrt
+    // is IEEE-correctly-rounded — bit-identical across engines on the
+    // identical share doubles — while a general pow(p, α) is libm-
+    // approximated and therefore not hash-checkable (the VERDICT r2
+    // transcendental class; generalized α would need the round+audit
+    // pattern). The normalizer Z is a sequential fold over the
+    // VALUE-sorted weight list (Spark `aggregate` ≡ DuckDB `list_reduce`,
+    // the vec_norms precedent), so aggregation order can never perturb
+    // the sum. Single corpus scan; everything past the groupBy is
+    // domain-sized.
+    Q("sample_temperature",
+      (s, dir) => {
+        val per = Tables.table(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .groupBy(col("source"))
+          .agg(sum(col("toks")).as("n_tokens"))
+        val w = Window.partitionBy(lit(0))
+        per
+          .withColumn("tot", sum(col("n_tokens")).over(w))
+          .withColumn("sq",
+            sqrt(col("n_tokens").cast("double") / col("tot")))
+          .withColumn("z",
+            aggregate(sort_array(collect_list(col("sq")).over(w)),
+              lit(0.0), (a, x) => a + x))
+          .select(col("source"), col("n_tokens"),
+            (col("sq") / col("z")).as("temp_w"))
+          .orderBy(col("source"))
+      },
+      Some(sql("""WITH per AS (
+        |  SELECT source,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n_tokens)::BIGINT AS tot FROM per),
+        |sq AS (SELECT source, n_tokens,
+        |         sqrt(n_tokens::DOUBLE / tot) AS sq FROM per, tot),
+        |z AS (SELECT list_reduce(list(sq ORDER BY sq ASC),
+        |        (a, b) -> a + b) AS z FROM sq)
+        |SELECT source, n_tokens, sq / z AS temp_w
+        |FROM sq, z ORDER BY source"""))),
+
     // Domain-mix schedule (the reweighting table behind Pile/DoReMi-style
     // corpus mixing): per source, token share of the corpus and the
     // downsample-only weight min(1, uniform_target/share) that would move
