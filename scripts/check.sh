@@ -15,6 +15,10 @@ sbt -batch compile test
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Verify $SF $OUT"
 python3 scripts/preflight.py "$SF" "$OUT"
+if [[ "${RUN_GUARD_SELFTEST:-0}" == "1" ]]; then
+  # prove the manifest + schema-fingerprint guards actually fire
+  bash scripts/selftest_guards.sh "$OUT" "$SF"
+fi
 if [[ "${RUN_BENCH:-0}" == "1" ]]; then
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
     SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \

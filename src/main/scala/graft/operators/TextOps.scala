@@ -151,6 +151,33 @@ object TextOps {
         |FROM documents GROUP BY sha256(text)
         |ORDER BY content_sha256"""))),
 
+    // Dedup yield report: the cluster-size histogram of exact-duplicate
+    // groups — the "what would dedup save" diagnostic a corpus pass emits
+    // before committing to a keep-set. Two cascaded two-phase aggregates
+    // (content hash, then cluster size); `removable_docs` = docs minus one
+    // canonical per cluster. Same scale class as text_exact_dedup.
+    Q("pipeline_dedup_stats",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .select(sha2(col("text"), 256).as("h"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("cluster_size"), sum(col("toks")).as("toks"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"),
+          sum(col("toks")).as("n_tokens"))
+        .withColumn("removable_docs", col("n_docs") - col("n_clusters"))
+        .orderBy(col("cluster_size")),
+      Some(sql("""WITH cl AS (
+        |  SELECT sha256(text) AS h, count(*)::BIGINT AS cluster_size,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS toks
+        |  FROM documents GROUP BY sha256(text))
+        |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+        |  sum(cluster_size)::BIGINT AS n_docs,
+        |  sum(toks)::BIGINT AS n_tokens,
+        |  (sum(cluster_size) - count(*))::BIGINT AS removable_docs
+        |FROM cl GROUP BY cluster_size ORDER BY cluster_size"""))),
+
     Q("text_length_stats",
       (s, dir) => Tables.table(s, dir, "documents")
         .groupBy(col("lang"), col("source"))

@@ -41,6 +41,28 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("Tables.events reads the legacy INT64 TIMESTAMP(NANOS) variant") {
+    // The pre-r8 physical encoding, pinned as a test resource (pyarrow
+    // timestamp[ns], INT64 + Timestamp(nanoseconds) logical type) so the
+    // drift-tolerant reader's integral branch — and the on-demand
+    // nanosAsLong catch path, since this session never sets the conf up
+    // front — stays exercised whichever variant the live fixtures carry.
+    val nsDir = new java.io.File("src/test/resources/ns_fixture")
+      .getAbsolutePath
+    val ns = Tables.events(spark, nsDir)
+      .select("event_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(ns.length === 50)
+    val ids = ns.map(_._1).toSet
+    val us = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_id")
+        .isin(ids.toSeq: _*))
+      .select("event_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // both variants must land on the identical epoch-µs contract
+    assert(ns.toSeq === us.toSeq)
+  }
+
   test("flagship entry() is TPC-H Q1: 6 groups, positive measures") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length === 6)
