@@ -229,6 +229,50 @@ object Joins {
         |    AND epoch_us(o.o_orderdate) <= ${sqlMicros("e.ts")})
         |WHERE rn = 1 ORDER BY event_id"""))),
 
+    // As-of join with a staleness tolerance — the repeat-purchase shape:
+    // each order joined to the SAME customer's latest strictly-earlier
+    // order at most 90 days old; orders with no prior purchase in the
+    // window drop out (inner semantics). Same max-struct aggregation as
+    // join_asof, but the tolerance tightens the interval predicate, which
+    // SHRINKS the join intermediate (per probe row only a 90-day band of
+    // the build side qualifies) — at 100 TB strictly cheaper than
+    // unbounded as-of. Strict `<` on the date excludes same-day pairs, so
+    // the latest-prior choice is deterministic without an intra-day
+    // ordering assumption.
+    Q("join_asof_tolerance",
+      (s, dir) => {
+        val tolUs = 90L * 86400L * 1000000L
+        val o = Tables.table(s, dir, "orders")
+        val a = o.select(col("o_orderkey").as("orderkey"),
+          col("o_custkey").as("custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("d_us"))
+        val b = o.select(col("o_orderkey").as("prev_orderkey"),
+          col("o_custkey").as("b_custkey"), col("o_orderdate"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("b_us"))
+        a.join(b, col("custkey") === col("b_custkey")
+            && col("b_us") < col("d_us")
+            && col("b_us") >= col("d_us") - tolUs)
+          .groupBy(col("orderkey"), col("custkey"))
+          .agg(max(struct(col("o_orderdate"), col("prev_orderkey")))
+            .as("m"))
+          .select(col("orderkey"), col("custkey"),
+            col("m.prev_orderkey").as("prev_orderkey"),
+            day(col("m.o_orderdate")).as("prev_day"))
+          .orderBy(col("orderkey"))
+      },
+      Some(sql(s"""SELECT orderkey, custkey, prev_orderkey, prev_day FROM (
+        |  SELECT a.o_orderkey AS orderkey, a.o_custkey AS custkey,
+        |    b.o_orderkey AS prev_orderkey,
+        |    ${sqlDay("b.o_orderdate")} AS prev_day,
+        |    row_number() OVER (PARTITION BY a.o_orderkey
+        |      ORDER BY b.o_orderdate DESC, b.o_orderkey DESC) AS rn
+        |  FROM orders a JOIN orders b
+        |    ON a.o_custkey = b.o_custkey
+        |    AND epoch_us(b.o_orderdate) < epoch_us(a.o_orderdate)
+        |    AND epoch_us(b.o_orderdate) >= epoch_us(a.o_orderdate)
+        |      - ${90L * 86400L * 1000000L})
+        |WHERE rn = 1 ORDER BY orderkey"""))),
+
     // Salted skew join: the 100-TB pattern for a hot key in a SHUFFLE
     // join. The fact side gets a row-derived salt in 0..7; the dimension
     // is replicated 8× (one copy per salt); the join is hinted

@@ -186,4 +186,55 @@ class SyntheticPropertySpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("user_id")).toSeq
     assert(users === Seq(1L))
   }
+
+  test("mix schedule and temperature weights match hand-computed values") {
+    // three domains with exact token counts 10 / 30 / 60 (tot=100, k=3):
+    //   share_r6  = n/100 exactly
+    //   mix weight = min(1, 100/(3n)) → a: 1.0, b: 100/90, c: 100/180
+    //   temp_w    = sqrt(n/100) / Σ sqrt(·)
+    def doc(id: Long, src: String, words: Int) =
+      (id, Seq.fill(words)("w").mkString(" "), src)
+    val docs = Seq(doc(0, "a", 10), doc(1, "b", 30), doc(2, "c", 60))
+    val dir = tmpSf()
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val mix = Registry.queries("pipeline_mix_schedule")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("share_r6"),
+          r.getAs[Double]("weight_r6"))).toMap
+    assert(mix("a") === ((10L, 0.1, 1.0)))
+    // 100/(3*30) = 1.11... capped at 1.0; half-up r6 of 10/9 = 1.111111
+    assert(mix("b") === ((30L, 0.3, 1.0)))
+    // 100/(3*60) = 0.5555556 half-up at 6dp
+    assert(mix("c") === ((60L, 0.6, 0.555556)))
+
+    val tw = Registry.queries("sample_temperature")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("temp_w")).toMap
+    val sq = Map("a" -> math.sqrt(0.1), "b" -> math.sqrt(0.3),
+      "c" -> math.sqrt(0.6))
+    // the engine folds the VALUE-sorted list: a < b < c here
+    val z = sq("a") + sq("b") + sq("c")
+    for (s <- Seq("a", "b", "c"))
+      assert(tw(s) === sq(s) / z, s"temp_w($s)")
+
+    val hist = Registry.queries("pipeline_token_histogram")(spark, dir)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("bucket_lo"), r.getAs[Long]("bucket_hi"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    // 10 → bucket 3 [8,15]; 30 → bucket 4 [16,31]; 60 → bucket 5 [32,63]
+    assert(hist(3L) === ((8L, 15L, 1L, 10L)))
+    assert(hist(4L) === ((16L, 31L, 1L, 30L)))
+    assert(hist(5L) === ((32L, 63L, 1L, 60L)))
+
+    // single-word vocab: every token has freq=n_tot → inverse probability
+    // exactly 1.0 for every doc
+    val ppl = Registry.queries("text_perplexity_proxy")(spark, dir)
+      .collect().map(_.getAs[Double]("mean_invp_r6")).toSeq
+    assert(ppl === Seq(1.0, 1.0, 1.0))
+  }
 }
