@@ -812,11 +812,13 @@ object AnnFixed {
     * gate, exact sha256 canonicalization, embedding-space near-dup drop
     * ([[srpNearDrops]]), and the md5-derived train/val/test split.
     * Carries (doc_id, lang, source, text, n_tokens, qscaled, split). */
-  /** The quality/lang-gated candidate pool (gates only — no dedup):
-    * the stage `curateKept` and `pipeline_curate_incremental` share. */
-  private def curatePool(s: SparkSession, dir: String): DataFrame = {
+  /** The quality/lang gate on an ARBITRARY documents frame — pure column
+    * algebra (no aggregation), so it applies unchanged to a streaming
+    * DataFrame; shared by [[curatePool]] and
+    * `StreamOps.admitDocuments` (the streaming admission twin). */
+  private[graft] def gateQuality(d: DataFrame): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
-    Tables.table(s, dir, "documents")
+    d
       .withColumn("w", split(col("text"), " "))
       .withColumn("n_tokens", size(col("w")).cast("long"))
       .withColumn("n_distinct",
@@ -836,6 +838,11 @@ object AnnFixed {
       .filter(col("qscaled") >= 630000L)
       .filter(col("lang").isin("en", "de", "es", "fr"))
   }
+
+  /** The quality/lang-gated candidate pool (gates only — no dedup):
+    * the stage `curateKept` and `pipeline_curate_incremental` share. */
+  private def curatePool(s: SparkSession, dir: String): DataFrame =
+    gateQuality(Tables.table(s, dir, "documents"))
 
   /** Train/val/test assignment (sample_hash_bucket's md5 bucket). */
   private def withSplit(d: DataFrame): DataFrame = d

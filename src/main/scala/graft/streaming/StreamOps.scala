@@ -586,4 +586,22 @@ object StreamOps {
           best
       }
   }
+
+  /** Streaming corpus admission — the readStream twin of
+    * `pipeline_curate`'s gate + exact-dedup stages: the shared
+    * quality/lang gate (pure column algebra, identical to the batch
+    * key via [[graft.operators.AnnFixed.gateQuality]]) followed by
+    * first-arrival exact dedup on the content hash. No watermark on
+    * the dedup state: the admission history IS the product (the
+    * curated-corpus seen-set of pipeline_dedup_incremental); a
+    * deployment compacts it periodically against the materialized
+    * corpus. StreamingFileSpec proves the admitted doc_id set equals
+    * the batch gate + min-doc_id keep-set under an ordered replay.
+    */
+  def admitDocuments(docs: DataFrame): DataFrame =
+    graft.operators.AnnFixed.gateQuality(docs)
+      .withColumn("content_sha256", sha2(col("text"), 256))
+      .dropDuplicates("content_sha256")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("content_sha256"), col("qscaled"))
 }

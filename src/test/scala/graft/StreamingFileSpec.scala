@@ -236,6 +236,38 @@ class StreamingFileSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming corpus admission matches the batch gate+dedup keep-set") {
+    // StreamOps.admitDocuments = the pipeline_curate quality/lang gate
+    // (shared column algebra) + first-arrival exact dedup. Replayed in
+    // doc_id order, "first arrival" coincides with the batch keep rule
+    // (min doc_id per content hash), so the admitted set must be EXACTLY
+    // the batch gate + min-doc_id keep-set.
+    val base = java.nio.file.Files.createTempDirectory("graft_admit")
+    val src = s"$base/src"
+    val docs = Tables.table(spark, sf001, "documents")
+    val rows = docs.collect().toSeq.sortBy(_.getAs[Long]("doc_id"))
+    appendFile(src, rows.take(100), docs.schema)
+    val q = StreamOps.admitDocuments(
+      spark.readStream.schema(docs.schema).parquet(src))
+      .writeStream.format("memory").queryName("admit")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      rows.drop(100).grouped(100).foreach { chunk =>
+        appendFile(src, chunk, docs.schema)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("admit")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val batch = graft.operators.AnnFixed.gateQuality(docs)
+        .withColumn("h", sha2(col("text"), 256))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
+        .collect().map(_.getAs[Long]("keep")).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("sliding window matches batch on an OUT-OF-ORDER replay") {
     // events_sliding_window's streaming twin (VERDICT r8 task 7): windowed
     // aggregation with a watermark buffers all open windows, so the same
