@@ -268,6 +268,48 @@ class StreamingFileSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("admission dedup state survives a checkpointed restart") {
+    // The deployment property behind admitDocuments' unbounded seen-set:
+    // the dropDuplicates state must be durable across a query restart, or
+    // a re-offered document would be admitted twice. Phase 1 admits the
+    // corpus; after a stop/restart from the same checkpoint, 30 admitted
+    // documents are re-offered VERBATIM under fresh doc_ids — the
+    // recovered state must reject every one.
+    val base = java.nio.file.Files.createTempDirectory("graft_admit2")
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    val docs = Tables.table(spark, sf001, "documents")
+    val rows = docs.collect().toSeq.sortBy(_.getAs[Long]("doc_id"))
+    def startQuery() = StreamOps.admitDocuments(
+        spark.readStream.schema(docs.schema).parquet(src))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    appendFile(src, rows, docs.schema)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val admitted = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted.nonEmpty)
+    val dupRows = rows.filter(r => admitted(r.getAs[Long]("doc_id")))
+      .take(30).map(r => Row(r.getAs[Long]("doc_id") + 100000L,
+        r.getAs[String]("text"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+    assert(dupRows.length === 30)
+    appendFile(src, dupRows, docs.schema)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val after = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after === admitted,
+      "re-offered duplicates were re-admitted after restart")
+    // and the final admitted set still equals the batch keep-set
+    val batch = graft.operators.AnnFixed.gateQuality(docs)
+      .withColumn("h", sha2(col("text"), 256))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
+      .collect().map(_.getAs[Long]("keep")).toSet
+    assert(after === batch)
+  }
+
   test("sliding window matches batch on an OUT-OF-ORDER replay") {
     // events_sliding_window's streaming twin (VERDICT r8 task 7): windowed
     // aggregation with a watermark buffers all open windows, so the same
