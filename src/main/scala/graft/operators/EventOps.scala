@@ -391,5 +391,98 @@ object EventOps {
         |  lead(ts_us) OVER (PARTITION BY user_id
         |    ORDER BY ts_us, event_id) AS valid_to_us
         |FROM chg ORDER BY user_id, version"""))),
+
+    // User-journey path mining: each user's first 5 events (by time,
+    // event_id tiebreak) joined into a '>'-path, then the 20 most common
+    // paths. Deterministic end to end: the per-user prefix is windowed
+    // with a total order, the path string is assembled from the
+    // rank-sorted collect (agg_collect_sorted's D4 discipline), and the
+    // top-20 cut orders by (n_users DESC, path ASC) so ties cannot
+    // reorder across engines. Scale shape: one user-partitioned window +
+    // one path groupBy; the final top-20 is TakeOrderedAndProject
+    // (per-task heaps, no global sort).
+    Q("events_top_paths",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        Tables.table(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .groupBy(col("user_id"))
+          .agg(concat_ws(">", transform(
+            sort_array(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type"))).as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path").asc)
+          .limit(20)
+      },
+      Some(sql(s"""WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ${sqlMicros("ts")} ASC, event_id ASC) AS rn
+        |  FROM events),
+        |paths AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, count(*)::BIGINT AS n_users
+        |FROM paths GROUP BY path
+        |ORDER BY n_users DESC, path ASC LIMIT 20"""))),
+
+    // Per-type inter-arrival statistics — the stream-rate profile a
+    // capacity planner reads. Percentiles are DISCRETE (the value at rank
+    // ceil(q·n), pure integer positions: (n+1) DIV 2, (9n+9) DIV 10)
+    // rather than interpolated: Spark's `percentile` and DuckDB's
+    // `quantile_cont` interpolate with algebraically different double
+    // formulas (x+f·(y-x) vs x·(1-f)+y·f), a last-ulp hazard on 1e9-µs
+    // integer gaps that discrete selection removes entirely — ties among
+    // equal gap VALUES make the rank choice value-deterministic without
+    // a tiebreak column. Two user-partitioned-window passes + one tiny
+    // aggregate; nothing leaves the event_type partitioning.
+    Q("events_inter_arrival",
+      (s, dir) => {
+        val byT = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        val gaps = Tables.table(s, dir, "events")
+          .withColumn("prev", lag(col("ts_us"), 1).over(byT))
+          .filter(col("prev").isNotNull)
+          .withColumn("gap_us", col("ts_us") - col("prev"))
+        val byGap = Window.partitionBy(col("event_type"))
+          .orderBy(col("gap_us").asc)
+        gaps
+          .withColumn("rn", row_number().over(byGap))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(col("event_type"))))
+          .groupBy(col("event_type"))
+          .agg(
+            max(when(col("rn") === expr("(n + 1) DIV 2"), col("gap_us")))
+              .as("p50_us"),
+            max(when(col("rn") === expr("(9 * n + 9) DIV 10"),
+              col("gap_us"))).as("p90_us"),
+            min(col("gap_us")).as("min_us"),
+            max(col("gap_us")).as("max_us"),
+            count(lit(1)).as("n_gaps"))
+          .orderBy(col("event_type"))
+      },
+      Some(sql(s"""WITH e AS (
+        |  SELECT event_type, ${sqlMicros("ts")} AS ts_us, event_id
+        |  FROM events),
+        |g AS (SELECT event_type, ts_us - lag(ts_us) OVER (
+        |        PARTITION BY event_type ORDER BY ts_us, event_id)
+        |        AS gap_us FROM e),
+        |g2 AS (SELECT event_type, gap_us FROM g
+        |       WHERE gap_us IS NOT NULL),
+        |r AS (SELECT event_type, gap_us,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY gap_us)
+        |    AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM g2)
+        |SELECT event_type,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN gap_us END)::BIGINT
+        |    AS p50_us,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END)::BIGINT
+        |    AS p90_us,
+        |  min(gap_us)::BIGINT AS min_us, max(gap_us)::BIGINT AS max_us,
+        |  count(*)::BIGINT AS n_gaps
+        |FROM r GROUP BY event_type ORDER BY event_type"""))),
   )
 }
