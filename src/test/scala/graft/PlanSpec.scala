@@ -290,6 +290,58 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // The other half of the skew story next to join_skew_salted's manual
+    // salting: on a shuffle join keyed by a 3-value column every reducer
+    // partition is hot, and AQE's OptimizeSkewedJoin must split them at
+    // runtime (the `skew=true` SMJ marker) instead of letting three
+    // reducers process the whole fact side. Thresholds are production-
+    // scale (256 MB); the fixture-scale test lowers them — the assertion
+    // is that the rule ENGAGES and results are unchanged.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      import spark.implicits._
+      // genuine imbalance: ~99% of sf0.01 lineitem lands on one join key
+      // (the salted-join fixture shape), so the hot reducer partition
+      // dwarfs the median — the condition OptimizeSkewedJoin detects.
+      // Three equal hot keys would NOT trip it: skew is size vs median,
+      // not absolute size.
+      // .repartition(8): the fixture is one small parquet file = ONE map
+      // task, and AQE splits a skewed reducer partition at MAPPER
+      // granularity — one mapper's output is unsplittable regardless of
+      // size. On a real cluster the fact side always has many mappers;
+      // the round-robin repartition recreates that precondition here.
+      val li = Tables.table(spark, "/root/testdata/sf0.01", "lineitem")
+        .withColumn("k", when(col("l_orderkey") % 100 < 99, lit("hot"))
+          .otherwise(concat(lit("cold"), col("l_orderkey") % 100)))
+        .select(col("k"), col("l_quantity"))
+        .repartition(8)
+      val dim = (Seq("hot") ++ Seq("cold99"))
+        .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "k_id")
+      val j = li.join(dim, "k")
+        .groupBy(col("k_id")).agg(count(lit(1)).as("cnt"))
+      val rows = j.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"OptimizeSkewedJoin did not engage:\n${p.take(3000)}")
+      // identical results to the unsplit computation
+      val plain = li.groupBy(col("k")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows === Map(0L -> plain("hot"), 1L -> plain("cold99")))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("runtime bloom filter prunes the probe side of a shuffle join") {
     // The 100 TB shape this pins: when a selective dimension filter feeds
     // a SHUFFLE join (no broadcast), Spark's runtime-filter rule builds a
