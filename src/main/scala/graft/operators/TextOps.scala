@@ -178,6 +178,53 @@ object TextOps {
         |  (sum(cluster_size) - count(*))::BIGINT AS removable_docs
         |FROM cl GROUP BY cluster_size ORDER BY cluster_size"""))),
 
+    // The dataset card: the one-row corpus datasheet a curation run
+    // publishes (docs/tokens/chars, lang+source cardinalities, exact-dup
+    // ratio, token-length range). Single scan + one global aggregate;
+    // the two distinct-counts are exact (expand-based) over
+    // fixture-bounded domains, and dup detection reuses the sha256
+    // canonicalization. Ratios are half-up 6dp BIGINT divisions — no
+    // double chain.
+    Q("pipeline_dataset_card",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .select(col("lang"), col("source"), col("n_chars"),
+          sha2(col("text"), 256).as("h"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .agg(
+          count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"),
+          min(col("toks")).as("min_tokens"),
+          max(col("toks")).as("max_tokens"))
+        .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+          col("n_langs"), col("n_sources"), col("n_dup_docs"),
+          (expr("(2000000 * n_dup_docs + n_docs) DIV (2 * n_docs)")
+            .cast("double") / 1000000.0).as("dup_ratio_r6"),
+          (expr("(2000000 * n_tokens + n_docs) DIV (2 * n_docs)")
+            .cast("double") / 1000000.0).as("mean_tokens_r6"),
+          col("min_tokens"), col("max_tokens")),
+      Some(sql("""WITH d AS (
+        |  SELECT lang, source, sha256(text) AS h,
+        |    len(string_split(text, ' '))::BIGINT AS toks, n_chars
+        |  FROM documents),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS n_tokens,
+        |    sum(n_chars)::BIGINT AS n_chars,
+        |    count(DISTINCT lang)::BIGINT AS n_langs,
+        |    count(DISTINCT source)::BIGINT AS n_sources,
+        |    (count(*) - count(DISTINCT h))::BIGINT AS n_dup_docs,
+        |    min(toks)::BIGINT AS min_tokens, max(toks)::BIGINT AS max_tokens
+        |  FROM d)
+        |SELECT n_docs, n_tokens, n_chars, n_langs, n_sources, n_dup_docs,
+        |  ((2000000 * n_dup_docs + n_docs) // (2 * n_docs))::DOUBLE
+        |    / 1000000.0 AS dup_ratio_r6,
+        |  ((2000000 * n_tokens + n_docs) // (2 * n_docs))::DOUBLE
+        |    / 1000000.0 AS mean_tokens_r6,
+        |  min_tokens, max_tokens
+        |FROM agg"""))),
+
     Q("text_length_stats",
       (s, dir) => Tables.table(s, dir, "documents")
         .groupBy(col("lang"), col("source"))
