@@ -367,17 +367,23 @@ def keyset_manifest(out, verified_keys):
     for key in holes:
         print(f"FAIL {key:28s} attempted but no output dir on disk")
         fails += 1
-    full_run = set(m["attempted"]) == set(m["registry"])
-    if not full_run and len(m["attempted"]) < len(m["registry"]):
+    # Verify records "filtered" when a key filter was explicitly passed
+    # (3rd CLI arg). An unfiltered run that still attempted fewer keys than
+    # the registry declares is a silent drop → hard-fail (ADVICE r9: the old
+    # attempted==registry derivation made this branch unreachable). Older
+    # dumps without the flag fall back to the conservative reading: any
+    # shortfall is a failure.
+    filtered = bool(m.get("filtered", False))
+    missing_reg = sorted(set(m["registry"]) - set(m["attempted"]))
+    if filtered:
         # A filtered local smoke is legitimate; just make it unmistakable.
         print(f"note: filtered Verify run — {len(m['attempted'])}/"
               f"{len(m['registry'])} registry keys attempted")
-    missing_reg = sorted(set(m["registry"]) - set(m["attempted"]))
-    if full_run and missing_reg:
+    elif missing_reg:
         for key in missing_reg:
             print(f"FAIL {key:28s} in registry but never attempted")
         fails += len(missing_reg)
-    if not fails and full_run:
+    if not fails and not filtered:
         print(f"key-set manifest: all {len(m['registry'])} registry keys "
               "attempted and dumped")
     return fails

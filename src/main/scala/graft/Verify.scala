@@ -71,10 +71,15 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     def arr(xs: Seq[String]): String = xs.map(q).mkString("[", ",", "]")
+    // "filtered" records whether a key filter was explicitly passed, so
+    // preflight can distinguish a legitimate local smoke from a full run
+    // that silently dropped registry keys (ADVICE r9: deriving "full run"
+    // from attempted==registry made the never-attempted hard-fail dead code).
     Files.writeString(Paths.get(s"$outDir/keys.json"),
       s"""{"registry": ${arr(SparkEntry.queries.keys.toSeq.sorted)},""" +
         s""" "attempted": ${arr(attempted)},""" +
-        s""" "failed": ${arr(failed.toSeq.sorted)}}""")
+        s""" "failed": ${arr(failed.toSeq.sorted)},""" +
+        s""" "filtered": ${only.nonEmpty}}""")
     spark.stop()
     // Exit 0 even with failures so a partial dump still reaches the
     // driver's compare (partial grades beat none); the manifest makes the

@@ -44,16 +44,36 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
+    // The NTZ variant's epoch-µs derivation below goes through an NTZ→TZ
+    // cast that interprets wall time in the SESSION timezone; DuckDB's
+    // epoch_us treats naive timestamps as UTC. Every graft entry point pins
+    // UTC, but an externally-built session (driver smoke) may not — pin it
+    // here too so event-derived ts_us can never silently shift by a tz
+    // offset (ADVICE r9, medium).
+    if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw =
       try spark.read.parquet(path)
       catch {
-        case scala.util.control.NonFatal(_) =>
-          // INT64(NANOS) variant: parquet schema inference refuses the type
-          // unless the legacy conf is on. Set it only when actually needed,
-          // so a µs fixture never pays the session-wide side effect of
-          // longs-for-NANOS on unrelated reads.
+        // INT64(NANOS) variant: parquet schema inference refuses the type
+        // ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,…))") unless the
+        // legacy conf is on. Match that specific refusal only — a missing
+        // or corrupt file must surface as-is (ADVICE r9: the old NonFatal
+        // catch obscured the root cause and left the conf mutated). Set the
+        // conf only when actually needed, so a µs fixture never pays the
+        // session-wide side effect of longs-for-NANOS on unrelated reads;
+        // un-set it again if the retry itself fails.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null &&
+              (e.getMessage.contains("Illegal Parquet type") ||
+                e.getMessage.contains("PARQUET_TYPE_ILLEGAL")) =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(path)
+          try spark.read.parquet(path)
+          catch {
+            case scala.util.control.NonFatal(e2) =>
+              spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+              throw e2
+          }
       }
     import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
     val tsUs: Column = raw.schema("ts").dataType match {

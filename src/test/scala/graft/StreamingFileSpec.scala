@@ -257,14 +257,21 @@ class StreamingFileSpec extends AnyFunSuite {
         appendFile(src, chunk, docs.schema)
         q.processAllAvailable()
       }
-      val streamed = spark.table("admit")
-        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // Compare CONTENT hashes, not doc_ids: streaming dropDuplicates keeps
+      // an arbitrary row among duplicates landing in the same micro-batch
+      // (shuffle-fetch order), so a doc_id-level compare against the batch
+      // min-doc_id keep-set is order-dependent and can flake (ADVICE r9).
+      // The order-insensitive contract is: exactly one admission per gated
+      // content hash, covering exactly the gated hash set.
+      val streamedRows = spark.table("admit")
+        .select("content_sha256").collect().map(_.getString(0)).toSeq
       val batch = graft.operators.AnnFixed.gateQuality(docs)
-        .withColumn("h", sha2(col("text"), 256))
-        .groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
-        .collect().map(_.getAs[Long]("keep")).toSet
-      assert(streamed.nonEmpty)
-      assert(streamed === batch)
+        .select(sha2(col("text"), 256).as("h"))
+        .distinct().collect().map(_.getString(0)).toSet
+      assert(streamedRows.nonEmpty)
+      assert(streamedRows.size === streamedRows.toSet.size,
+        "a content hash was admitted more than once")
+      assert(streamedRows.toSet === batch)
     } finally q.stop()
   }
 
@@ -302,12 +309,19 @@ class StreamingFileSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(after === admitted,
       "re-offered duplicates were re-admitted after restart")
-    // and the final admitted set still equals the batch keep-set
+    // and the final admitted CONTENT set still equals the batch gate's hash
+    // set, with exactly one admission per hash — order-insensitive, unlike
+    // the old min-doc_id keep-set compare, which depended on which of the
+    // same-micro-batch duplicates dropDuplicates happened to keep
+    // (ADVICE r9).
+    val afterHashes = spark.read.parquet(out)
+      .select("content_sha256").collect().map(_.getString(0)).toSeq
     val batch = graft.operators.AnnFixed.gateQuality(docs)
-      .withColumn("h", sha2(col("text"), 256))
-      .groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
-      .collect().map(_.getAs[Long]("keep")).toSet
-    assert(after === batch)
+      .select(sha2(col("text"), 256).as("h"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(afterHashes.size === afterHashes.toSet.size,
+      "a content hash was admitted more than once")
+    assert(afterHashes.toSet === batch)
   }
 
   test("sliding window matches batch on an OUT-OF-ORDER replay") {
