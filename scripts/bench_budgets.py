@@ -33,6 +33,17 @@ BUDGETS = {
     "filter_null_semantics": 13_000_000,  #  8.2 MB
     "join_skew_salted":      13_000_000,  #  8.0 MB
     "window_running_sum":    12_000_000,  #  7.6 MB
+    # Cap-bearing candidate-join keys (VERDICT r9 task 1): their shuffle
+    # bytes are the direct observable of the bucket/df caps — a cap
+    # regression (filter dropped, band widened) shows up here as a byte
+    # jump long before fixture-scale timing notices. ScaleGuardSpec proves
+    # the caps FIRE on adversarial data; these bounds pin the capped plans
+    # at sf0.1 (round-9 measured values in comments).
+    "text_neardup_banded":        3_000_000,  # 1.6 MB
+    "vec_neardup_srp_fixed":      6_000_000,  # 3.4 MB
+    "pipeline_dedup_semantic":    5_000_000,  # 2.6 MB
+    "pipeline_dedup_keep_banded": 4_000_000,  # 2.0 MB
+    "topk_per_group":             3_000_000,  # 1.5 MB (native heap path)
 }
 
 
