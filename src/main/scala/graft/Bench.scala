@@ -27,6 +27,22 @@ object Bench {
       try { fn(spark, warmDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => () }
     }
+    // Pre-warm the train-once memos (BPE merges, PQ codebooks, coarse
+    // k-means) at the BENCH SF before the timed region (VERDICT r9 task
+    // 3): training runs eagerly while the query DataFrame is being
+    // CONSTRUCTED, so building each query once here pays every cache
+    // miss outside the timed samples — the production train-once/
+    // search-many steady state. The timed region then measures search,
+    // and per-key train_sec below proves the residual is ~0. Construction
+    // only (no execute): untrained keys just build a logical plan here.
+    val twarm0 = System.nanoTime()
+    val trainNanos0 = operators.PipelineOps.TrainClock.nanos
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, sfDir) } catch { case _: Throwable => () }
+    }
+    val trainWarmSec = (System.nanoTime() - twarm0) / 1e9
+    val trainWarmTrainSec =
+      (operators.PipelineOps.TrainClock.nanos - trainNanos0) / 1e9
     // Per-query shuffle/spill accounting (written to bench_detail.json,
     // NOT the driver's stdout line): the scale story is shuffle bytes as
     // much as seconds.
@@ -76,12 +92,22 @@ object Bench {
     // therefore a min ACROSS passes: a key whose min_sec is normal but
     // whose median is inflated was stalled, not regressed.
     val RUNS = 3
+    // GRAFT_BENCH_ONLY=k1,k2 restricts to named keys for focused local
+    // iteration; the detail file then goes to bench_detail_partial.json
+    // so a partial run can never clobber the checked-in full-suite
+    // bench_detail.json that scripts/bench_budgets.py gates on.
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val detailPath =
+      if (only.isEmpty) "bench_detail.json" else "bench_detail_partial.json"
     def sampleOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, (Long, Long, Long), Double, Double) = {
+        : (Double, (Long, Long, Long), Double, Double, Double) = {
       drainListeners()
       val before = metrics.snapshot()
+      val trainBefore = operators.PipelineOps.TrainClock.nanos
       // Plan vs exec split (VERDICT r6 task 8): toRdd pays analysis +
       // optimization + physical planning + codegen; count() pays the
       // actual run. The split quantifies the per-query scheduling/plan
@@ -104,10 +130,11 @@ object Bench {
       (if (ok) (t2 - t0) / 1e9 else -1.0,
         (after._1 - before._1, after._2 - before._2,
           after._3 - before._3),
-        (t1 - t0) / 1e9, (t2 - t1) / 1e9)
+        (t1 - t0) / 1e9, (t2 - t1) / 1e9,
+        (operators.PipelineOps.TrainClock.nanos - trainBefore) / 1e9)
     }
     val byKey = scala.collection.mutable.Map.empty[
-      String, Vector[(Double, (Long, Long, Long), Double, Double)]]
+      String, Vector[(Double, (Long, Long, Long), Double, Double, Double)]]
     for (_ <- 1 to RUNS; (name, fn) <- keys)
       byKey(name) = byKey.getOrElse(name, Vector.empty) :+ sampleOnce(name, fn)
     val detail = Seq.newBuilder[String]
@@ -121,14 +148,20 @@ object Bench {
       val good = samples.sortBy(_._1).filter(_._1 >= 0)
       val failed = RUNS - good.size
       val med = if (good.nonEmpty) good(good.size / 2)
-                else (-1.0, (-1L, -1L, -1L), -1.0, -1.0)
+                else (-1.0, (-1L, -1L, -1L), -1.0, -1.0, -1.0)
       val sec = if (failed > 0) -1.0 else med._1
       val (minS, maxS) =
         if (good.isEmpty) (-1.0, -1.0) else (good.head._1, good.last._1)
       val (planS, execS) = if (sec < 0) (-1.0, -1.0) else (med._3, med._4)
+      // train_sec: cache-miss training wall-clock INSIDE this sample —
+      // expected 0 after the pre-warm above; nonzero means the memo
+      // missed in the timed region (cache regression) and `sec` includes
+      // training the production steady state would amortize away.
+      val trainS = if (sec < 0) -1.0 else med._5
       detail += s"""  "$name": {"sec": $sec, """ +
         s""""min_sec": $minS, "max_sec": $maxS, "failed_runs": $failed, """ +
         s""""plan_sec": $planS, "exec_sec": $execS, """ +
+        s""""train_sec": $trainS, """ +
         s""""shuffle_write_bytes": ${med._2._1}, """ +
         s""""shuffle_read_bytes": ${med._2._2}, """ +
         s""""disk_spill_bytes": ${med._2._3}}"""
@@ -140,8 +173,10 @@ object Bench {
     // _meta first: scripts/bench_budgets.py only enforces its sf0.1
     // budgets when the detail file actually came from an sf0.1 run.
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_detail.json"),
-      (Seq(s"""  "_meta": {"sf": "$sfDir", "cpus": $cpus, "runs": $RUNS}""")
+      java.nio.file.Paths.get(detailPath),
+      (Seq(s"""  "_meta": {"sf": "$sfDir", "cpus": $cpus, "runs": $RUNS, """ +
+        f""""train_warm_sec": $trainWarmSec%.3f, """ +
+        f""""train_warm_train_sec": $trainWarmTrainSec%.3f}""")
         ++ detail.result()).mkString("{\n", ",\n", "\n}\n"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

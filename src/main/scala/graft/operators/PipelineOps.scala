@@ -1716,7 +1716,7 @@ object PipelineOps {
     val sessionCache = bpeCache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String,
         Seq[(Long, String, String, String, Long)]]())
-    sessionCache.computeIfAbsent(dir, _ => {
+    sessionCache.computeIfAbsent(dir, _ => TrainClock.timed {
       // symbols as a space-joined string: ' h e l l o ' (split on ''
       // keeps a trailing empty element — filter it).
       // \A..\z whole-input anchors (ADVICE r7): Java's `$` also matches
@@ -1753,7 +1753,7 @@ object PipelineOps {
     val sessionCache = bpeCache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String,
         Seq[(Long, String, String, String, Long)]]())
-    sessionCache.computeIfAbsent(dir + "#bytes", _ => {
+    sessionCache.computeIfAbsent(dir + "#bytes", _ => TrainClock.timed {
       // hex(encode(w)) is 2 hex chars per UTF-8 byte; conv(_, 16, 10)
       // renders each byte as its decimal string symbol
       bpeTrain(tokensOf(s, dir)
@@ -1856,6 +1856,22 @@ object PipelineOps {
       java.util.concurrent.ConcurrentHashMap[
         (String, Int, Int, Int), Seq[(Int, Int, Seq[Double])]]]())
 
+  /** Wall-clock spent inside train-once memo MISSES (BPE merge loops, PQ
+    * codebooks, coarse k-means). Bench samples the counter around each
+    * query so `bench_detail.json` can report training separately from
+    * search (VERDICT r9 task 3): in production these train once per
+    * corpus and amortize over every subsequent search, so billing them
+    * to whichever query happens to miss the cache misstates the steady
+    * state. Cache HITS add zero — only the miss lambdas are timed. */
+  private[graft] object TrainClock {
+    private val acc = new java.util.concurrent.atomic.AtomicLong
+    def nanos: Long = acc.get
+    def timed[T](f: => T): T = {
+      val t0 = System.nanoTime()
+      try f finally acc.addAndGet(System.nanoTime() - t0)
+    }
+  }
+
   /** (vec_id, sub, sv): each vector exploded into its m subvectors. */
   private def subFrame(e0: DataFrame, m: Int): DataFrame = e0
     .select(col("vec_id"),
@@ -1897,7 +1913,7 @@ object PipelineOps {
       _ => new java.util.concurrent.ConcurrentHashMap[
         (String, Int, Int, Int), Seq[(Int, Int, Seq[Double])]]())
     val cacheKey = (planKey(e0), m, k, iters)
-    sessionCache.computeIfAbsent(cacheKey, _ => {
+    sessionCache.computeIfAbsent(cacheKey, _ => TrainClock.timed {
       // Dense 0-based init: the first k vectors BY ORDER of vec_id seed
       // codes 0..k-1 in every subspace. The id value is never used as the
       // code (ids may be sparse, offset, or filtered upstream — the
@@ -1956,26 +1972,37 @@ object PipelineOps {
     * (smallest) code among equal minima. */
   private[operators] def pqCodeCols(frame: DataFrame,
       cb: Seq[(Int, Int, Seq[Double])], m: Int, k: Int): DataFrame = {
-    val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
     val bySub = cb.groupBy(_._1)
-    var out = frame
-    for (j <- 0 until m) {
+    // TWO select layers, not 3·m chained withColumns: every withColumn
+    // re-copies the full (k literal-centroid) expression tree through
+    // analysis, which made PLANNING quadratic in m — at m=8,k=16 the
+    // trained IVF-PQ paid ~2× the fixed twin's plan time for the same
+    // search (VERDICT r9 task 3). Layer 1 materializes each subspace's
+    // k-cost array once; layer 2 reads it twice (argmin position + min).
+    // Expressions are unchanged node-for-node, so costs/codes stay
+    // bit-identical (pinned by vec_ann_ivfpq_fixed's oracle hash) and
+    // everything stays inside whole-stage codegen.
+    val costCols = (0 until m).map { j =>
       val cells = bySub(j).sortBy(_._2)
       require(cells.map(_._2) == (0 until k),
         s"PQ codebook not dense in sub $j")
-      out = out.withColumn(s"_sv$j", expr(
+      val sv = expr(
         s"slice(embedding, $j * (size(embedding) DIV $m) + 1, " +
-          s"size(embedding) DIV $m)"))
-      val costs = array(cells.map { case (_, _, cv) =>
-        val cn2 = cv.foldLeft(0.0)((a, x) => a + x * x)
-        lit(cn2) - lit(2.0) * dotc(col(s"_sv$j"), typedLit(cv)) }: _*)
-      out = out.withColumn(s"_costs$j", costs)
-        .withColumn(s"c$j", (array_position(col(s"_costs$j"),
-          array_min(col(s"_costs$j"))) - 1).cast("int"))
-        .withColumn(s"cost$j", array_min(col(s"_costs$j")))
-        .drop(s"_sv$j", s"_costs$j")
+          s"size(embedding) DIV $m)")
+      // ONE graft_pq_costs node per subspace (|c|²−2c·v over the literal
+      // codebook) instead of k unrolled graft_dot cells — same doubles
+      // (the expression folds |c|² left-to-right exactly as the driver
+      // did), a fraction of the plan tree. See MatVecKernel.
+      call_function("graft_pq_costs",
+        typedLit(cells.map(_._3)), sv).as(s"_costs$j")
     }
-    out
+    val base = frame.columns.map(col)
+    frame.select(base ++ costCols: _*)
+      .select(base ++ (0 until m).flatMap { j =>
+        Seq((array_position(col(s"_costs$j"), array_min(col(s"_costs$j")))
+            - 1).cast("int").as(s"c$j"),
+          array_min(col(s"_costs$j")).as(s"cost$j"))
+      }: _*)
   }
 
   private[graft] def pqCodes(e0: DataFrame, m: Int, k: Int,
@@ -2067,10 +2094,15 @@ object PipelineOps {
     * list_id ASC` row_number. `e` must be a [[normFrame]]. */
   private[graft] def nearestListMap(e: DataFrame,
       cent: Seq[(Long, Seq[Double])]): DataFrame = {
-    val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
     val sorted = cent.sortBy(_._1)
-    val sims = array(sorted.map { case (_, cu) =>
-      dotc(col("u"), typedLit(cu)) }: _*)
+    // ONE graft_matvec node over a single nested-array literal, not
+    // nlists unrolled graft_dot subtrees: plan size is a scale cost —
+    // AQE re-optimizes the remaining plan per materialized stage, and
+    // the unrolled tree (nlists × dim literal doubles) made every such
+    // pass crawl (see MatVecKernel). Element values are bit-identical
+    // to the unrolled dots, pinned by the fixed-twin oracle hashes.
+    val sims = call_function("graft_matvec",
+      typedLit(sorted.map(_._2)), col("u"))
     // Lloyd rounds can drop an unassigned list, leaving list_ids sparse —
     // map the argmax POSITION back through the id table, never assume
     // position == id (the trainCoarse dense-init lesson).
@@ -2096,7 +2128,7 @@ object PipelineOps {
       _ => new java.util.concurrent.ConcurrentHashMap[
         (String, Int, Int), Seq[(Long, Seq[Double])]]())
     val cacheKey = (planKey(e0), nlists, lloydIters)
-    sessionCache.computeIfAbsent(cacheKey, _ => {
+    sessionCache.computeIfAbsent(cacheKey, _ => TrainClock.timed {
       var c: Seq[(Long, Seq[Double])] =
         e.orderBy(col("vec_id")).limit(nlists).collect()
           .zipWithIndex

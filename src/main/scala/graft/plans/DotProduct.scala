@@ -109,6 +109,8 @@ case class DotProduct(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotDescriptor)
+    ext.injectFunction(GraftFunctions.matvecDescriptor)
+    ext.injectFunction(GraftFunctions.pqCostsDescriptor)
     ext.injectFunction(GraftFunctions.srpDescriptor)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     ext.injectOptimizerRule(_ => RewriteTopKPerGroup)
@@ -122,6 +124,18 @@ object GraftFunctions {
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  private[plans] val matvecDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_matvec"),
+      new ExpressionInfo(classOf[MatVecDots].getName, "graft_matvec"),
+      (children: Seq[Expression]) => MatVecDots(children(0), children(1)))
+
+  private[plans] val pqCostsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_pq_costs"),
+      new ExpressionInfo(classOf[PqCosts].getName, "graft_pq_costs"),
+      (children: Seq[Expression]) => PqCosts(children(0), children(1)))
 
   private[plans] val srpDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
@@ -142,6 +156,10 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      matvecDescriptor._1, matvecDescriptor._2, matvecDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      pqCostsDescriptor._1, pqCostsDescriptor._2, pqCostsDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       srpDescriptor._1, srpDescriptor._2, srpDescriptor._3)
     // Running-session path for the optimizer rules and planner strategy

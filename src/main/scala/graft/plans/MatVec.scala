@@ -1,0 +1,204 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Shared shape of the matrix × vector kernels: `left` is an
+  * array<array<double>> (in practice a literal codebook — k centroids),
+  * `right` an array<float|double> row vector; the result is one double
+  * per matrix row.
+  *
+  * Why an expression and not k unrolled `graft_dot(lit, v)` subtrees:
+  * plan SIZE is a scale cost of its own. The unrolled IVF-PQ assignment
+  * (m=8 subspaces × k=16 centroids = 128 dot nodes + 1024 literal
+  * doubles) made every optimizer pass crawl — and AQE re-optimizes the
+  * remaining plan after EVERY materialized stage, so an 11-stage search
+  * paid that tree ~11× per run (measured: trained IVF-PQ 2.2 s/run vs
+  * 1.0 s for the structurally-identical fixed twin; VERDICT r9 task 3).
+  * One node per subspace with the codebook as a single nested-array
+  * literal keeps the optimizer O(plan), and the generated code is the
+  * same fused loop — no HOF lambda, no codegen fallback, no per-cell
+  * array allocation.
+  *
+  * Element semantics mirror the unrolled composition EXACTLY, because
+  * the fixed-twin oracle hashes pin them: each output element is the
+  * same left-to-right fold as [[DotProduct]] (bit-identical doubles —
+  * IEEE multiply commutes, addition order is element order), a row/
+  * vector length mismatch or null element yields a null ELEMENT (the
+  * unrolled `array(graft_dot…)` put a null cell in the array, not a
+  * null array), and a null vector or matrix yields null (BinaryExpression
+  * null-intolerance, same as before). */
+abstract class MatVecKernel extends BinaryExpression {
+  protected def vecElemType: Option[DataType] = right.dataType match {
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case _ => None
+  }
+  private def matrixOk: Boolean = left.dataType match {
+    case ArrayType(ArrayType(DoubleType, _), _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (matrixOk && vecElemType.isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<array<double>>, array<float|double>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  protected def isFloatVec: Boolean = vecElemType.contains(FloatType)
+
+  /** Per-row result given (row, vector, length); implementations fold
+    * left-to-right. Returns null for the null-element case. */
+  protected def evalRow(row: ArrayData, v: ArrayData, n: Int): Any
+
+  override def nullSafeEval(m: Any, vv: Any): Any = {
+    val mat = m.asInstanceOf[ArrayData]
+    val v = vv.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val k = mat.numElements()
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      out(i) =
+        if (mat.isNullAt(i)) null
+        else {
+          val row = mat.getArray(i)
+          if (row.numElements() != n) null else evalRow(row, v, n)
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Generated inner-loop body computing `$acc` for one row `$row`;
+    * must `break` out via `$nullFlag = true` on a null element. */
+  protected def genRowLoop(ctx: CodegenContext, row: String, vec: String,
+      n: String, acc: String, nullFlag: String): String
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, v) => {
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val row = ctx.freshName("row")
+      val acc = ctx.freshName("acc")
+      val cellNull = ctx.freshName("cellNull")
+      val out = ctx.freshName("out")
+      val gad = classOf[GenericArrayData].getName
+      s"""
+         |int $k = $m.numElements();
+         |int $n = $v.numElements();
+         |Object[] $out = new Object[$k];
+         |for (int $i = 0; $i < $k; $i++) {
+         |  if ($m.isNullAt($i)) { $out[$i] = null; continue; }
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row =
+         |    $m.getArray($i);
+         |  if ($row.numElements() != $n) { $out[$i] = null; continue; }
+         |  double $acc = 0.0;
+         |  boolean $cellNull = false;
+         |  ${genRowLoop(ctx, row, v, n, acc, cellNull)}
+         |  $out[$i] = $cellNull ? null : java.lang.Double.valueOf($acc);
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+}
+
+/** `graft_matvec(M, v)` — array of row·v dot products, one
+  * [[DotProduct]]-fold per matrix row. Used for the IVF coarse
+  * assignment (`sims` over the centroid codebook). */
+case class MatVecDots(left: Expression, right: Expression)
+    extends MatVecKernel {
+  override def prettyName: String = "graft_matvec"
+
+  override protected def evalRow(row: ArrayData, v: ArrayData,
+      n: Int): Any = {
+    var s = 0.0
+    var j = 0
+    while (j < n) {
+      if (row.isNullAt(j) || v.isNullAt(j)) return null
+      val x = if (isFloatVec) v.getFloat(j).toDouble else v.getDouble(j)
+      s += row.getDouble(j) * x
+      j += 1
+    }
+    s
+  }
+
+  override protected def genRowLoop(ctx: CodegenContext, row: String,
+      vec: String, n: String, acc: String, nullFlag: String): String = {
+    val j = ctx.freshName("j")
+    val getV =
+      if (isFloatVec) s"(double) $vec.getFloat($j)"
+      else s"$vec.getDouble($j)"
+    s"""
+       |for (int $j = 0; $j < $n; $j++) {
+       |  if ($row.isNullAt($j) || $vec.isNullAt($j)) {
+       |    $nullFlag = true; break;
+       |  }
+       |  $acc += $row.getDouble($j) * $getV;
+       |}
+     """.stripMargin
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_pq_costs(C, v)` — per-centroid ADC cost |c|² − 2·(c·v), the
+  * argmin body of PQ code assignment. |c|² is folded left-to-right at
+  * eval time — the same `fold(a + x·x)` the driver used when it was a
+  * precomputed literal, so costs stay bit-identical to the unrolled
+  * `lit(cn2) - 2.0 * graft_dot(sv, lit(cv))` composition that the
+  * fixed-twin oracle hashes pin. */
+case class PqCosts(left: Expression, right: Expression)
+    extends MatVecKernel {
+  override def prettyName: String = "graft_pq_costs"
+
+  override protected def evalRow(row: ArrayData, v: ArrayData,
+      n: Int): Any = {
+    var dot = 0.0
+    var cn2 = 0.0
+    var j = 0
+    while (j < n) {
+      if (row.isNullAt(j) || v.isNullAt(j)) return null
+      val c = row.getDouble(j)
+      val x = if (isFloatVec) v.getFloat(j).toDouble else v.getDouble(j)
+      dot += c * x
+      cn2 += c * c
+      j += 1
+    }
+    cn2 - 2.0 * dot
+  }
+
+  override protected def genRowLoop(ctx: CodegenContext, row: String,
+      vec: String, n: String, acc: String, nullFlag: String): String = {
+    val j = ctx.freshName("j")
+    val dot = ctx.freshName("dot")
+    val cn2 = ctx.freshName("cn2")
+    val c = ctx.freshName("c")
+    val getV =
+      if (isFloatVec) s"(double) $vec.getFloat($j)"
+      else s"$vec.getDouble($j)"
+    s"""
+       |double $dot = 0.0;
+       |double $cn2 = 0.0;
+       |for (int $j = 0; $j < $n; $j++) {
+       |  if ($row.isNullAt($j) || $vec.isNullAt($j)) {
+       |    $nullFlag = true; break;
+       |  }
+       |  double $c = $row.getDouble($j);
+       |  $dot += $c * $getV;
+       |  $cn2 += $c * $c;
+       |}
+       |$acc = $cn2 - 2.0 * $dot;
+     """.stripMargin
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
