@@ -79,6 +79,39 @@ def main():
               f"sf={sf or 'unknown'}, bounds are calibrated for sf0.1); "
               f"global zero-failure/zero-spill invariants checked")
         sys.exit(1 if fails else 0)
+    # Suite-total tripwire (VERDICT r9 task 4): a cross-cutting regression
+    # (a conf change, an accidentally-disabled cache, AQE switched off)
+    # inflates EVERY key a little — invisible to per-key byte budgets,
+    # obvious in the total. Median-total is the primary trip; the
+    # stall-aware arbiter is the min_sec total, because min_sec is a min
+    # ACROSS interleaved suite passes (see Bench.scala) and the host's
+    # roaming multi-second stall cannot cover every pass of every key: a
+    # high median-total with a normal min-total is the documented host
+    # stall (warn), a high min-total is a real regression (fail).
+    # Bounds are ~1.5x the round-10 sf0.1 measurements (174 keys:
+    # total 138 s, min-total 117 s on a 32-cpu host).
+    TOTAL_SEC_MAX = 200.0
+    TOTAL_MIN_SEC_MAX = 175.0
+    if len(detail) >= 100:
+        tot = sum(v["sec"] for v in detail.values() if v["sec"] >= 0)
+        tot_min = sum(v.get("min_sec", -1) for v in detail.values()
+                      if v.get("min_sec", -1) >= 0)
+        if tot_min > TOTAL_MIN_SEC_MAX:
+            print(f"BUDGET-FAIL suite min-total {tot_min:.1f}s > "
+                  f"{TOTAL_MIN_SEC_MAX}s — cross-cutting regression "
+                  "(min_sec is stall-immune; this is not host noise)")
+            fails += 1
+        elif tot > TOTAL_SEC_MAX:
+            print(f"budgets: WARNING suite total {tot:.1f}s > "
+                  f"{TOTAL_SEC_MAX}s but min-total {tot_min:.1f}s is "
+                  "within bounds — consistent with a host stall window, "
+                  "not a plan regression; investigate if persistent")
+        else:
+            print(f"budgets: suite total {tot:.1f}s <= {TOTAL_SEC_MAX}s, "
+                  f"min-total {tot_min:.1f}s <= {TOTAL_MIN_SEC_MAX}s")
+    else:
+        print(f"budgets: suite-total tripwire skipped "
+              f"({len(detail)} keys < 100 — partial run)")
     for key, budget in sorted(BUDGETS.items()):
         if key not in detail:
             print(f"BUDGET-FAIL {key:28s} missing from {path} "

@@ -51,4 +51,29 @@ grep -q "FIXTURE SCHEMA DRIFT" "$TMP/out2.log" || {
   echo "SELFTEST FAIL: drift not attributed to the fingerprint check:"
   tail -5 "$TMP/out2.log"; exit 1; }
 echo "guard 2 OK: re-encoded events.ts made preflight fail with the drift banner"
-echo "selftest: both guards fire correctly"
+
+# ---- guard 3: suite-total tripwire (inflate every key 3x) ---------------
+# Proves the bench_budgets.py cross-cutting-regression trip actually fires:
+# a uniformly-slower suite (conf change, lost cache, AQE off) must go red
+# even though every per-key byte budget still passes.
+python3 - <<'EOF'
+import json
+d = json.load(open("bench_detail.json"))
+for k, v in d.items():
+    if k != "_meta" and isinstance(v, dict) and "sec" in v:
+        v["sec"] *= 3
+        if v.get("min_sec", -1) >= 0:
+            v["min_sec"] *= 3
+json.dump(d, open("/tmp/selftest_bench_inflated.json", "w"))
+EOF
+if python3 scripts/bench_budgets.py /tmp/selftest_bench_inflated.json \
+    > "$TMP/out3.log" 2>&1; then
+  echo "SELFTEST FAIL: bench_budgets exited 0 on a 3x-inflated suite"
+  exit 1
+fi
+grep -q "suite min-total" "$TMP/out3.log" || {
+  echo "SELFTEST FAIL: inflation not attributed to the suite tripwire:"
+  tail -5 "$TMP/out3.log"; exit 1; }
+rm -f /tmp/selftest_bench_inflated.json
+echo "guard 3 OK: 3x-inflated suite tripped the min-total tripwire"
+echo "selftest: all guards fire correctly"
