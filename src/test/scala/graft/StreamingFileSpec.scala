@@ -324,6 +324,79 @@ class StreamingFileSpec extends AnyFunSuite {
     assert(afterHashes.toSet === batch)
   }
 
+  test("admission is exactly-once under a mid-batch kill + source replay") {
+    // VERDICT r9 task 6: the crash window the clean-restart test above
+    // cannot reach — the query dies AFTER a batch's offsets are written
+    // (and its sink output and state deltas may exist) but BEFORE its
+    // commit-log entry. On restart the file source REPLAYS that batch's
+    // exact file set from the offset WAL, so every row in it is offered
+    // twice; and the retry arrives alongside a genuinely-new input file
+    // that duplicates 30 already-admitted documents verbatim.
+    // Exactly-once admission then rests on three mechanisms at once: the
+    // state store rolling back to the pre-batch version for the replay,
+    // the parquet sink's _spark_metadata log suppressing the replayed
+    // batch's second write, and the recovered dedup state rejecting the
+    // re-offered content. The kill is simulated deterministically by
+    // deleting the newest commits/<n> entry from the checkpoint — the
+    // exact on-disk state a kill -9 in that window leaves behind.
+    val base = java.nio.file.Files.createTempDirectory("graft_admit3")
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    val docs = Tables.table(spark, sf001, "documents")
+    val rows = docs.collect().toSeq.sortBy(_.getAs[Long]("doc_id"))
+    def startQuery() = StreamOps.admitDocuments(
+        spark.readStream.schema(docs.schema).parquet(src))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // two appends, drained separately → two committed batches (0 and 1)
+    appendFile(src, rows.take(400), docs.schema)
+    val q1 = startQuery()
+    try {
+      q1.processAllAvailable()
+      appendFile(src, rows.drop(400), docs.schema)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val admitted = spark.read.parquet(out)
+      .select("content_sha256").collect().map(_.getString(0)).toSeq
+    assert(admitted.size === admitted.toSet.size)
+    // surgically un-commit the newest batch: offsets/<n> stays, commits/<n>
+    // goes — the restart must treat batch <n> as in-flight and re-run it
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.length >= 2, "need two committed batches to un-commit one")
+    val victim = commits.last
+    assert(victim.delete(), s"could not delete $victim")
+    // the local-FS checkpoint also keeps a Hadoop checksum shadow
+    // (.<n>.crc); leaving it behind makes the re-commit's atomic rename
+    // fail as a phantom concurrent-query conflict
+    val crc = new java.io.File(victim.getParent, s".${victim.getName}.crc")
+    if (crc.exists()) assert(crc.delete(), s"could not delete $crc")
+    // plus a real duplicate input file: 30 admitted docs verbatim under
+    // fresh doc_ids (a retrying upstream producer)
+    def sha256Hex(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dupRows = rows.filter(r =>
+        admitted.toSet.contains(sha256Hex(r.getAs[String]("text"))))
+      .take(30).map(r => Row(r.getAs[Long]("doc_id") + 200000L,
+        r.getAs[String]("text"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+    assert(dupRows.length === 30)
+    appendFile(src, dupRows, docs.schema)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    // the replayed batch must not re-emit, the duplicate file must not
+    // admit: final content set == batch gate's hash set, each exactly once
+    val afterHashes = spark.read.parquet(out)
+      .select("content_sha256").collect().map(_.getString(0)).toSeq
+    val batchTruth = graft.operators.AnnFixed.gateQuality(docs)
+      .select(sha2(col("text"), 256).as("h"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(afterHashes.size === afterHashes.toSet.size,
+      "mid-batch replay re-admitted a content hash")
+    assert(afterHashes.toSet === batchTruth)
+  }
+
   test("sliding window matches batch on an OUT-OF-ORDER replay") {
     // events_sliding_window's streaming twin (VERDICT r8 task 7): windowed
     // aggregation with a watermark buffers all open windows, so the same
