@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# Above-sf0.1 scale sweep (VERDICT r9 task 2): replicate the biggest
+# shipped fixture N× with join-consistent re-keying, then run the FULL
+# correctness gate (Verify + DuckDB preflight, all 174 keys) and the
+# bench against the scaled dir. This is the sweep where exec_sec is
+# finally dominated by data instead of dispatch — the end-to-end
+# validation of the plan-shape story in PLANS.md.
+#
+# Usage: scripts/scale_sweep.sh [REP=10] [SRC=/root/testdata/sf0.1]
+# Artifacts: target/sfx (scaled parquet), bench_detail.json is NOT
+# touched — the bench writes its sfx detail to bench_detail_sfx.json.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+REP="${1:-10}"
+SRC="${2:-/root/testdata/sf0.1}"
+DST=target/sfx
+OUT=/tmp/graft_verify_sfx
+
+rm -rf "$DST" "$OUT"
+python3 scripts/scale_up.py "$SRC" "$DST" "$REP"
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  sbt -batch "runMain graft.Verify $PWD/$DST $OUT"
+python3 scripts/preflight.py "$PWD/$DST" "$OUT"
+# Full-suite bench at the scaled SF. GRAFT_BENCH_ONLY is deliberately
+# UNSET; the detail file is moved aside immediately so the sf0.1-gated
+# bench_detail.json (scripts/bench_budgets.py) is never replaced by a
+# non-sf0.1 run.
+SPARK_GRAFT_SF_DIR="$PWD/$DST" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  sbt -batch "runMain graft.Bench"
+mv bench_detail.json bench_detail_sfx.json
+git checkout -- bench_detail.json
+python3 scripts/bench_budgets.py bench_detail_sfx.json || {
+  echo "scale sweep: global zero-failure/zero-spill invariants FAILED"
+  exit 1
+}
+echo "scale sweep (${REP}x $SRC) complete — detail in bench_detail_sfx.json"
