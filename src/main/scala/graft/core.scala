@@ -37,21 +37,16 @@ object Tables {
     * or a future flip back — yields the same downstream contract:
     * `ts_us` (epoch-µs long; integer division for the ns variant, never the
     * double path — epoch-ns exceeds double's 53-bit mantissa) and `ts_t`
-    * (µs TimestampType). Every graft entry point pins the session timezone
-    * to UTC, so the NTZ→timestamp cast is identity and both variants match
-    * DuckDB's `epoch_us(ts::TIMESTAMP)` truncation (SURVEY §7.4 R1).
-    * Queries must never emit raw `ts`.
+    * (µs TimestampType). The NTZ branch derives ts_us from wall-clock
+    * FIELDS (date diff + hour/minute/second extracts), which are
+    * session-timezone-free, so every variant matches DuckDB's
+    * `epoch_us(ts::TIMESTAMP)` in ANY hosting session — no conf is read
+    * or mutated. (Downstream date FORMATTING still renders in the session
+    * timezone; graft entry points pin UTC for that.) Queries must never
+    * emit raw `ts`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    // The NTZ variant's epoch-µs derivation below goes through an NTZ→TZ
-    // cast that interprets wall time in the SESSION timezone; DuckDB's
-    // epoch_us treats naive timestamps as UTC. Every graft entry point pins
-    // UTC, but an externally-built session (driver smoke) may not — pin it
-    // here too so event-derived ts_us can never silently shift by a tz
-    // offset (ADVICE r9, medium).
-    if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
-      spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw =
       try spark.read.parquet(path)
       catch {
@@ -75,11 +70,28 @@ object Tables {
               throw e2
           }
       }
-    import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
     val tsUs: Column = raw.schema("ts").dataType match {
       case LongType | IntegerType => expr("ts DIV 1000") // epoch-ns as long
-      case TimestampType | TimestampNTZType =>
-        unix_micros(col("ts").cast(TimestampType))
+      case TimestampType =>
+        // tz-aware micros ARE the instant — unix_micros reads it directly,
+        // no session timezone involved
+        unix_micros(col("ts"))
+      case TimestampNTZType =>
+        // NTZ wall time interpreted as UTC (DuckDB's epoch_us semantics
+        // for naive timestamps) — derived from WALL-CLOCK FIELDS, which
+        // are session-timezone-free, instead of an NTZ→TZ cast that
+        // silently shifts by the session offset in an externally-built
+        // non-UTC session (ADVICE r9 medium; reworked per code-review r10
+        // so reading a table never mutates the caller's session conf).
+        // extract(SECOND) is DECIMAL(8,6) carrying the µs fraction
+        // exactly, so the ×1e6 → long chain is exact integer arithmetic.
+        (datediff(col("ts").cast(DateType),
+            lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+          * lit(86400000000L)) +
+          (expr("extract(HOUR FROM ts)").cast("long") * lit(3600000000L)) +
+          (expr("extract(MINUTE FROM ts)").cast("long") * lit(60000000L)) +
+          (expr("extract(SECOND FROM ts)") * lit(1000000)).cast("long")
       case other => throw new IllegalStateException(
         s"events.ts: unsupported physical type $other " +
           "(expected integral epoch-ns or timestamp[us])")
@@ -145,6 +157,26 @@ object Det {
     * asked for). */
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(28, scale))).cast("double")
+
+  /** [[dsum]] WITHOUT the final cast back to double — the emitted column
+    * is the exact DECIMAL(38, s) sum itself. The 10× scale sweep (round
+    * 10) proved the cast-back is the weak link: once a sum needs > ~15
+    * significant digits (sum_charge hit 17 at 6M rows), Spark and DuckDB
+    * can round the identical exact decimal to ADJACENT doubles (Spark via
+    * BigDecimal.doubleValue — correctly rounded; DuckDB via int128 →
+    * double scaling — up to 1 ulp off), and the hash comparison dies on a
+    * 1-ulp diff that no amount of care on our side can remove. Emitting
+    * the decimal is exact at ANY scale — DECIMAL(38, s) carries a 100 TB
+    * sum outright. Use for FINAL emitted sums; keep [[dsum]] for sums
+    * feeding further double arithmetic (ratios, variance numerators),
+    * where both engines must do the same double ops. */
+  def dsumx(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(28, scale)))
+
+  /** SQL twin of [[dsumx]] (DuckDB sum(DECIMAL(28, s)) is DECIMAL(38, s),
+    * matching Spark's p+10 widening exactly). */
+  def sqlDsumx(e: String, scale: Int = 2): String =
+    s"sum(CAST(($e) AS DECIMAL(28,$scale)))"
 
   /** Exact mean of the non-null values, derived from the exact sum
     * (identical division on identical doubles in both engines). */

@@ -26,10 +26,16 @@ object Aggs {
     val charge = discPrice * (lit(1) + col("l_tax"))
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum(col("l_quantity"), 2).as("sum_qty"),
-        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
-        dsum(discPrice, 4).as("sum_disc_price"),
-        dsum(charge, 6).as("sum_charge"),
+        // Emitted sums are the exact DECIMAL(38,s) values (dsumx): the
+        // 10× sweep caught sum_charge's decimal→double cast-back rounding
+        // to ADJACENT doubles cross-engine at 17 significant digits.
+        // The avg columns stay double ratios — their sums are cast to
+        // double before dividing, identical in both engines while the
+        // sum fits ~15 digits (boundary documented on Det.dsumx).
+        dsumx(col("l_quantity"), 2).as("sum_qty"),
+        dsumx(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsumx(discPrice, 4).as("sum_disc_price"),
+        dsumx(charge, 6).as("sum_charge"),
         davg(col("l_quantity"), 2).as("avg_qty"),
         davg(col("l_extendedprice"), 2).as("avg_price"),
         davg(col("l_discount"), 2).as("avg_disc"),
@@ -39,10 +45,10 @@ object Aggs {
 
   val q1Oracle: String = sql(s"""
     |SELECT l_returnflag, l_linestatus,
-    |  ${sqlDsum("l_quantity", 2)} AS sum_qty,
-    |  ${sqlDsum("l_extendedprice", 2)} AS sum_base_price,
-    |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
-    |  ${sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+    |  ${sqlDsumx("l_quantity", 2)} AS sum_qty,
+    |  ${sqlDsumx("l_extendedprice", 2)} AS sum_base_price,
+    |  ${sqlDsumx("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+    |  ${sqlDsumx("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
     |  ${sqlDavg("l_quantity", 2)} AS avg_qty,
     |  ${sqlDavg("l_extendedprice", 2)} AS avg_price,
     |  ${sqlDavg("l_discount", 2)} AS avg_disc,
@@ -235,7 +241,9 @@ object Aggs {
           .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
           .rollup(col("r_name"), col("n_name"))
-          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          // dsumx: the grand-total row sums the whole table — the first
+          // place a scale-up pushes a sum past double's exact digits
+          .agg(dsumx(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
             .as("revenue"),
             count(lit(1)).as("cnt"))
           .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
@@ -245,7 +253,7 @@ object Aggs {
       },
       Some(sql(s"""SELECT coalesce(r_name, 'ALL') AS region_name,
         |coalesce(n_name, 'ALL') AS nation_name,
-        |${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+        |${sqlDsumx("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
         |count(*)::BIGINT AS cnt
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -258,7 +266,7 @@ object Aggs {
       (s, dir) => Tables.table(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"),
-          dsum(col("o_totalprice"), 2).as("total_price"))
+          dsumx(col("o_totalprice"), 2).as("total_price"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("cnt"), col("total_price"))
@@ -266,7 +274,7 @@ object Aggs {
       Some(sql(s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |coalesce(o_orderpriority, 'ALL') AS priority,
         |count(*)::BIGINT AS cnt,
-        |${sqlDsum("o_totalprice", 2)} AS total_price
+        |${sqlDsumx("o_totalprice", 2)} AS total_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority"""))),
 
@@ -309,12 +317,12 @@ object Aggs {
       (s, dir) => Tables.table(s, dir, "orders")
         .groupBy(floor(col("o_totalprice") / 25000).as("price_bucket"))
         .agg(count(lit(1)).as("cnt"),
-          dsum(col("o_totalprice"), 2).as("bucket_total"))
+          dsumx(col("o_totalprice"), 2).as("bucket_total"))
         .orderBy(col("price_bucket")),
       Some(sql(s"""SELECT CAST(floor(o_totalprice / 25000) AS BIGINT)
         |  AS price_bucket,
         |count(*)::BIGINT AS cnt,
-        |${sqlDsum("o_totalprice", 2)} AS bucket_total
+        |${sqlDsumx("o_totalprice", 2)} AS bucket_total
         |FROM orders GROUP BY CAST(floor(o_totalprice / 25000) AS BIGINT)
         |ORDER BY price_bucket"""))),
 
@@ -324,12 +332,12 @@ object Aggs {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg((dsum(col("l_extendedprice") * col("l_quantity"), 4)
           / dsum(col("l_quantity"), 2)).as("qty_weighted_price"),
-          dsum(col("l_quantity"), 2).as("total_qty"))
+          dsumx(col("l_quantity"), 2).as("total_qty"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some(sql(s"""SELECT l_returnflag, l_linestatus,
         |(${sqlDsum("l_extendedprice * l_quantity", 4)}
         | / ${sqlDsum("l_quantity", 2)}) AS qty_weighted_price,
-        |${sqlDsum("l_quantity", 2)} AS total_qty
+        |${sqlDsumx("l_quantity", 2)} AS total_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus"""))),
 

@@ -111,7 +111,7 @@ class RegistrySpec extends AnyFunSuite {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length === 6)
     rows.foreach { r =>
-      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[java.math.BigDecimal]("sum_qty").signum > 0)
       assert(r.getAs[Long]("count_order") > 0)
       assert(r.getAs[Double]("avg_disc") >= 0
         && r.getAs[Double]("avg_disc") <= 1)
