@@ -90,9 +90,16 @@ def main():
     # stall (warn), a high min-total is a real regression (fail).
     # Bounds are ~1.5x the round-10 sf0.1 measurements (174 keys:
     # total 138 s, min-total 117 s on a 32-cpu host).
+    # Absolute-seconds bounds are calibrated for the 32-cpu host class —
+    # on a smaller box a healthy tree legitimately exceeds them, so the
+    # tripwire is gated on _meta.cpus exactly like byte budgets are gated
+    # on sf0.1 (code-review r10).
     TOTAL_SEC_MAX = 200.0
     TOTAL_MIN_SEC_MAX = 175.0
-    if len(detail) >= 100:
+    if int(meta.get("cpus", 0)) != 32:
+        print(f"budgets: suite-total tripwire skipped (cpus="
+              f"{meta.get('cpus', '?')}; bounds calibrated for 32)")
+    elif len(detail) >= 100:
         tot = sum(v["sec"] for v in detail.values() if v["sec"] >= 0)
         tot_min = sum(v.get("min_sec", -1) for v in detail.values()
                       if v.get("min_sec", -1) >= 0)

@@ -21,14 +21,14 @@ python3 scripts/scale_up.py "$SRC" "$DST" "$REP"
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   sbt -batch "runMain graft.Verify $PWD/$DST $OUT"
 python3 scripts/preflight.py "$PWD/$DST" "$OUT"
-# Full-suite bench at the scaled SF. GRAFT_BENCH_ONLY is deliberately
-# UNSET; the detail file is moved aside immediately so the sf0.1-gated
-# bench_detail.json (scripts/bench_budgets.py) is never replaced by a
-# non-sf0.1 run.
-SPARK_GRAFT_SF_DIR="$PWD/$DST" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+# Full-suite bench at the scaled SF. env -u drops any inherited key
+# filter (a leftover GRAFT_BENCH_ONLY would silently bench a subset);
+# GRAFT_BENCH_DETAIL routes the detail to bench_detail_sfx.json so the
+# tracked, sf0.1-gated bench_detail.json is never touched.
+env -u GRAFT_BENCH_ONLY \
+  GRAFT_BENCH_DETAIL=bench_detail_sfx.json \
+  SPARK_GRAFT_SF_DIR="$PWD/$DST" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   sbt -batch "runMain graft.Bench"
-mv bench_detail.json bench_detail_sfx.json
-git checkout -- bench_detail.json
 python3 scripts/bench_budgets.py bench_detail_sfx.json || {
   echo "scale sweep: global zero-failure/zero-spill invariants FAILED"
   exit 1

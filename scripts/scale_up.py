@@ -77,25 +77,32 @@ def main():
 
     for t, cols in KEYED_TABLES.items():
         base = tables[t]
-        replicas = [base]
-        for i in range(1, rep):
-            arrays = []
-            for field in base.schema:
-                col = base[field.name]
-                if field.name in cols:
-                    off = i * strides[cols[field.name]]
-                    # add_checked + cast back: keys stay the pinned
-                    # physical type and an overflow fails loudly
-                    col = pc.cast(
-                        pc.add_checked(col, pa.scalar(off, field.type)),
-                        field.type)
-                arrays.append(col)
-            replicas.append(
-                pa.Table.from_arrays(arrays, schema=base.schema))
-        out = pa.concat_tables(replicas)
-        pq.write_table(out, os.path.join(dst, f"{t}.parquet"),
-                       row_group_size=256 * 1024)
-        print(f"{t}: {base.num_rows} -> {out.num_rows} rows")
+        # Stream one replica at a time through a ParquetWriter: holding
+        # all REP replicas plus their concatenation in RAM made peak
+        # memory O(REP × table) and large-REP sweeps could OOM the host
+        # (code-review r10).
+        with pq.ParquetWriter(os.path.join(dst, f"{t}.parquet"),
+                              base.schema) as w:
+            for i in range(rep):
+                if i == 0:
+                    w.write_table(base, row_group_size=256 * 1024)
+                    continue
+                arrays = []
+                for field in base.schema:
+                    col = base[field.name]
+                    if field.name in cols:
+                        off = i * strides[cols[field.name]]
+                        # add_checked + cast back: keys stay the pinned
+                        # physical type and an overflow fails loudly
+                        col = pc.cast(
+                            pc.add_checked(col,
+                                           pa.scalar(off, field.type)),
+                            field.type)
+                    arrays.append(col)
+                w.write_table(
+                    pa.Table.from_arrays(arrays, schema=base.schema),
+                    row_group_size=256 * 1024)
+        print(f"{t}: {base.num_rows} -> {base.num_rows * rep} rows")
 
 
 if __name__ == "__main__":

@@ -19,11 +19,26 @@ object Bench {
     // Native functions + rewrites active from the first warmup plan, so
     // every timed query runs the same plan it ran during warmup.
     plans.GraftFunctions.register(spark)
-    // Warm every query's codegen/JIT at the smallest SF outside the timed
-    // region: first-touch codegen costs seconds for the lambda-heavy
-    // queries and would otherwise be billed to whichever SF runs first.
+    // GRAFT_BENCH_ONLY=k1,k2 restricts to named keys for focused local
+    // iteration. Unknown names fail loudly — a typo that silently benched
+    // zero keys would exit 0 with an empty detail file. Parsed BEFORE the
+    // warmups so a focused run does not build (and eagerly train) the
+    // other 170+ queries it will never time.
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"GRAFT_BENCH_ONLY names unknown keys: ${unknown.mkString(", ")}")
+    }
+    val keys = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Warm every selected query's codegen/JIT at the smallest SF outside
+    // the timed region: first-touch codegen costs seconds for the
+    // lambda-heavy queries and would otherwise be billed to whichever SF
+    // runs first.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    keys.foreach { case (_, fn) =>
       try { fn(spark, warmDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => () }
     }
@@ -37,7 +52,7 @@ object Bench {
     // only (no execute): untrained keys just build a logical plan here.
     val twarm0 = System.nanoTime()
     val trainNanos0 = operators.PipelineOps.TrainClock.nanos
-    SparkEntry.queries.foreach { case (_, fn) =>
+    keys.foreach { case (_, fn) =>
       try { fn(spark, sfDir) } catch { case _: Throwable => () }
     }
     val trainWarmSec = (System.nanoTime() - twarm0) / 1e9
@@ -92,16 +107,13 @@ object Bench {
     // therefore a min ACROSS passes: a key whose min_sec is normal but
     // whose median is inflated was stalled, not regressed.
     val RUNS = 3
-    // GRAFT_BENCH_ONLY=k1,k2 restricts to named keys for focused local
-    // iteration; the detail file then goes to bench_detail_partial.json
-    // so a partial run can never clobber the checked-in full-suite
-    // bench_detail.json that scripts/bench_budgets.py gates on.
-    val only = sys.env.get("GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val keys = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-    val detailPath =
-      if (only.isEmpty) "bench_detail.json" else "bench_detail_partial.json"
+    // Detail-file routing: GRAFT_BENCH_DETAIL overrides outright (the
+    // scale sweep parks its run in bench_detail_sfx.json); otherwise a
+    // key-filtered run goes to bench_detail_partial.json so a partial
+    // run can never clobber the checked-in full-suite bench_detail.json
+    // that scripts/bench_budgets.py gates on.
+    val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL",
+      if (only.isEmpty) "bench_detail.json" else "bench_detail_partial.json")
     def sampleOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, (Long, Long, Long), Double, Double, Double) = {
@@ -174,9 +186,13 @@ object Bench {
     // budgets when the detail file actually came from an sf0.1 run.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath),
+      // Locale.ROOT: a default-locale %.3f writes "0,123" on comma-decimal
+      // hosts — invalid JSON (code-review r10)
       (Seq(s"""  "_meta": {"sf": "$sfDir", "cpus": $cpus, "runs": $RUNS, """ +
-        f""""train_warm_sec": $trainWarmSec%.3f, """ +
-        f""""train_warm_train_sec": $trainWarmTrainSec%.3f}""")
+        "\"train_warm_sec\": %.3f, ".formatLocal(
+          java.util.Locale.ROOT, trainWarmSec) +
+        "\"train_warm_train_sec\": %.3f}".formatLocal(
+          java.util.Locale.ROOT, trainWarmTrainSec))
         ++ detail.result()).mkString("{\n", ",\n", "\n}\n"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
