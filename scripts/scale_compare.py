@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Scaling-curve gate: compare a scaled-SF bench detail against the sf0.1
+anchor (VERDICT r9 task 2's "no key >2x its byte budget per row").
+
+Shuffle BYTES are plan properties (stable under host timing noise), so the
+per-row criterion is byte-based: for a REP-times replicated fixture, a key
+whose shuffle_write_bytes grew more than 2*REP-fold has super-linear
+per-row shuffle — a plan that would not survive a 100 TB scale-up (e.g. a
+candidate join whose cap stopped binding, or a broadcast that silently
+flipped to shuffle). Keys with a sub-threshold base (< 64 KiB — mostly
+dispatch/metadata noise at sf0.1) are instead bounded absolutely at
+64 KiB * 2 * REP, since a tiny-base ratio is meaningless.
+
+Also reports the sec/exec_sec totals and the top movers, and re-asserts the
+two global invariants (zero failed_runs, zero spill) on the scaled file.
+
+Usage: python3 scripts/scale_compare.py BASE_DETAIL SCALED_DETAIL [REP=10]
+Exit 1 on any super-linear key, failed run, or spill.
+"""
+import json
+import sys
+
+SMALL_BASE = 64 * 1024  # below this, ratios are noise; bound absolutely
+
+
+def fmt_b(n):
+    for unit in ("B", "KB", "MB", "GB"):
+        if n < 1024 or unit == "GB":
+            return f"{n:.0f} {unit}" if unit == "B" else f"{n:.1f} {unit}"
+        n /= 1024.0
+
+
+def main():
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    base = json.load(open(sys.argv[1]))
+    scaled = json.load(open(sys.argv[2]))
+    rep = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    bmeta, smeta = base.pop("_meta", {}), scaled.pop("_meta", {})
+    print(f"base:   {sys.argv[1]} ({bmeta.get('sf')})")
+    print(f"scaled: {sys.argv[2]} ({smeta.get('sf')}), REP={rep}")
+
+    missing = sorted(set(base) - set(scaled)) + sorted(set(scaled) - set(base))
+    bad = []
+    rows = []
+    for key in sorted(set(base) & set(scaled)):
+        b, s = base[key], scaled[key]
+        if s.get("failed_runs", 0):
+            bad.append((key, f"failed_runs={s['failed_runs']} at {rep}x"))
+            continue
+        if s.get("disk_spill_bytes", 0):
+            bad.append((key, f"disk spill {fmt_b(s['disk_spill_bytes'])} at {rep}x"))
+        bw, sw = b["shuffle_write_bytes"], s["shuffle_write_bytes"]
+        if bw >= SMALL_BASE:
+            ratio = sw / bw
+            if ratio > 2 * rep:
+                bad.append((key, f"shuffle bytes {fmt_b(bw)} -> {fmt_b(sw)} "
+                                 f"({ratio:.1f}x > {2*rep}x): super-linear per-row"))
+        elif sw > SMALL_BASE * 2 * rep:
+            bad.append((key, f"shuffle bytes grew from noise-level {fmt_b(bw)} "
+                             f"to {fmt_b(sw)} at {rep}x"))
+        ratio = sw / bw if bw else float("inf") if sw else 0.0
+        rows.append((key, b["sec"], s["sec"], bw, sw, ratio,
+                     s.get("exec_sec", 0.0)))
+
+    for key, b_s, s_s, bw, sw, r, _ in sorted(rows, key=lambda t: -t[4])[:12]:
+        print(f"  {key:32s} sec {b_s:6.2f}->{s_s:6.2f}  "
+              f"bytes {fmt_b(bw):>9s}->{fmt_b(sw):>9s} ({r:5.1f}x)")
+
+    t_b = sum(r[1] for r in rows)
+    t_s = sum(r[2] for r in rows)
+    e_b = sum(base[k].get("exec_sec", 0.0) for k, *_ in rows)
+    e_s = sum(r[6] for r in rows)
+    print(f"totals: sec {t_b:.1f} -> {t_s:.1f} ({t_s/t_b:.2f}x), "
+          f"exec_sec {e_b:.1f} -> {e_s:.1f} "
+          f"(exec share {100*e_b/t_b:.0f}% -> {100*e_s/t_s:.0f}%)")
+    if missing:
+        print(f"note: {len(missing)} keys present in only one file: "
+              f"{', '.join(missing[:8])}{'...' if len(missing) > 8 else ''}")
+    if bad:
+        print(f"\nFAIL — {len(bad)} key(s) break the per-row scaling gate:")
+        for key, why in bad:
+            print(f"  {key}: {why}")
+        sys.exit(1)
+    print(f"OK — all {len(rows)} shared keys scale sub-{2*rep}x in shuffle "
+          f"bytes at {rep}x data (per-row budget held)")
+
+
+if __name__ == "__main__":
+    main()
