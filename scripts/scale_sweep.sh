@@ -33,4 +33,11 @@ python3 scripts/bench_budgets.py bench_detail_sfx.json || {
   echo "scale sweep: global zero-failure/zero-spill invariants FAILED"
   exit 1
 }
+# Per-row scaling gate vs the tracked sf0.1 anchor: linear keys must stay
+# within 2*REP-fold shuffle bytes; the documented ~REP^2 pairwise/dedup
+# keys within their quadratic bounds; spill stays zero everywhere.
+python3 scripts/scale_compare.py bench_detail.json bench_detail_sfx.json "$REP" || {
+  echo "scale sweep: per-row shuffle-byte scaling gate FAILED"
+  exit 1
+}
 echo "scale sweep (${REP}x $SRC) complete — detail in bench_detail_sfx.json"

@@ -12,6 +12,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Reduce-side parallelism must scale with DATA, not stay pinned at
+      // the core count: with AQE on, every shuffle starts at 8×cpus
+      // partitions and coalesces down to the advisory size from map
+      // output stats, so fixture-SF runs keep the same effective task
+      // counts as shuffle.partitions=cpus while a 10×+ sweep gets enough
+      // reducers that per-task sort/agg memory stays bounded (the 10×
+      // sweep's text_ngram_jaccard 133 MB sort spill disappears). The
+      // local[32] stand-in for a cluster's data-sized reducer count.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -22,6 +22,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Data-scaled reduce parallelism (see Bench.scala): AQE coalesces
+      // back to small task counts at fixture SF; big sweeps get enough
+      // reducers to stay spill-free.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.ts physical-type handling (µs timestamp vs legacy INT64

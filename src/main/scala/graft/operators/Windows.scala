@@ -208,15 +208,32 @@ object Windows {
     // Share-of-total: per-nation revenue as a fraction of the global sum
     // via an unpartitioned window over the pre-aggregated (tiny) series —
     // exact decimal sums on both levels, division on identical doubles.
+    //
+    // Shape (round 10): lineitem is pre-aggregated by l_suppkey BEFORE the
+    // dimension join. The 10× scale sweep caught the join-first
+    // formulation shuffling all of lineitem (63 MB at 10×, linear in the
+    // fact table forever): Catalyst's size estimate for supplier⋈nation
+    // crossed the broadcast threshold at 10× and the fact join flipped to
+    // SMJ. Aggregating first makes the plan robust to that estimate —
+    // the shuffle carries one (suppkey, decimal partial) row per supplier
+    // regardless of fact rows, and the dim join input is supplier-bounded
+    // at any SF. Decimal partials keep the two-level sum exact: per-supp
+    // sums accumulate at DECIMAL(38,2) (dsumx) and the per-nation re-sum
+    // of those partials is the same exact decimal arithmetic as a direct
+    // one-level dsum.
     Q("window_share_of_total",
       (s, dir) => {
-        val perNation = Tables.table(s, dir, "supplier")
+        val perSupp = Tables.table(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(dsumx(col("l_extendedprice"), 2).as("rev_supp"))
+        val suppDim = Tables.table(s, dir, "supplier")
           .join(broadcast(Tables.table(s, dir, "nation")),
             col("s_nationkey") === col("n_nationkey"))
-          .join(Tables.table(s, dir, "lineitem"),
-            col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("n_name"))
+        val perNation = perSupp
+          .join(broadcast(suppDim), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("n_name"))
-          .agg(dsum(col("l_extendedprice"), 2).as("revenue"))
+          .agg(sum(col("rev_supp")).cast("double").as("revenue"))
         val all = Window.rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)
         perNation

@@ -62,6 +62,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("partial_"), p.take(3000))
   }
 
+  test("window_share_of_total pre-aggregates the fact before the dim join") {
+    // Round-10 sweep regression shape: the join-first formulation shuffled
+    // ALL of lineitem once Catalyst's supplier⋈nation size estimate
+    // crossed the broadcast threshold (63 MB at 10×, linear in the fact
+    // forever). The fixed plan aggregates lineitem by l_suppkey FIRST —
+    // the only fact-sided exchange is the supplier-bounded partial-agg
+    // shuffle — and joins the dims via an explicit broadcast hint.
+    val p = planOf("window_share_of_total")
+    assert(p.contains("hashpartitioning(l_suppkey"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "fact-wide merge join crept back in:\n" + p.take(3000))
+  }
+
   test("project_arithmetic stays inside whole-stage codegen") {
     // Codegen stages render with the *(id) prefix — only in the FINAL
     // adaptive plan, so execute before inspecting.
