@@ -15,7 +15,17 @@ Also reports the sec/exec_sec totals and the top movers, and re-asserts the
 two global invariants (zero failed_runs, zero spill) on the scaled file.
 
 Usage: python3 scripts/scale_compare.py BASE_DETAIL SCALED_DETAIL [REP=10]
+                                        [--grown]
 Exit 1 on any super-linear key, failed run, or spill.
+
+`--grown` grades a scale_up.py --grow sweep (semantically NEW replicas:
+perturbed text, orthogonally-transformed embeddings, extended event
+history). There the verbatim-replication excuse disappears — near-dup
+pairs, interval candidates, and band buckets all grow ~linearly with
+the corpus — so QUADRATIC_OK is replaced by the much smaller GROWN_OK:
+only keys whose superlinearity is a property of a FIXED parameter space
+(a fixed label/bucket domain deepening with the corpus, a broadcast
+threshold crossed once) keep a documented allowance.
 """
 import json
 import sys
@@ -57,6 +67,15 @@ QUADRATIC_OK = {
                                  "bytes are linear-per-row AFTER the flip (the correct cluster plan)",
 }
 
+# Grown-corpus sweeps (scale_up.py --grow): replicas are semantically new
+# data, so every pairwise/interval key above must come back to linear
+# per-row bounds — only fixed-parameter-space effects may stay:
+GROWN_OK = {
+    "vec_dedup_threshold":  "fixed label domain: blocks deepen with the corpus; "
+                            "the 1000-id cap truncates, bytes plateau at the cap^2 bound",
+    "join_multiway_star":   "broadcast->SMJ phase change, same as verbatim",
+}
+
 
 def fmt_b(n):
     for unit in ("B", "KB", "MB", "GB"):
@@ -68,12 +87,17 @@ def fmt_b(n):
 def main():
     if len(sys.argv) < 3:
         sys.exit(__doc__)
-    base = json.load(open(sys.argv[1]))
-    scaled = json.load(open(sys.argv[2]))
-    rep = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    argv = [a for a in sys.argv[1:] if a != "--grown"]
+    grown = "--grown" in sys.argv[1:]
+    ok_list = GROWN_OK if grown else QUADRATIC_OK
+    base = json.load(open(argv[0]))
+    scaled = json.load(open(argv[1]))
+    rep = int(argv[2]) if len(argv) > 2 else 10
     bmeta, smeta = base.pop("_meta", {}), scaled.pop("_meta", {})
-    print(f"base:   {sys.argv[1]} ({bmeta.get('sf')})")
-    print(f"scaled: {sys.argv[2]} ({smeta.get('sf')}), REP={rep}")
+    print(f"base:   {argv[0]} ({bmeta.get('sf')})")
+    print(f"scaled: {argv[1]} ({smeta.get('sf')}), REP={rep}"
+          + (" [grown-corpus mode: linear bounds for pairwise keys]"
+             if grown else ""))
 
     missing = sorted(set(base) - set(scaled)) + sorted(set(scaled) - set(base))
     bad = []
@@ -86,12 +110,12 @@ def main():
         if s.get("disk_spill_bytes", 0):
             bad.append((key, f"disk spill {fmt_b(s['disk_spill_bytes'])} at {rep}x"))
         bw, sw = b["shuffle_write_bytes"], s["shuffle_write_bytes"]
-        if key in QUADRATIC_OK:
+        if key in ok_list:
             bound = max(bw, 1024 * 1024) * rep * rep * 2
             if sw > bound:
                 bad.append((key, f"shuffle bytes {fmt_b(bw)} -> {fmt_b(sw)} "
                                  f"exceed even the documented ~REP^2 bound "
-                                 f"{fmt_b(bound)} ({QUADRATIC_OK[key]})"))
+                                 f"{fmt_b(bound)} ({ok_list[key]})"))
         elif bw >= SMALL_BASE:
             ratio = sw / bw
             if ratio > 2 * rep:
@@ -123,7 +147,7 @@ def main():
         for key, why in bad:
             print(f"  {key}: {why}")
         sys.exit(1)
-    n_quad = sum(1 for k, *_ in rows if k in QUADRATIC_OK)
+    n_quad = sum(1 for k, *_ in rows if k in ok_list)
     print(f"OK — {len(rows) - n_quad} keys scale sub-{2*rep}x in shuffle "
           f"bytes at {rep}x data; {n_quad} documented ~REP^2 keys within "
           f"their quadratic bounds; zero spill, zero failures")

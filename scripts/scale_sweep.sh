@@ -7,17 +7,26 @@
 # validation of the plan-shape story in PLANS.md.
 #
 # Usage: scripts/scale_sweep.sh [REP=10] [SRC=/root/testdata/sf0.1]
+# GROW=1 runs the grown-corpus variant (scale_up.py --grow: semantically
+# NEW replicas — perturbed text, orthogonally-transformed embeddings,
+# extended event history) and grades with scale_compare.py --grown,
+# where the pairwise keys have NO quadratic escape hatch.
 # Artifacts: target/sfx (scaled parquet), bench_detail.json is NOT
-# touched — the bench writes its sfx detail to bench_detail_sfx.json.
+# touched — the bench writes its sfx detail to bench_detail_sfx.json
+# (bench_detail_grown.json under GROW=1).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 REP="${1:-10}"
 SRC="${2:-/root/testdata/sf0.1}"
 DST=target/sfx
 OUT=/tmp/graft_verify_sfx
+GROWFLAG=""; CMPFLAG=""; DETAIL=bench_detail_sfx.json
+if [ "${GROW:-0}" = "1" ]; then
+  GROWFLAG="--grow"; CMPFLAG="--grown"; DETAIL=bench_detail_grown.json
+fi
 
 rm -rf "$DST" "$OUT"
-python3 scripts/scale_up.py "$SRC" "$DST" "$REP"
+python3 scripts/scale_up.py "$SRC" "$DST" "$REP" $GROWFLAG
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   sbt -batch "runMain graft.Verify $PWD/$DST $OUT"
 python3 scripts/preflight.py "$PWD/$DST" "$OUT"
@@ -26,18 +35,18 @@ python3 scripts/preflight.py "$PWD/$DST" "$OUT"
 # GRAFT_BENCH_DETAIL routes the detail to bench_detail_sfx.json so the
 # tracked, sf0.1-gated bench_detail.json is never touched.
 env -u GRAFT_BENCH_ONLY \
-  GRAFT_BENCH_DETAIL=bench_detail_sfx.json \
+  GRAFT_BENCH_DETAIL="$DETAIL" \
   SPARK_GRAFT_SF_DIR="$PWD/$DST" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   sbt -batch "runMain graft.Bench"
-python3 scripts/bench_budgets.py bench_detail_sfx.json || {
+python3 scripts/bench_budgets.py "$DETAIL" || {
   echo "scale sweep: global zero-failure/zero-spill invariants FAILED"
   exit 1
 }
 # Per-row scaling gate vs the tracked sf0.1 anchor: linear keys must stay
 # within 2*REP-fold shuffle bytes; the documented ~REP^2 pairwise/dedup
 # keys within their quadratic bounds; spill stays zero everywhere.
-python3 scripts/scale_compare.py bench_detail.json bench_detail_sfx.json "$REP" || {
+python3 scripts/scale_compare.py bench_detail.json "$DETAIL" "$REP" $CMPFLAG || {
   echo "scale sweep: per-row shuffle-byte scaling gate FAILED"
   exit 1
 }
-echo "scale sweep (${REP}x $SRC) complete — detail in bench_detail_sfx.json"
+echo "scale sweep (${REP}x $SRC${GROWFLAG:+, grown}) complete — detail in $DETAIL"
