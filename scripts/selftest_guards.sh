@@ -76,4 +76,60 @@ grep -q "suite min-total" "$TMP/out3.log" || {
   tail -5 "$TMP/out3.log"; exit 1; }
 rm -f /tmp/selftest_bench_inflated.json
 echo "guard 3 OK: 3x-inflated suite tripped the min-total tripwire"
+
+# ---- guard 4: grow-mode fixture invariants ------------------------------
+# scale_up.py --grow claims replicas are semantically NEW yet structurally
+# identical. Check the load-bearing invariants on a 3x grown sf0.01 build:
+#   - intra-replica exact-dup structure preserved, ZERO cross-replica
+#     exact text dups (else exact-dedup pair counts go quadratic again)
+#   - n_chars == length(text) everywhere (fixture invariant)
+#   - embedding norms preserved per replica; cross-replica cosine pair
+#     rate at the semantic-dedup threshold stays at the intra-corpus
+#     baseline (orthogonality actually decorrelates)
+#   - events span extends by (REP-1) x 31 days
+python3 scripts/scale_up.py "$SF" "$TMP/grow" 3 --grow > /dev/null
+python3 - "$SF" "$TMP/grow" <<'EOF'
+import sys
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+
+src, dst = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+one = lambda q: con.sql(q).fetchone()
+
+n0, d0 = one(f"SELECT count(*), count(DISTINCT text) "
+             f"FROM read_parquet('{src}/documents.parquet')")
+n, d = one(f"SELECT count(*), count(DISTINCT text) "
+           f"FROM read_parquet('{dst}/documents.parquet')")
+assert n == 3 * n0, (n, n0)
+# each replica keeps the original's intra dups and shares nothing across
+assert d == 3 * d0, f"cross-replica text collisions: distinct {d} != 3*{d0}"
+bad = one(f"SELECT count(*) FROM read_parquet('{dst}/documents.parquet') "
+          f"WHERE n_chars != length(text)")[0]
+assert bad == 0, f"{bad} rows violate n_chars == length(text)"
+
+t = pq.read_table(f"{dst}/embeddings.parquet")
+e = np.array(t["embedding"].combine_chunks().to_pylist(), dtype=np.float32)
+nr = len(e) // 3
+a, b = e[:nr], e[nr:2 * nr]
+na = np.linalg.norm(a, axis=1)
+nb = np.linalg.norm(b, axis=1)
+assert np.allclose(na, nb, atol=1e-4), "norms not preserved"
+an = a / np.maximum(na, 1e-9)[:, None]
+bn = b / np.maximum(nb, 1e-9)[:, None]
+base_rate = float((an @ an.T >= 0.35).mean())
+cross_rate = float((an @ bn.T >= 0.35).mean())
+assert cross_rate < max(2 * base_rate, 0.01), (
+    f"cross-replica cosine pair rate {cross_rate:.4f} vs base {base_rate:.4f}")
+
+lo0, hi0 = one(f"SELECT min(ts), max(ts) FROM read_parquet('{src}/events.parquet')")
+lo, hi = one(f"SELECT min(ts), max(ts) FROM read_parquet('{dst}/events.parquet')")
+assert lo == lo0, "replica 0 shifted"
+assert (hi - hi0).days == 62, f"expected +62d span, got {(hi - hi0)}"
+print(f"grow invariants OK: dups {d}=3x{d0}, n_chars exact, norms exact, "
+      f"cross-pair rate {cross_rate:.4f} <= base {base_rate:.4f} bound, "
+      f"span +62d")
+EOF
+echo "guard 4 OK: grow-mode fixture invariants hold on a 3x build"
 echo "selftest: all guards fire correctly"
