@@ -89,16 +89,57 @@ object AnnFixed {
       (1 to 16).map(j =>
         ((s0 * 5 + c * 3 + j * 11) % 7 - 3) / 8.0).toSeq).toSeq
 
-  /** 16 fixed SRP hyperplanes (2 bands × 8 bits) for the hash-checked
-    * LSH twin: small exact integers from a shared formula, like the
-    * codebooks above. The sign of v·plane is scale-invariant, so
-    * signatures are computed on the raw (double-widened) vectors. */
-  private val srpPlanes: Seq[Seq[Double]] = (0 until 16).map(p =>
-    (1 to 64).map(j => ((p * 29 + j * 13) % 9 - 4).toDouble))
+  /** 32 fixed SRP hyperplanes (2 bands × up to 16 bits — band `b` owns
+    * planes b·16+i) for the hash-checked LSH twin: small exact integers
+    * from shared formulas, like the codebooks above. The sign of v·plane
+    * is scale-invariant, so signatures are computed on the raw
+    * (double-widened) vectors.
+    *
+    * Planes 0-7 keep the original `%9` lattice formula (band 0's shipped
+    * low bits). Planes ≥ 8 use a `%13` formula with a nonlinear `(p·j)%5`
+    * term: the original formula's j-coefficient collapses mod 9, so its
+    * planes repeat with period 9 — the old band 1 (planes 8-15) shared 7
+    * of its 8 planes with band 0 and contributed almost no bucket
+    * diversity. The new family is 32 distinct, sign-balanced planes
+    * (checked by LshSpec). */
+  private[graft] val srpPlanes: Seq[Seq[Double]] = (0 until 32).map(p =>
+    (1 to 64).map(j =>
+      (if (p < 8) (p * 29 + j * 13) % 9 - 4
+       else (p * 31 + j * 17 + (p * j) % 5) % 13 - 6).toDouble))
 
   private def sqlSrpPlane(p: Int): String =
-    s"list_transform(generate_series(1, 64), " +
-      s"j -> (($p * 29 + j * 13) % 9 - 4)::DOUBLE)"
+    if (p < 8)
+      s"list_transform(generate_series(1, 64), " +
+        s"j -> (($p * 29 + j * 13) % 9 - 4)::DOUBLE)"
+    else
+      s"list_transform(generate_series(1, 64), " +
+        s"j -> (($p * 31 + j * 17 + ($p * j) % 5) % 13 - 6)::DOUBLE)"
+
+  /** Occupancy-adaptive SRP band width: number of sign bits per band for
+    * an `n`-vector corpus, targeting ~64 vectors per (band, signature)
+    * bucket — `bitLength((n-1) / 64)` clamped to [8, 16]. Fixed-width
+    * banding is quadratic in disguise: with 8 bits forever, buckets
+    * deepen linearly with the corpus and candidate PAIRS grow ~n² even
+    * when the new data is genuinely new (the 10× grown-corpus sweep
+    * measured vec_neardup_srp_fixed at 47× per-row shuffle bytes).
+    * Growing the band width with log₂(n) holds expected occupancy — and
+    * per-row candidate work — constant at any corpus size; production
+    * LSH systems size bands exactly this way. Pure integer arithmetic
+    * (no libm log2 whose last-ulp could flip a boundary cross-engine);
+    * the oracle twin is an integer CASE ladder over the same thresholds. */
+  private[graft] def srpBits(n: Long): Int = {
+    val m = math.max(0L, (n - 1) / 64)
+    math.min(16, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(m)))
+  }
+
+  /** Oracle CTE `nb(bits)`: the [[srpBits]] ladder over count(embeddings). */
+  private val sqlSrpBitsCte: String =
+    """nb AS (SELECT CASE
+      |  WHEN m < 256 THEN 8 WHEN m < 512 THEN 9 WHEN m < 1024 THEN 10
+      |  WHEN m < 2048 THEN 11 WHEN m < 4096 THEN 12 WHEN m < 8192 THEN 13
+      |  WHEN m < 16384 THEN 14 WHEN m < 32768 THEN 15 ELSE 16 END AS bits
+      |  FROM (SELECT (count(*) - 1) // 64 AS m FROM embeddings))"""
+      .stripMargin
 
   private val sqlCoarseCb =
     s"""cb AS (SELECT l AS list_id,
@@ -339,13 +380,16 @@ object AnnFixed {
 
     // Fixed-plane SRP-banded LSH near-dup pairs (the hash-checked twin
     // of vec_neardup_lsh, whose graft_srp_sig planes are engine-only):
-    // 2 bands × 8 sign bits from the literal hyperplanes, candidate
-    // pairs only within a (band, signature) bucket, buckets larger than
-    // 1000 dropped (mirrored HAVING twin), multi-band collisions deduped
-    // to (min band, cos_sim). Signatures are computed map-side on the
-    // raw vectors (sign is scale-invariant); every bit compares an
-    // identical double against zero, so the bucket JOIN of the 100 TB
-    // near-dup path is bit-exact across engines.
+    // 2 bands × srpBits(n) sign bits from the literal hyperplanes —
+    // occupancy-adaptive width, so buckets stay ~64 deep at any corpus
+    // size instead of deepening linearly (the fixed 8-bit version
+    // measured 47× per-row shuffle bytes on the 10× grown sweep) —
+    // candidate pairs only within a (band, signature) bucket, buckets
+    // larger than 1000 dropped (mirrored HAVING twin), multi-band
+    // collisions deduped to (min band, cos_sim). Signatures are computed
+    // map-side on the raw vectors (sign is scale-invariant); every bit
+    // compares an identical double against zero, so the bucket JOIN of
+    // the 100 TB near-dup path is bit-exact across engines.
     Q("vec_neardup_srp_fixed",
       (s, dir) => {
         val capped = srpCapped(s, dir)
@@ -763,16 +807,23 @@ object AnnFixed {
     * production banding with PLANTED duplicates (the fixtures contain no
     * true near-dups — max bucket-pair cosine ≈ 0.51 — so without this
     * the dedup keys' drop rule is only ever exercised on near-random
-    * pairs). `e0` must carry (vec_id, embedding). */
+    * pairs). `e0` must carry (vec_id, embedding).
+    *
+    * Band width is [[srpBits]]-adaptive: one count() of the corpus (the
+    * sketch-sizing pattern — dictionary-scale driver state, like the
+    * k-means/PQ training collects) picks the per-band bit count, then
+    * signatures are a map-side projection as before. At the shipped SFs
+    * (n ≤ 5000) this resolves to the original 8 bits. */
   private[graft] def srpCappedOf(e0: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(e0.sparkSession)
+    val bits = srpBits(e0.count())
     val e = e0
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("u", transform(col("v"),
         x => x / sqrt(dot(col("v"), col("v")))))
-    def sig(b: Int): Column = (0 until 8).map { i =>
-      when(dot(col("v"), typedLit(srpPlanes(b * 8 + i))) >= 0,
+    def sig(b: Int): Column = (0 until bits).map { i =>
+      when(dot(col("v"), typedLit(srpPlanes(b * 16 + i))) >= 0,
         lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
     e.withColumn("s0", sig(0)).withColumn("s1", sig(1))
@@ -913,26 +964,35 @@ object AnnFixed {
        |  ON x.band = y.band AND x.bsig = y.bsig AND x.vec_id < y.vec_id
        |  WHERE ${sqlDot("x.u", "y.u")} >= 0.35)""".stripMargin
 
-  /** Oracle CTE twins of [[srpCapped]] (`e`, `sigs`, `keep`, `capped`). */
+  /** Oracle CTE twins of [[srpCapped]] (`nb`, `e`, `sigs`, `keep`,
+    * `capped`). `sigs` cross-joins the 1-row `nb` so the signature can
+    * mask itself to the [[srpBits]]-adaptive width. */
   private def sqlSrpCappedCtes: String =
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+    s"""$sqlSrpBitsCte,
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
        |  list_transform(embedding::DOUBLE[],
        |    x -> x / sqrt(${sqlDot("embedding::DOUBLE[]",
               "embedding::DOUBLE[]")})) AS u
        |  FROM embeddings),
        |sigs AS (
-       |  SELECT vec_id, u, 0 AS band, ${sqlSrpSig(0)} AS bsig FROM e
+       |  SELECT vec_id, u, 0 AS band, ${sqlSrpSig(0)} AS bsig
+       |  FROM e CROSS JOIN nb
        |  UNION ALL
-       |  SELECT vec_id, u, 1 AS band, ${sqlSrpSig(1)} AS bsig FROM e),
+       |  SELECT vec_id, u, 1 AS band, ${sqlSrpSig(1)} AS bsig
+       |  FROM e CROSS JOIN nb),
        |keep AS (SELECT band, bsig FROM sigs
        |  GROUP BY band, bsig HAVING count(*) <= 1000),
        |capped AS (SELECT s.* FROM sigs s JOIN keep USING (band, bsig))"""
       .stripMargin
 
-  /** SQL twin of the band-`b` signature: 8 sign bits over the literal
-    * planes, identical doubles compared against zero on both engines. */
-  private def sqlSrpSig(b: Int): String = (0 until 8).map { i =>
-    s"(CASE WHEN ${sqlDot("v", sqlSrpPlane(b * 8 + i))} >= 0" +
+  /** SQL twin of the band-`b` signature: up to 16 sign bits over the
+    * literal planes (band `b` owns planes b·16+i), each term gated on
+    * `i < nb.bits` so only the adaptive width contributes — identical
+    * doubles compared against zero on both engines, and bit-identical to
+    * the Spark side's sum over its first `bits` planes. */
+  private def sqlSrpSig(b: Int): String = (0 until 16).map { i =>
+    s"(CASE WHEN $i < nb.bits" +
+      s" AND ${sqlDot("v", sqlSrpPlane(b * 16 + i))} >= 0" +
       s" THEN ${1 << i} ELSE 0 END)"
   }.mkString(" + ")
 }

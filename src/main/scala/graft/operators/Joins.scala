@@ -239,25 +239,36 @@ object Joins {
     // unbounded as-of. Strict `<` on the date excludes same-day pairs, so
     // the latest-prior choice is deterministic without an intra-day
     // ordering assumption.
+    // Both self-join sides are ONE canonical projection of orders
+    // (aliased, not re-projected): above the broadcast threshold the
+    // join becomes an SMJ whose two custkey exchanges then canonicalize
+    // identically, so Spark's exchange reuse ships the table ONCE — the
+    // 10× grown sweep measured the two-projection shape at 2× the fact
+    // bytes (28.9× per-row vs the sf0.1 broadcast-plan base; one shared
+    // exchange brings the post-flip growth back inside the linear gate).
     Q("join_asof_tolerance",
       (s, dir) => {
         val tolUs = 90L * 86400L * 1000000L
-        val o = Tables.table(s, dir, "orders")
-        val a = o.select(col("o_orderkey").as("orderkey"),
-          col("o_custkey").as("custkey"),
-          unix_micros(col("o_orderdate").cast("timestamp")).as("d_us"))
-        val b = o.select(col("o_orderkey").as("prev_orderkey"),
-          col("o_custkey").as("b_custkey"), col("o_orderdate"),
-          unix_micros(col("o_orderdate").cast("timestamp")).as("b_us"))
-        a.join(b, col("custkey") === col("b_custkey")
-            && col("b_us") < col("d_us")
-            && col("b_us") >= col("d_us") - tolUs)
-          .groupBy(col("orderkey"), col("custkey"))
-          .agg(max(struct(col("o_orderdate"), col("prev_orderkey")))
-            .as("m"))
+        // exactly the 3 columns BOTH sides consume: column pruning must
+        // not diverge the sides or their exchanges stop canonicalizing
+        // equal (prev_day therefore derives from d_us, not o_orderdate —
+        // the same instant under the pinned UTC session)
+        val o2 = Tables.table(s, dir, "orders")
+          .select(col("o_orderkey").as("orderkey"),
+            col("o_custkey").as("custkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("d_us"))
+        val a = o2.alias("a")
+        val b = o2.alias("b")
+        a.join(b, col("a.custkey") === col("b.custkey")
+            && col("b.d_us") < col("a.d_us")
+            && col("b.d_us") >= col("a.d_us") - tolUs)
+          .groupBy(col("a.orderkey").as("orderkey"),
+            col("a.custkey").as("custkey"))
+          .agg(max(struct(col("b.d_us").as("d_us"),
+            col("b.orderkey").as("prev_orderkey"))).as("m"))
           .select(col("orderkey"), col("custkey"),
             col("m.prev_orderkey").as("prev_orderkey"),
-            day(col("m.o_orderdate")).as("prev_day"))
+            day(timestamp_micros(col("m.d_us"))).as("prev_day"))
           .orderBy(col("orderkey"))
       },
       Some(sql(s"""SELECT orderkey, custkey, prev_orderkey, prev_day FROM (

@@ -132,4 +132,40 @@ class LshSpec extends AnyFunSuite {
     assert(ids.distinct.length === ids.length, "pairs must be deduped")
     r1.foreach(r => assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
   }
+
+  test("fixed plane family: 32 distinct, nonzero, sign-balanced planes") {
+    // The original %9 formula repeats with period 9 (its j-coefficient
+    // collapses mod 9): the old band 1 shared 7 of its 8 planes with
+    // band 0. The extended family must not regress to that.
+    val planes = operators.AnnFixed.srpPlanes
+    assert(planes.length === 32)
+    assert(planes.map(_.toList).distinct.length === 32,
+      "hyperplanes must be pairwise distinct")
+    planes.foreach(p => assert(p.exists(_ != 0.0)))
+    // balance: against a fixed pseudo-random vector set, every plane's
+    // positive-sign rate stays well inside (0.25, 0.75)
+    val vecs = (0 until 2000).map(s =>
+      (0 until 64).map(i => SrpPlanes.component(s, i)))
+    planes.zipWithIndex.foreach { case (p, idx) =>
+      val rate = vecs.count(v =>
+        v.zip(p).map { case (a, b) => a * b }.sum >= 0).toDouble / vecs.size
+      assert(rate > 0.25 && rate < 0.75,
+        s"plane $idx sign rate $rate is degenerate")
+    }
+  }
+
+  test("srpBits: occupancy-adaptive width ladder, clamped to [8, 16]") {
+    import operators.AnnFixed.srpBits
+    assert(srpBits(0) === 8)
+    assert(srpBits(500) === 8)      // sf0.01
+    assert(srpBits(5000) === 8)     // sf0.1 — shipped behavior unchanged
+    assert(srpBits(64 * 255 + 1) === 8)
+    assert(srpBits(64 * 256 + 1) === 9)   // first widening
+    assert(srpBits(50000) === 10)   // the 10x sweep
+    assert(srpBits(500000) === 13)  // a 100x sweep
+    assert(srpBits(Long.MaxValue / 4) === 16) // clamp
+    // monotone non-decreasing across the whole ladder
+    val pts = Seq(1L, 100L, 16384L, 16385L, 32769L, 65537L, 1 << 25, 1L << 40)
+    assert(pts.map(srpBits) === pts.map(srpBits).sorted)
+  }
 }
