@@ -116,19 +116,29 @@ object AnnFixed {
         s"j -> (($p * 31 + j * 17 + ($p * j) % 5) % 13 - 6)::DOUBLE)"
 
   /** Occupancy-adaptive SRP band width: number of sign bits per band for
-    * an `n`-vector corpus, targeting ~64 vectors per (band, signature)
-    * bucket — `bitLength((n-1) / 64)` clamped to [8, 16]. Fixed-width
+    * an `n`-vector corpus, targeting ~8 vectors per (band, signature)
+    * bucket — `bitLength((n-1) / 8)` clamped to [8, 16]. Fixed-width
     * banding is quadratic in disguise: with 8 bits forever, buckets
     * deepen linearly with the corpus and candidate PAIRS grow ~n² even
     * when the new data is genuinely new (the 10× grown-corpus sweep
     * measured vec_neardup_srp_fixed at 47× per-row shuffle bytes).
     * Growing the band width with log₂(n) holds expected occupancy — and
     * per-row candidate work — constant at any corpus size; production
-    * LSH systems size bands exactly this way. Pure integer arithmetic
-    * (no libm log2 whose last-ulp could flip a boundary cross-engine);
-    * the oracle twin is an integer CASE ladder over the same thresholds. */
+    * LSH systems size bands exactly this way. The target is 8, not 64:
+    * the shipped 2000-vector fixture already sits at occupancy ~8 under
+    * the 8-bit clamp floor, so a target of 8 means there is no
+    * occupancy "ramp" between the clamped regime and the adaptive one —
+    * candidate bytes stay per-row from the first widening on (a 64
+    * target measured 141× per-row at 30× purely from ramping 7.8 → 58).
+    * Pure integer arithmetic (no libm log2 whose last-ulp could flip a
+    * boundary cross-engine); the oracle twin is an integer CASE ladder
+    * over the same thresholds. Recall at a given width is the bands'
+    * job, not the width's: the production key (vec_neardup_lsh) runs 4
+    * bands × 16 bits; this fixed twin keeps 2 bands and hash-checks the
+    * banding ALGEBRA (exact duplicates collide at any width since sign
+    * bits are scale-invariant). */
   private[graft] def srpBits(n: Long): Int = {
-    val m = math.max(0L, (n - 1) / 64)
+    val m = math.max(0L, (n - 1) / 8)
     math.min(16, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(m)))
   }
 
@@ -138,7 +148,7 @@ object AnnFixed {
       |  WHEN m < 256 THEN 8 WHEN m < 512 THEN 9 WHEN m < 1024 THEN 10
       |  WHEN m < 2048 THEN 11 WHEN m < 4096 THEN 12 WHEN m < 8192 THEN 13
       |  WHEN m < 16384 THEN 14 WHEN m < 32768 THEN 15 ELSE 16 END AS bits
-      |  FROM (SELECT (count(*) - 1) // 64 AS m FROM embeddings))"""
+      |  FROM (SELECT (count(*) - 1) // 8 AS m FROM embeddings))"""
       .stripMargin
 
   private val sqlCoarseCb =
@@ -814,9 +824,27 @@ object AnnFixed {
     * k-means/PQ training collects) picks the per-band bit count, then
     * signatures are a map-side projection as before. At the shipped SFs
     * (n ≤ 5000) this resolves to the original 8 bits. */
+  /** Corpus-count memo for the [[srpBits]] sizing count() — the
+    * codebookCache pattern (canonicalized plan + backing files as key,
+    * WeakHashMap per session), so the 7 SRP-banded keys don't each pay a
+    * count job per plan build within a session. */
+  private val countCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]())
+
+  private[operators] def countOf(e0: DataFrame): Long = {
+    val per = countCache.computeIfAbsent(e0.sparkSession,
+      _ => new java.util.concurrent.ConcurrentHashMap[
+        String, java.lang.Long]())
+    val key = e0.queryExecution.logical.canonicalized.toString +
+      "|" + e0.inputFiles.sorted.mkString(",")
+    per.computeIfAbsent(key, _ => java.lang.Long.valueOf(e0.count()))
+      .longValue()
+  }
+
   private[graft] def srpCappedOf(e0: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(e0.sparkSession)
-    val bits = srpBits(e0.count())
+    val bits = srpBits(countOf(e0))
     val e = e0
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -1031,8 +1031,23 @@ object PipelineOps {
           .drop("sdf")
         val sizes = sh.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n"))
-        val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")
+        // Size the candidate-join exchange by CORPUS, not by AQE's
+        // byte-based coalescing: the join's OUTPUT (pairs) fans out ~20×
+        // its input, so reducers sized to 64 MB of join input each carry
+        // >1 GB of pair partial-aggregation state — the 30× grown sweep
+        // spilled 1.9 GB exactly here (and ~170 MB still at one task per
+        // 500 docs under 32-way task-memory contention). One task per
+        // ~125 docs keeps the per-task pair map comfortably inside
+        // execution memory at any SF (resolves to the plain cpus-count at
+        // the shipped SFs); both sides repartition on the SAME (key, N),
+        // so they canonicalize equal and exchange reuse ships the shingle
+        // frame once.
+        val nParts = math.min(4096L, math.max(
+          s.sparkContext.defaultParallelism.toLong,
+          AnnFixed.countOf(Tables.table(s, dir, "documents")) / 125)).toInt
+        val shp = sh.repartition(nParts, col("s"))
+        val inter = shp.select(col("doc_id").as("doc_a"), col("s"))
+          .join(shp.select(col("doc_id").as("doc_b"), col("s")), "s")
           .filter(col("doc_a") < col("doc_b"))
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("inter_cnt"))

@@ -157,12 +157,12 @@ class LshSpec extends AnyFunSuite {
   test("srpBits: occupancy-adaptive width ladder, clamped to [8, 16]") {
     import operators.AnnFixed.srpBits
     assert(srpBits(0) === 8)
-    assert(srpBits(500) === 8)      // sf0.01
-    assert(srpBits(5000) === 8)     // sf0.1 — shipped behavior unchanged
-    assert(srpBits(64 * 255 + 1) === 8)
-    assert(srpBits(64 * 256 + 1) === 9)   // first widening
-    assert(srpBits(50000) === 10)   // the 10x sweep
-    assert(srpBits(500000) === 13)  // a 100x sweep
+    assert(srpBits(500) === 8)      // sf0.01 embeddings
+    assert(srpBits(2000) === 8)     // sf0.1 embeddings — shipped unchanged
+    assert(srpBits(8 * 255 + 1) === 8)
+    assert(srpBits(8 * 256 + 1) === 9)    // first widening (n = 2049)
+    assert(srpBits(20000) === 12)   // the 10x grown sweep
+    assert(srpBits(60000) === 13)   // the 30x grown sweep
     assert(srpBits(Long.MaxValue / 4) === 16) // clamp
     // monotone non-decreasing across the whole ladder
     val pts = Seq(1L, 100L, 16384L, 16385L, 32769L, 65537L, 1 << 25, 1L << 40)
