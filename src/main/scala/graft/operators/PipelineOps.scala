@@ -1003,12 +1003,19 @@ object PipelineOps {
     // Pairwise n-gram (3-shingle) Jaccard over shingle-bucket joins:
     // candidates come from shared shingles only — never an all-pairs
     // product. Exact bigint set arithmetic; division on identical doubles.
-    // The join key stays the shingle STRING deliberately: hashing it to a
-    // 60-bit BIGINT via the md5-derived whExpr (the only cross-engine
-    // hash) was measured 40% slower end-to-end at sf0.1 — the per-shingle
-    // md5 costs more than the ~2× shuffle-byte saving buys (the
-    // text_simhash lesson). A production engine free of the oracle-parity
-    // constraint would key on xxhash64(s) here.
+    // The engine-side join key is a 96-bit shingle FINGERPRINT
+    // (xxhash64 ‖ murmur3), projected map-side right after shingle
+    // generation so every downstream exchange — the distinct, the df-cap
+    // window, the candidate-join repartition, and the join itself —
+    // carries 12 bytes instead of a ~30-byte string (the 30× sweep put
+    // 2.5 GB through these exchanges keyed by string). The ORACLE keeps
+    // joining on the exact string: results agree unless two distinct
+    // shingles collide in all 96 bits within one document's context,
+    // p < 1e-15 at any realistic corpus — far below any other error
+    // source. (An earlier md5-derived 60-bit cross-engine key was 40%
+    // slower end-to-end: the md5 cost more than the byte saving bought.
+    // xxhash64/murmur3 are codegen-native and ~free; they are usable
+    // precisely BECAUSE the key never has to match DuckDB.)
     Q("text_ngram_jaccard",
       (s, dir) => {
         val shAll = Tables.table(s, dir, "documents")
@@ -1018,36 +1025,45 @@ object PipelineOps {
             """transform(sequence(1, size(w) - 2),
               |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
               |                 element_at(w, i + 2)))""".stripMargin))
-            .as("s"))
-          .distinct()
+            .as("sstr"))
+          .select(col("doc_id"), xxhash64(col("sstr")).as("h64"),
+            hash(col("sstr")).as("h32"))
+        // The candidate-join exchange is sized by CORPUS, not by AQE's
+        // byte-based coalescing: the join's OUTPUT (pairs) fans out ~20×
+        // its input, so reducers sized to 64 MB of join input each carry
+        // >1 GB of pair partial-aggregation state — the 30× grown sweep
+        // spilled 1.9 GB exactly there. One task per ~125 docs keeps the
+        // per-task pair map inside execution memory at any SF (resolves
+        // to the plain core count at the shipped SFs); both join sides
+        // repartition on the SAME (key, N), so they canonicalize equal
+        // and exchange reuse ships the shingle frame once. The ~170M
+        // candidate-pair rows at 30× (measured: Σ df·(df−1)/2 with max
+        // df 400) are the irreducible exact-Jaccard intermediate — the
+        // byte floor is the pair aggregation, not the shingle frame, so
+        // collapsing the shingle exchanges further buys <10% (measured)
+        // and a per-bucket pair EXPLODE defeats Catalyst's stats
+        // (Generate has no cardinality → it broadcast the GB-scale pair
+        // aggregate). The minhash/banded keys are the sampled scale path
+        // past exactness.
+        val nParts = math.min(4096L, math.max(
+          s.sparkContext.defaultParallelism.toLong,
+          AnnFixed.countOf(Tables.table(s, dir, "documents")) / 125)).toInt
         // Frequency cap: a shingle shared by d docs contributes O(d²)
         // candidate pairs — ubiquitous "stop-shingles" would be quadratic
         // hotspots at corpus scale and carry no dedup signal. (No-op on
         // the fixtures: max shingle df is 25 at sf0.1.)
-        val sh = shAll
+        val sh = shAll.distinct()
           .withColumn("sdf", count(lit(1)).over(
-            Window.partitionBy(col("s"))))
+            Window.partitionBy(col("h64"), col("h32"))))
           .filter(col("sdf") <= 1000)
           .drop("sdf")
         val sizes = sh.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n"))
-        // Size the candidate-join exchange by CORPUS, not by AQE's
-        // byte-based coalescing: the join's OUTPUT (pairs) fans out ~20×
-        // its input, so reducers sized to 64 MB of join input each carry
-        // >1 GB of pair partial-aggregation state — the 30× grown sweep
-        // spilled 1.9 GB exactly here (and ~170 MB still at one task per
-        // 500 docs under 32-way task-memory contention). One task per
-        // ~125 docs keeps the per-task pair map comfortably inside
-        // execution memory at any SF (resolves to the plain cpus-count at
-        // the shipped SFs); both sides repartition on the SAME (key, N),
-        // so they canonicalize equal and exchange reuse ships the shingle
-        // frame once.
-        val nParts = math.min(4096L, math.max(
-          s.sparkContext.defaultParallelism.toLong,
-          AnnFixed.countOf(Tables.table(s, dir, "documents")) / 125)).toInt
-        val shp = sh.repartition(nParts, col("s"))
-        val inter = shp.select(col("doc_id").as("doc_a"), col("s"))
-          .join(shp.select(col("doc_id").as("doc_b"), col("s")), "s")
+        val shp = sh.repartition(nParts, col("h64"), col("h32"))
+        val inter = shp.select(col("doc_id").as("doc_a"), col("h64"),
+            col("h32"))
+          .join(shp.select(col("doc_id").as("doc_b"), col("h64"),
+            col("h32")), Seq("h64", "h32"))
           .filter(col("doc_a") < col("doc_b"))
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("inter_cnt"))
