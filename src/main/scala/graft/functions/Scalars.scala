@@ -258,8 +258,12 @@ object Scalars {
         |  (a, b) -> a + b) AS comp_sumsq
         |FROM embeddings ORDER BY vec_id"""))),
 
-    // Map physical type has parquet/DuckDB friction → no oracle (D3);
-    // rows-only check + unit tests.
+    // The MAP physical type itself has parquet/DuckDB friction (SURVEY D3
+    // permits rows-only), but every OUTPUT column here is scalar — the map
+    // is built and consumed inside the plan — so the oracle re-derives each
+    // scalar from the map's definition and the key is hash-checked after
+    // all. Exercises create_map, map_keys/map_values, element_at,
+    // map_filter and transform_values.
     Q("scalar_map",
       (s, dir) => {
         val m = map(lit("type"), col("event_type"),
@@ -267,11 +271,52 @@ object Scalars {
         Tables.table(s, dir, "events")
           .select(col("event_id"),
             concat_ws(",", map_keys(m)).as("mkeys"),
+            concat_ws(",", map_values(m)).as("mvals"),
             element_at(m, "type").as("m_type"),
-            element_at(m, "k").cast("long").as("m_k"))
+            element_at(m, "k").cast("long").as("m_k"),
+            size(map_filter(m, (_, v) => v.isNotNull))
+              .cast("long").as("n_set"),
+            element_at(transform_values(m, (_, v) => upper(v)), "type")
+              .as("m_type_uc"))
           .orderBy(col("event_id"))
       },
-      None),
+      Some(sql("""SELECT event_id,
+        |'type,k' AS mkeys,
+        |concat_ws(',', event_type, json_extract_string(props, '$.k'))
+        |  AS mvals,
+        |event_type AS m_type,
+        |CAST(json_extract_string(props, '$.k') AS BIGINT) AS m_k,
+        |((CASE WHEN event_type IS NULL THEN 0 ELSE 1 END)
+        | + (CASE WHEN json_extract_string(props, '$.k') IS NULL
+        |     THEN 0 ELSE 1 END))::BIGINT AS n_set,
+        |upper(event_type) AS m_type_uc
+        |FROM events ORDER BY event_id"""))),
+
+    // Struct surface (create / nest / field-access), same design as
+    // scalar_map: the struct lives inside the plan, every OUTPUT column is
+    // scalar, so the oracle re-derives each field and the key is
+    // hash-checked. Structs are Tungsten-native (no serialization
+    // boundary) — building and consuming one inside a projection stays in
+    // whole-stage codegen.
+    Q("scalar_struct",
+      (s, dir) => {
+        val st = struct(col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+        val nested = struct(st.as("inner"), col("o_custkey").as("cust"))
+        Tables.table(s, dir, "orders")
+          .select(col("o_orderkey"),
+            st.getField("status").as("st_status"),
+            dexact(st.getField("price"), 2).as("st_price"),
+            nested.getField("inner").getField("status").as("st_status2"),
+            nested.getField("cust").as("st_cust"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(sql(s"""SELECT o_orderkey,
+        |o_orderstatus AS st_status,
+        |${sqlDexact("o_totalprice", 2)} AS st_price,
+        |o_orderstatus AS st_status2,
+        |o_custkey AS st_cust
+        |FROM orders ORDER BY o_orderkey"""))),
 
     Q("scalar_json",
       (s, dir) => Tables.table(s, dir, "events")

@@ -460,5 +460,26 @@ object Aggs {
         |bit_xor(l_orderkey)::BIGINT AS bxor,
         |count(*)::BIGINT AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
+
+    // Argmax/argmin surface (max_by/min_by ↔ DuckDB arg_max/arg_min): the
+    // ordering column is the UNIQUE event_id, so ties are impossible and
+    // the result is deterministic cross-engine (a value-ordered max_by
+    // would be tie-nondeterministic — same reason agg_mode breaks ties by
+    // priority). Same two-phase hash-agg shape as every groupBy here: the
+    // shuffle carries one (group × partition) pair, scale-safe.
+    Q("agg_argmax",
+      (s, dir) => Tables.table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(max_by(col("user_id"), col("event_id")).as("last_user"),
+          min_by(col("user_id"), col("event_id")).as("first_user"),
+          max(col("event_id")).as("last_event"),
+          min(col("event_id")).as("first_event"))
+        .orderBy(col("event_type")),
+      Some(sql("""SELECT event_type,
+        |arg_max(user_id, event_id) AS last_user,
+        |arg_min(user_id, event_id) AS first_user,
+        |max(event_id) AS last_event,
+        |min(event_id) AS first_event
+        |FROM events GROUP BY event_type ORDER BY event_type"""))),
   )
 }

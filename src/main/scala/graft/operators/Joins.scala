@@ -314,5 +314,40 @@ object Joins {
         |count(*)::BIGINT AS line_cnt
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey"""))),
+
+    // Null-safe equality join (`<=>` ↔ IS NOT DISTINCT FROM): NULL keys
+    // match each OTHER instead of matching nothing — the semantics a
+    // late-arriving-dimension or sentinel-key pipeline needs. The fixtures
+    // have no NULL keys, so both sides null out nationkeys {3,4}: each
+    // null-keyed supplier then matches BOTH null-keyed nations (4 nations
+    // at sf0.01), a result a plain equi-join cannot produce. EqualNullSafe
+    // is still an equi-join condition for Catalyst — this plans as a
+    // broadcast/sort-merge HASH join (NULL hashes like any value), never a
+    // nested loop; at 100 TB the null group is a deliberate hot key and
+    // would be bounded or salted like any other.
+    Q("join_null_safe",
+      (s, dir) => {
+        val nat = Tables.table(s, dir, "nation")
+          .select(when(col("n_nationkey").isin(3, 4), lit(null))
+            .otherwise(col("n_nationkey")).as("nk"), col("n_name"))
+        val sup = Tables.table(s, dir, "supplier")
+          .select(when(col("s_nationkey").isin(3, 4), lit(null))
+            .otherwise(col("s_nationkey")).as("sk"),
+            col("s_suppkey"), col("s_name"))
+        sup.join(broadcast(nat), col("sk") <=> col("nk"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"),
+            coalesce(col("sk"), lit(-1)).as("nk0"))
+          .orderBy(col("s_suppkey"), col("n_name"))
+      },
+      Some(sql("""SELECT s_suppkey, s_name, n_name,
+        |coalesce(sk, -1) AS nk0 FROM
+        |(SELECT s_suppkey, s_name,
+        |   CASE WHEN s_nationkey IN (3, 4) THEN NULL
+        |        ELSE s_nationkey END AS sk FROM supplier) s
+        |JOIN
+        |(SELECT CASE WHEN n_nationkey IN (3, 4) THEN NULL
+        |        ELSE n_nationkey END AS nk, n_name FROM nation) n
+        |ON s.sk IS NOT DISTINCT FROM n.nk
+        |ORDER BY s_suppkey, n_name"""))),
   )
 }

@@ -42,8 +42,13 @@ object Scans {
                   |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
                   |ORDER BY l_orderkey, l_linenumber, ship_day"""))),
 
-    // Side-effecting round-trips: no oracle (SURVEY §2.1-A ⛔); verified by
-    // self-equality in GraftSpec and the driver's rows-only check.
+    // Round-trips write nation to a temp dir in the target format and read
+    // it back. SURVEY §2.1-A permits omitting the oracle (side-effecting
+    // path), but a STRONGER check is available for free: a lossless
+    // round-trip must reproduce the source table exactly, so the oracle is
+    // simply `SELECT … FROM nation` — DuckDB never sees the temp files, it
+    // sees the content they must preserve. Self-equality unit tests in
+    // GraftSpec remain as the fast local check.
     Q("source_csv_roundtrip",
       (s, dir) => {
         val nation = Tables.table(s, dir, "nation")
@@ -55,7 +60,8 @@ object Scans {
         s.read.schema(nation.schema).option("header", "true").csv(path)
           .orderBy(col("n_nationkey"))
       },
-      None),
+      Some(sql("""SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey"""))),
 
     Q("source_json_roundtrip",
       (s, dir) => {
@@ -68,7 +74,8 @@ object Scans {
         s.read.schema(nation.schema).json(path)
           .orderBy(col("n_nationkey"))
       },
-      None),
+      Some(sql("""SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey"""))),
 
     Q("source_orc_roundtrip",
       (s, dir) => {
@@ -81,6 +88,7 @@ object Scans {
         s.read.schema(nation.schema).orc(path)
           .orderBy(col("n_nationkey"))
       },
-      None),
+      Some(sql("""SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey"""))),
   )
 }

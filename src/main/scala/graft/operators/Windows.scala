@@ -277,5 +277,34 @@ object Windows {
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn"""))),
+
+    // TIME-based RANGE frame (vs window_range_frame's value-range and the
+    // ROWS frames above): trailing 7-day count/sum per event_type ordered
+    // by integer event-time µs. Range frames are tie-insensitive (equal
+    // ts_us rows share one frame), and the sum accumulates in exact
+    // decimal (Det rationale), so the per-row results are deterministic
+    // cross-engine without a tie-break. At scale: one shuffle on
+    // event_type, then a single ordered pass with a sliding frame —
+    // Spark's UnboundedPreceding-free range frame keeps O(frame) state,
+    // never materializing the partition.
+    Q("window_time_range",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts_us"))
+          .rangeBetween(-7L * 86400L * 1000000L, 0L)
+        Tables.table(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("ts_us"),
+            count(lit(1)).over(w).as("cnt_7d"),
+            sum(col("value").cast("decimal(28,2)")).over(w).as("sum_7d"))
+          .orderBy(col("event_id"))
+      },
+      Some(sql(s"""SELECT event_id, event_type,
+        |${sqlMicros("ts")} AS ts_us,
+        |count(*) OVER w AS cnt_7d,
+        |sum(CAST(value AS DECIMAL(28,2))) OVER w AS sum_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ${sqlMicros("ts")}
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id"""))),
   )
 }

@@ -1161,6 +1161,81 @@ class MinHashPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("null-safe join: null-keyed suppliers match EVERY null-keyed nation") {
+    val rows = Registry.queries("join_null_safe")(spark, sf).collect()
+    val nullNations = Tables.table(spark, sf, "nation")
+      .filter(col("n_nationkey").isin(3, 4)).count()
+    val nullSups = Tables.table(spark, sf, "supplier")
+      .filter(col("s_nationkey").isin(3, 4))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    assert(nullNations >= 2, "fixture must null out >= 2 nations")
+    // each null-keyed supplier appears once per null-keyed nation — the
+    // row multiplicity a plain equi-join cannot produce
+    val bySup = rows.filter(_.getInt(3) == -1).groupBy(_.getLong(0))
+    assert(bySup.keySet === nullSups)
+    bySup.foreach { case (k, rs) =>
+      assert(rs.length.toLong === nullNations, s"supplier $k")
+    }
+    // non-null rows joined 1:1
+    assert(rows.filter(_.getInt(3) != -1).groupBy(_.getLong(0))
+      .forall(_._2.length == 1))
+  }
+
+  test("time-range window matches a brute-force trailing-7d replay") {
+    val rows = Registry.queries("window_time_range")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDecimal(4)))
+    val byType = rows.groupBy(_._2)
+    val week = 7L * 86400L * 1000000L
+    rows.foreach { case (id, t, ts, cnt, sum) =>
+      val frame = byType(t).filter(e => e._3 <= ts && e._3 >= ts - week)
+      assert(frame.length.toLong === cnt, s"event $id cnt")
+    }
+    // spot-check the decimal sums on one type via the same frame rule
+    val one = byType(byType.keys.min)
+    val vals = Tables.table(spark, sf, "events")
+      .select(col("event_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).toMap
+    one.take(50).foreach { case (id, t, ts, _, sum) =>
+      val expect = one.filter(e => e._3 <= ts && e._3 >= ts - week)
+        .map(e => vals(e._1)).sum
+      assert(BigDecimal(sum).compare(expect) === 0, s"event $id sum")
+    }
+  }
+
+  test("gap_fill: dense calendar, count conservation, real zero days") {
+    val rows = Registry.queries("events_gap_fill")(spark, sf).collect()
+    val types = rows.map(_.getString(0)).distinct
+    val days = rows.map(_.getString(1)).distinct
+    // dense: every (type, day) combination present exactly once
+    assert(rows.length === types.length * days.length)
+    // calendar spans the corpus extent contiguously (day strings sort
+    // lexicographically = chronologically for yyyy-MM-dd)
+    val sorted = days.sorted
+    assert(sorted.head === sorted.min && sorted.last === sorted.max)
+    // count conservation: filled counts sum to the tail event count
+    val total = rows.map(_.getLong(2)).sum
+    val raw = Tables.table(spark, sf, "events")
+      .filter(col("value") > 250).count()
+    assert(total === raw)
+    // the fill is doing work at this SF: at least one zero-activity cell
+    assert(rows.exists(_.getLong(2) == 0L),
+      "expected at least one gap-filled zero day at sf0.001")
+  }
+
+  test("argmax: max_by/min_by match the window-derived arg rows") {
+    val got = Registry.queries("agg_argmax")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("event_type"), col("user_id"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      (t, rs.maxBy(_._3)._2, rs.minBy(_._3)._2)
+    }
+    assert(got === expect)
+  }
+
   test("csv/json roundtrips reproduce nation exactly") {
     val nation = Tables.table(spark, sf, "nation").orderBy("n_nationkey")
       .collect().toSeq
