@@ -13,6 +13,18 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString()
   }
 
+  /** Executed-plan string with AQE's "== Initial Plan ==" echo stripped:
+    * after execution, AdaptiveSparkPlan.toString renders the final plan
+    * AND the initial one, so naive substring COUNTS double-count every
+    * node. Containment checks are unaffected; count-based assertions must
+    * use this. */
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val i = s.indexOf("== Initial Plan ==")
+    if (i >= 0) s.substring(0, i) else s
+  }
+
   test("scan_filter_pushdown pushes the shipdate predicate to parquet") {
     val p = planOf("scan_filter_pushdown")
     assert(p.contains("PushedFilters:")
@@ -478,5 +490,37 @@ class PlanSpec extends AnyFunSuite {
                 (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x)""")
           .as("hof"))
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("null-safe join plans a broadcast HASH join, never a nested loop") {
+    // `<=>` is an equi-join condition for Catalyst: NULL hashes like any
+    // value. A naive `a = b OR (a IS NULL AND b IS NULL)` predicate would
+    // fall off the equi-join path into BroadcastNestedLoopJoin — O(n·m)
+    // at 100 TB.
+    val df = Registry.queries("join_null_safe")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("NestedLoop"), p.take(2000))
+  }
+
+  test("gap_fill executes ONE events scan (linear chain, no re-read)") {
+    // Span, type list, and observed counts all derive from one (type, day)
+    // aggregation in a single linear chain. More than one FileScan here
+    // would mean a multi-consumer formulation snuck back in — which
+    // Catalyst does NOT deduplicate (column pruning diverges the subtrees,
+    // so the fact gets scanned once per consumer).
+    val p = finalPlanOf(Registry.queries("events_gap_fill")(spark, sf))
+    val scans = "events\\.parquet".r.findAllMatchIn(p).size
+    assert(scans === 1, s"expected 1 events scan, saw $scans:\n${p.take(3000)}")
+  }
+
+  test("time-range window: one event_type exchange plus the D1 sort only") {
+    val p = finalPlanOf(Registry.queries("window_time_range")(spark, sf))
+    assert(p.contains("Window"), p.take(2000))
+    val hashEx = "hashpartitioning\\(event_type".r.findAllMatchIn(p).size
+    assert(hashEx === 1,
+      s"expected exactly 1 hash exchange on event_type, saw $hashEx:\n" +
+        p.take(3000))
   }
 }
