@@ -278,24 +278,50 @@ object Windows {
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn"""))),
 
-    // TIME-based RANGE frame (vs window_range_frame's value-range and the
-    // ROWS frames above): trailing 7-day count/sum per event_type ordered
-    // by integer event-time µs. Range frames are tie-insensitive (equal
-    // ts_us rows share one frame), and the sum accumulates in exact
-    // decimal (Det rationale), so the per-row results are deterministic
-    // cross-engine without a tie-break. At scale: one shuffle on
-    // event_type, then a single ordered pass with a sliding frame —
-    // Spark's UnboundedPreceding-free range frame keeps O(frame) state,
-    // never materializing the partition.
+    // TIME-based trailing window (vs window_range_frame's value-range and
+    // the ROWS frames above): trailing 7-day count/sum per event_type on
+    // integer event-time µs. NOT written as
+    // `rangeBetween(-7d, 0)`: Spark executes bounded sliding frames by
+    // RE-AGGREGATING the whole frame for every row (SlidingWindowFunction-
+    // Frame has no retract path), i.e. O(rows × frame) — measured 143 s vs
+    // ~1 s at sf0.1, and unbounded-growth at 100 TB. UnboundedPreceding
+    // frames ARE incremental (O(1)/row), so the trailing agg is decomposed
+    // into two cumulatives: each event emits a real probe at ts and a
+    // boundary probe at ts - 7d - 1µs (integer µs make "< ts-7d" exactly
+    // "≤ ts-7d-1µs"); ONE tie-inclusive RANGE-cumulative window per
+    // event_type prefixes count/sum at both coordinates (probes add 0);
+    // a per-event_id aggregate takes the difference. Exact: decimal
+    // add/subtract is lossless, and RANGE cumulatives are tie-insensitive,
+    // so no tie-break column is needed. Single linear chain — one events
+    // scan, one event_type exchange, one pair-regroup exchange, D1 sort.
     Q("window_time_range",
       (s, dir) => {
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("ts_us"))
-          .rangeBetween(-7L * 86400L * 1000000L, 0L)
+        val horizon = 7L * 86400L * 1000000L
+        val cum = Window.partitionBy(col("event_type")).orderBy(col("t"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.table(s, dir, "events")
           .select(col("event_id"), col("event_type"), col("ts_us"),
-            count(lit(1)).over(w).as("cnt_7d"),
-            sum(col("value").cast("decimal(28,2)")).over(w).as("sum_7d"))
+            col("value"),
+            explode(array(
+              struct(lit(0).as("is_probe"), col("ts_us").as("t")),
+              struct(lit(1).as("is_probe"),
+                (col("ts_us") - horizon - 1L).as("t")))).as("e"))
+          .select(col("event_id"), col("event_type"), col("ts_us"),
+            col("e.is_probe").as("is_probe"), col("e.t").as("t"),
+            when(col("e.is_probe") === 0, col("value").cast("decimal(28,2)"))
+              .otherwise(lit(0).cast("decimal(28,2)")).as("v"),
+            when(col("e.is_probe") === 0, 1L).otherwise(0L).as("one"))
+          .select(col("event_id"), col("event_type"), col("ts_us"),
+            col("is_probe"),
+            sum(col("one")).over(cum).as("ccnt"),
+            sum(col("v")).over(cum).as("csum"))
+          .groupBy(col("event_id"), col("event_type"), col("ts_us"))
+          .agg(
+            (max(when(col("is_probe") === 0, col("ccnt")))
+              - max(when(col("is_probe") === 1, col("ccnt")))).as("cnt_7d"),
+            (max(when(col("is_probe") === 0, col("csum")))
+              - max(when(col("is_probe") === 1, col("csum"))))
+              .cast("decimal(38,2)").as("sum_7d"))
           .orderBy(col("event_id"))
       },
       Some(sql(s"""SELECT event_id, event_type,
