@@ -24,6 +24,9 @@ GROWFLAG=""; CMPFLAG=""; DETAIL=bench_detail_sfx.json
 if [ "${GROW:-0}" = "1" ]; then
   GROWFLAG="--grow"; CMPFLAG="--grown"; DETAIL=bench_detail_grown.json
 fi
+# Override the detail filename (e.g. to keep a 30x and a 100x snapshot
+# side by side without clobbering the tracked one).
+DETAIL="${GRAFT_SWEEP_DETAIL:-$DETAIL}"
 
 rm -rf "$DST" "$OUT"
 python3 scripts/scale_up.py "$SRC" "$DST" "$REP" $GROWFLAG
