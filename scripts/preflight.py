@@ -393,6 +393,13 @@ def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
     con = duckdb.connect()
+    # An in-memory DuckDB cannot spill by default, so a wide oracle
+    # intermediate (shingle explosion over a 100x-scaled corpus) dies with
+    # OutOfMemory instead of going out of core — found by the 100x grown
+    # sweep. Give it a spill directory and leave headroom for the pandas
+    # result frames this script holds alongside the engine.
+    con.execute("SET temp_directory='/tmp/duckdb_preflight_spill'")
+    con.execute("SET memory_limit='80GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
