@@ -89,6 +89,27 @@ AUDITS = {
               - CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2)))
                  AS DOUBLE)**2)) AS x
         FROM lineitem GROUP BY l_returnflag""", 8),
+    "agg_entropy": ("""
+        WITH cs AS (SELECT lang, source, count(*)::BIGINT AS c
+                    FROM documents GROUP BY lang, source)
+        SELECT ln(sum(c)::BIGINT)
+             - CAST(sum(CAST(c * ln(c) AS DECIMAL(28,6))) AS DOUBLE)
+               / sum(c)::BIGINT AS x
+        FROM cs GROUP BY lang""", 6),
+    "text_vocab_coverage": ("""
+        WITH freq AS (
+          SELECT word, count(*)::BIGINT AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          GROUP BY word),
+        ranked AS (
+          SELECT row_number() OVER (ORDER BY freq DESC, word ASC) AS rank,
+            sum(freq) OVER (ORDER BY freq DESC, word ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+              AS cum_freq,
+            sum(freq) OVER ()::BIGINT AS total
+          FROM freq)
+        SELECT cum_freq / total AS x FROM ranked WHERE rank <= 100""", 6),
     "agg_corr_cov:cov": ("""
         SELECT (CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(28,4)))
                  AS DOUBLE)

@@ -398,6 +398,68 @@ object Aggs {
         |count(*) FILTER (WHERE o_orderstatus = 'P')::BIGINT AS cnt_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
 
+    // Unpivot/melt (wide→long) — the inverse reshaping of agg_pivot.
+    // Spark compiles `unpivot` to an Expand node: every input row is
+    // replayed once per value column in the SAME task (no shuffle, no
+    // data blow-up beyond the deliberate 3×), so the only exchange is the
+    // 3-group final aggregate. The count pins the exact row
+    // multiplication; the exact-decimal sum (dsumx — emitted as
+    // DECIMAL(38,2), exact at any corpus size) pins content.
+    Q("agg_unpivot",
+      (s, dir) => Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")),
+          "metric", "val")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("cnt"), dsumx(col("val"), 2).as("sum_val"),
+          min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+        .orderBy(col("metric")),
+      Some(sql(s"""WITH long AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem)
+        |SELECT metric, count(*)::BIGINT AS cnt,
+        |${sqlDsumx("val", 2)} AS sum_val,
+        |min(val) AS min_val, max(val) AS max_val
+        |FROM long GROUP BY metric ORDER BY metric"""))),
+
+    // Shannon entropy of the per-language source mix — the corpus-
+    // diversity diagnostic a training-data pipeline tracks per ingest
+    // (a lang whose source entropy collapses is being fed by one crawl).
+    // H = ln N − (Σ c·ln c)/N over the domain-sized (lang, source)
+    // count table, so every input is an exact integer count and the only
+    // float work is ln on integers (bit-identical cross-engine) and one
+    // exact-decimal sum: c·ln c snaps at scale 6 — ≤ 14 significant
+    // digits up to ~1e9 docs/lang, inside the decimal→double safe band
+    // (see Det.dsumx docstring) — and the final division/round is the
+    // same IEEE op on both engines. Two cascaded domain-sized aggregates;
+    // the only fact-proportional cost is the first map-side count.
+    Q("agg_entropy",
+      (s, dir) => Tables.table(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum(col("c")).as("n_docs"),
+          round(log(sum(col("c"))) -
+            dsum(col("c") * log(col("c")), 6) / sum(col("c")), 6)
+            .as("entropy_r6"))
+        .orderBy(col("lang")),
+      Some(sql(s"""WITH cs AS (
+        |  SELECT lang, source, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY lang, source)
+        |SELECT lang, count(*)::BIGINT AS n_sources,
+        |sum(c)::BIGINT AS n_docs,
+        |round(ln(sum(c)::BIGINT) -
+        |  ${sqlDsum("c * ln(c)", 6)} / sum(c)::BIGINT, 6) AS entropy_r6
+        |FROM cs GROUP BY lang ORDER BY lang"""))),
+
     // D4: collections only ever emitted sorted; joined to a string so the
     // driver's column hash sees a scalar (list physical-type friction).
     Q("agg_collect_sorted",

@@ -78,13 +78,22 @@ object Layouts {
     // files directly — zero hash-partition exchanges (PlanSpec asserts).
     Q("join_bucketed_colocated",
       (s, dir) => {
-        // A fresh session has an empty catalog but the managed-table dirs
-        // may survive from a previous JVM — drop both, then clear the
-        // leftover locations so saveAsTable never hits
-        // LOCATION_ALREADY_EXISTS.
+        // Table names carry the SF-dir digest (same scheme as
+        // Materialize.once): two graft JVMs pointed at DIFFERENT fixture
+        // dirs but sharing one spark-warehouse (the test suite at sf0.001
+        // racing a Verify at sf0.1) must never read each other's buckets —
+        // a fixed name let exactly that happen. A fresh session has an
+        // empty catalog but the managed-table dirs may survive from a
+        // previous JVM on the same SF — drop both, then clear the leftover
+        // locations so saveAsTable never hits LOCATION_ALREADY_EXISTS.
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(6)
+          .map("%02x".format(_)).mkString
+        val custTab = s"graft_cust_bucketed_$digest"
+        val ordTab = s"graft_ord_bucketed_$digest"
         val wh = java.nio.file.Paths.get(java.net.URI.create(
           s.conf.get("spark.sql.warehouse.dir")).getPath)
-        Seq("graft_cust_bucketed", "graft_ord_bucketed").foreach { t =>
+        Seq(custTab, ordTab).foreach { t =>
           s.sql(s"DROP TABLE IF EXISTS $t")
           val loc = wh.resolve(t)
           if (java.nio.file.Files.exists(loc)) {
@@ -95,12 +104,12 @@ object Layouts {
         }
         Tables.table(s, dir, "customer").write.mode("overwrite")
           .bucketBy(8, "c_custkey").sortBy("c_custkey")
-          .saveAsTable("graft_cust_bucketed")
+          .saveAsTable(custTab)
         Tables.table(s, dir, "orders").write.mode("overwrite")
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
-          .saveAsTable("graft_ord_bucketed")
-        s.table("graft_cust_bucketed").hint("merge")
-          .join(s.table("graft_ord_bucketed"),
+          .saveAsTable(ordTab)
+        s.table(custTab).hint("merge")
+          .join(s.table(ordTab),
             col("c_custkey") === col("o_custkey"))
           .groupBy(col("c_custkey"), col("c_name"))
           .agg(dsum(col("o_totalprice"), 2).as("total_spend"),

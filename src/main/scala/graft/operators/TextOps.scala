@@ -64,6 +64,55 @@ object TextOps {
         |      FROM documents)
         |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50"""))),
 
+    // Zipf/vocabulary coverage curve: for the top-100 word types, what
+    // share of the TOTAL token mass do ranks 1..k cover — the number a
+    // tokenizer-sizing pass reads off ("how big a vocab for 95%
+    // coverage"). Single linear chain (tokenize → vocab-sized count →
+    // one ordered window pass), deliberately NOT freq.agg(total) +
+    // rejoin: a second consumer of `freq` would re-tokenize the corpus
+    // (Catalyst re-expands shared subtrees), so the running sum and the
+    // whole-frame total ride the same window exchange instead. The
+    // unpartitioned window is VOCAB-sized (word types, not tokens) —
+    // the standard single-task rank over a domain-sized frame; every
+    // corpus-proportional step before it is a map-side partial count.
+    // Counts stay exact longs; the only double op is one long/long
+    // division (exactly rounded IEEE on both engines) + round(…, 6).
+    Q("text_vocab_coverage",
+      (s, dir) => {
+        val byFreq = Window.orderBy(col("freq").desc, col("word").asc)
+        val cum = byFreq.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val whole = Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        Tables.table(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("freq"))
+          .withColumn("rank", row_number().over(byFreq).cast("long"))
+          .withColumn("cum_freq", sum(col("freq")).over(cum))
+          .withColumn("total", sum(col("freq")).over(whole))
+          .filter(col("rank") <= 100)
+          .select(col("rank"), col("word"), col("freq"), col("cum_freq"),
+            round(col("cum_freq") / col("total"), 6).as("coverage_r6"))
+          .orderBy(col("rank"))
+      },
+      Some(sql("""WITH freq AS (
+        |  SELECT word, count(*)::BIGINT AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY word),
+        |ranked AS (
+        |  SELECT word, freq,
+        |    row_number() OVER (ORDER BY freq DESC, word ASC) AS rank,
+        |    sum(freq) OVER (ORDER BY freq DESC, word ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cum_freq,
+        |    sum(freq) OVER ()::BIGINT AS total
+        |  FROM freq)
+        |SELECT rank, word, freq, cum_freq,
+        |  round(cum_freq / total, 6) AS coverage_r6
+        |FROM ranked WHERE rank <= 100 ORDER BY rank"""))),
+
     Q("text_ngrams",
       (s, dir) => {
         val w = Window.partitionBy(col("lang"))

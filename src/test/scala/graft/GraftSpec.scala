@@ -170,6 +170,66 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("unpivot: 3x row multiplication, per-metric sums match wide sums") {
+    val out = run("agg_unpivot").collect()
+    val li = Tables.table(spark, sf, "lineitem")
+    val n = li.count()
+    assert(out.map(_.getAs[Long]("cnt")).sum === 3 * n)
+    // each metric's exact sum equals the wide column's exact sum
+    val wide = li.agg(
+      Det.dsumx(col("l_quantity"), 2).as("l_quantity"),
+      Det.dsumx(col("l_extendedprice"), 2).as("l_extendedprice"),
+      Det.dsumx(col("l_discount"), 2).as("l_discount")).collect()(0)
+    out.foreach { r =>
+      assert(r.getAs[java.math.BigDecimal]("sum_val") ===
+        wide.getAs[java.math.BigDecimal](r.getAs[String]("metric")),
+        s"sum mismatch for ${r.getAs[String]("metric")}")
+    }
+  }
+
+  test("entropy: bounded by [0, ln n_sources]; uniform 2-source check") {
+    run("agg_entropy").collect().foreach { r =>
+      val h = r.getAs[Double]("entropy_r6")
+      val ns = r.getAs[Long]("n_sources")
+      assert(h >= 0.0 && h <= math.log(ns.toDouble) + 1e-9,
+        s"entropy $h outside [0, ln($ns)] for ${r.getAs[String]("lang")}")
+    }
+    // closed-form cross-check on a synthetic uniform mix: H = ln 2
+    import spark.implicits._
+    val two = Seq(("xx", "a"), ("xx", "b"), ("xx", "a"), ("xx", "b"))
+      .toDF("lang", "source")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(round(log(sum(col("c"))) -
+        Det.dsum(col("c") * log(col("c")), 6) / sum(col("c")), 6)
+        .as("h"))
+      .collect()(0).getAs[Double]("h")
+    assert(math.abs(two - math.log(2.0)) < 2e-6)
+  }
+
+  test("vocab coverage: monotone, consistent with wordcount, ≤ 1") {
+    val cov = run("text_vocab_coverage").collect()
+    // sf0.001's whole vocabulary is < 100 types; the curve covers all of it
+    assert(cov.length <= 100 && cov.nonEmpty)
+    if (cov.length < 100) // whole vocab emitted ⇒ curve must end at 1
+      assert(cov.last.getAs[Double]("coverage_r6") === 1.0)
+    cov.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("cum_freq") + b.getAs[Long]("freq") ===
+        b.getAs[Long]("cum_freq"), "running sum must telescope")
+      assert(a.getAs[Double]("coverage_r6") <= b.getAs[Double]("coverage_r6"))
+      // rank order is (freq desc, word asc)
+      assert(a.getAs[Long]("freq") >= b.getAs[Long]("freq"))
+    }
+    assert(cov.last.getAs[Double]("coverage_r6") <= 1.0)
+    // head of the curve agrees with text_wordcount exactly
+    val wc = run("text_wordcount").collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("cnt")))
+    val head = cov.take(wc.length)
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("freq")))
+    assert(head.toSeq === wc.toSeq.take(head.length))
+  }
+
   test("dedup-latest keeps exactly one row per (user, type)") {
     val d = run("events_dedup_latest")
     assert(d.groupBy("user_id", "event_type").count()
