@@ -110,6 +110,49 @@ AUDITS = {
             sum(freq) OVER ()::BIGINT AS total
           FROM freq)
         SELECT cum_freq / total AS x FROM ranked WHERE rank <= 100""", 6),
+    "graph_pagerank": ("""
+        WITH seq AS (
+          SELECT event_type AS from_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS to_type
+          FROM events),
+        tc AS (SELECT from_type, to_type, count(*)::BIGINT AS cnt
+               FROM seq GROUP BY 1, 2),
+        nodes AS (SELECT DISTINCT from_type AS node FROM tc),
+        ed AS (SELECT from_type, to_type, cnt FROM tc
+               WHERE to_type IS NOT NULL),
+        outd AS (SELECT from_type, sum(cnt)::BIGINT AS outw
+                 FROM ed GROUP BY 1),
+        edges AS (SELECT e.from_type, e.to_type,
+                    CAST(e.cnt AS DOUBLE) / o.outw AS p
+                  FROM ed e JOIN outd o USING (from_type)),
+        nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        it0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS r FROM nodes, nn),
+        c1 AS (SELECT e.to_type AS node,
+                 CAST(sum(CAST(r.r * e.p AS DECIMAL(28,12))) AS DOUBLE) AS c
+               FROM it0 r JOIN edges e ON e.from_type = r.node GROUP BY 1),
+        it1 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / nn.n
+                  + CAST(0.85 AS DOUBLE) * coalesce(c1.c, CAST(0 AS DOUBLE))
+                  AS r
+                FROM nodes n CROSS JOIN nn LEFT JOIN c1 ON c1.node = n.node),
+        c2 AS (SELECT e.to_type AS node,
+                 CAST(sum(CAST(r.r * e.p AS DECIMAL(28,12))) AS DOUBLE) AS c
+               FROM it1 r JOIN edges e ON e.from_type = r.node GROUP BY 1),
+        it2 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / nn.n
+                  + CAST(0.85 AS DOUBLE) * coalesce(c2.c, CAST(0 AS DOUBLE))
+                  AS r
+                FROM nodes n CROSS JOIN nn LEFT JOIN c2 ON c2.node = n.node),
+        c3 AS (SELECT e.to_type AS node,
+                 CAST(sum(CAST(r.r * e.p AS DECIMAL(28,12))) AS DOUBLE) AS c
+               FROM it2 r JOIN edges e ON e.from_type = r.node GROUP BY 1),
+        it3 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / nn.n
+                  + CAST(0.85 AS DOUBLE) * coalesce(c3.c, CAST(0 AS DOUBLE))
+                  AS r
+                FROM nodes n CROSS JOIN nn LEFT JOIN c3 ON c3.node = n.node)
+        SELECT r AS x FROM it3""", 6),
+    "pipeline_eval_recall": ("""
+        SELECT CAST(k AS DOUBLE) / CAST(3 AS DOUBLE) AS x
+        FROM generate_series(0, 3) t(k)""", 6),
     "agg_corr_cov:cov": ("""
         SELECT (CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(28,4)))
                  AS DOUBLE)

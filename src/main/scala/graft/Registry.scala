@@ -14,6 +14,7 @@ object Registry {
       operators.SetOps.qs ++
       functions.Scalars.qs ++
       operators.EventOps.qs ++
+      operators.GraphOps.qs ++
       operators.TextOps.qs ++
       operators.VecOps.qs ++
       operators.AnnFixed.qs ++

@@ -276,6 +276,62 @@ object AnnFixed {
         |FROM ranked r JOIN documents d ON d.doc_id = r.vec_id
         |WHERE r.rn <= 3 ORDER BY r.q_id, rn"""))),
 
+    // Offline recall@3 evaluation of the IVF search against brute-force
+    // ground truth — the eval job every ANN deployment runs before
+    // trusting an index (AnnRecallSpec guards the TRAINED keys in
+    // ScalaTest; this key puts the same evaluation ALGEBRA under the
+    // driver's hash gate). Ground truth is the exact top-3 by unit-vector
+    // dot (identical ranking to cosine), the candidate is ivfFixedTop3,
+    // and recall@3 = |gt ∩ ivf| / 3 per query. Both sides are
+    // deterministic (fixed codebook, id tie-breaks), so the overlap count
+    // is an exact integer and the only float emit is one long/double
+    // division. Cost shape: evaluating two methods inherently pays each
+    // method's corpus pass (one brute scoring scan + one assignment
+    // scan); the overlap join is 24×24 rows — broadcast, domain-sized.
+    Q("pipeline_eval_recall",
+      (s, dir) => {
+        val e = normed(s, dir)
+        val q = e.orderBy(col("vec_id")).limit(8)
+          .select(col("vec_id").as("q_id"), col("u").as("qu"))
+        val wq = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("vec_id").asc)
+        val gt = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("score", dot(col("qu"), col("u")))
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("vec_id"))
+        val ivf = ivfFixedTop3(s, dir)
+          .select(col("q_id"), col("neighbor_id").as("vec_id"))
+        val hits = gt.join(ivf, Seq("q_id", "vec_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+        q.select(col("q_id")).join(broadcast(hits), Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            round(coalesce(col("n_hits"), lit(0L)).cast("double")
+              / lit(3.0).cast("double"), 6).as("recall_r6"))
+          .orderBy(col("q_id"))
+      },
+      Some(sql(s"""WITH $sqlNormed,
+        |$sqlCoarseCb,
+        |$sqlAssign,
+        |$sqlProbe,
+        |$sqlIvfTop3Ctes,
+        |gt AS (SELECT q_id, vec_id FROM (
+        |  SELECT q.q_id, e2.vec_id,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY ${sqlDot("q.qu", "e2.u")} DESC, e2.vec_id ASC) AS rn
+        |  FROM e e2 CROSS JOIN q WHERE e2.vec_id <> q.q_id) WHERE rn <= 3),
+        |hits AS (
+        |  SELECT g.q_id, count(*)::BIGINT AS n_hits
+        |  FROM gt g JOIN ranked i
+        |    ON i.q_id = g.q_id AND i.vec_id = g.vec_id AND i.rn <= 3
+        |  GROUP BY g.q_id)
+        |SELECT q.q_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+        |    / CAST(3 AS DOUBLE), 6) AS recall_r6
+        |FROM q LEFT JOIN hits h USING (q_id) ORDER BY q_id"""))),
+
     // IVF-PQ with both codebooks fixed: coarse probe bounds candidates,
     // 4×4 PQ codes + a per-query flat LUT (sorted by sub·k+code, summed
     // in fixed left-to-right order) build the ADC shortlist, top-20 per

@@ -544,5 +544,68 @@ object EventOps {
         |FROM cal LEFT JOIN daily
         |  ON cal.event_type = daily.event_type AND cal.d = daily.d
         |ORDER BY cal.event_type, day"""))),
+
+    // RFM segmentation — recency/frequency/monetary quartiles per user,
+    // the classic user-base triage every growth team runs. Fact-
+    // proportional work is ONE groupBy(user_id) with map-side partials;
+    // everything after (the global anchor, three ntile windows, the
+    // segment CASE) runs on the user-domain-sized aggregate. All three
+    // metrics are exact: recency is integer-µs floor-division into days
+    // (the anchor rides an unpartitioned MAX window over the per-user
+    // frame — domain-sized, never the fact), frequency is a long count,
+    // monetary is the exact DECIMAL(38,2) sum ([[Det.dsumx]] — exact at
+    // any corpus size), so every ntile ORDER BY is over exact values
+    // with a user_id tie-break: bucket assignment is fully deterministic
+    // and identical cross-engine (SQL-standard ntile: equal buckets,
+    // remainder to the earlier ones). Quartile 1 is always "best"
+    // (most recent / most frequent / highest spend).
+    Q("events_rfm",
+      (s, dir) => {
+        val whole = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val byR = Window.orderBy(col("rec_days").asc, col("user_id").asc)
+        val byF = Window.orderBy(col("freq").desc, col("user_id").asc)
+        val byM = Window.orderBy(col("monetary").desc, col("user_id").asc)
+        Tables.table(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(max(col("ts_us")).as("last_us"),
+            count(lit(1)).as("freq"),
+            dsumx(col("value"), 2).as("monetary"))
+          .withColumn("anchor_us", max(col("last_us")).over(whole))
+          .withColumn("rec_days",
+            expr("(anchor_us - last_us) DIV 86400000000"))
+          .withColumn("r_q", ntile(4).over(byR).cast("long"))
+          .withColumn("f_q", ntile(4).over(byF).cast("long"))
+          .withColumn("m_q", ntile(4).over(byM).cast("long"))
+          .select(col("user_id"), col("rec_days"), col("freq"),
+            col("monetary"), col("r_q"), col("f_q"), col("m_q"),
+            when(col("r_q") === 1 && col("f_q") === 1 && col("m_q") === 1,
+              "champion")
+              .when(col("r_q") >= 3 && col("f_q") >= 3, "at_risk")
+              .when(col("r_q") === 1, "recent")
+              .otherwise("core").as("segment"))
+          .orderBy(col("user_id"))
+      },
+      Some(sql(s"""WITH per_user AS (
+        |  SELECT user_id, max(${sqlMicros("ts")}) AS last_us,
+        |    count(*)::BIGINT AS freq,
+        |    ${sqlDsumx("value", 2)} AS monetary
+        |  FROM events GROUP BY user_id),
+        |scored AS (
+        |  SELECT user_id, freq, monetary,
+        |    (max(last_us) OVER () - last_us) // 86400000000 AS rec_days
+        |  FROM per_user),
+        |q AS (
+        |  SELECT user_id, rec_days, freq, monetary,
+        |    ntile(4) OVER (ORDER BY rec_days ASC, user_id ASC) AS r_q,
+        |    ntile(4) OVER (ORDER BY freq DESC, user_id ASC) AS f_q,
+        |    ntile(4) OVER (ORDER BY monetary DESC, user_id ASC) AS m_q
+        |  FROM scored)
+        |SELECT user_id, rec_days, freq, monetary, r_q, f_q, m_q,
+        |  CASE WHEN r_q = 1 AND f_q = 1 AND m_q = 1 THEN 'champion'
+        |       WHEN r_q >= 3 AND f_q >= 3 THEN 'at_risk'
+        |       WHEN r_q = 1 THEN 'recent'
+        |       ELSE 'core' END AS segment
+        |FROM q ORDER BY user_id"""))),
   )
 }

@@ -230,6 +230,82 @@ class InvariantSpec extends AnyFunSuite {
     assert(head.toSeq === wc.toSeq.take(head.length))
   }
 
+  test("pagerank: mass conserved, floor respected, 2-node closed form") {
+    val pr = run("graph_pagerank").collect()
+    val n = pr.length
+    // every fixture event type both sends and receives transitions, so no
+    // dangling mass is dropped and the ranks must sum to 1 within rounding
+    val total = pr.map(_.getAs[Double]("rank_r6")).sum
+    assert(math.abs(total - 1.0) < n * 1e-6, s"rank mass $total != 1")
+    // damping floor: every node holds at least (1-d)/N
+    pr.foreach { r =>
+      assert(r.getAs[Double]("rank_r6") >= 0.15 / n - 1e-6)
+      assert(r.getAs[Long]("out_events") > 0,
+        "fixture types all have outgoing transitions")
+    }
+    // closed-form check of the iteration algebra on a 2-node cycle
+    // a->b, b->a (p=1 both ways): ranks stay 1/2 every iteration
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1.0), ("b", "a", 1.0))
+      .toDF("from_type", "to_type", "p")
+    var ranks = Seq("a", "b").toDF("node").withColumn("r", lit(0.5))
+    for (_ <- 1 to 3) {
+      val c = ranks.join(edges, ranks("node") === edges("from_type"))
+        .groupBy(col("to_type"))
+        .agg(Det.dsum(col("r") * col("p"), 12).as("c"))
+      ranks = c.select(col("to_type").as("node"),
+        (lit(0.15) / lit(2.0) + lit(0.85) * col("c")).as("r"))
+    }
+    ranks.collect().foreach(r =>
+      assert(math.abs(r.getAs[Double]("r") - 0.5) < 1e-12))
+  }
+
+  test("rfm: quartiles balanced, ordering consistent, monetary exact") {
+    val out = run("events_rfm").collect()
+    val n = out.length
+    for (qcol <- Seq("r_q", "f_q", "m_q")) {
+      val sizes = out.groupBy(_.getAs[Long](qcol)).map(_._2.length)
+      assert(out.forall(r => (1L to 4L).contains(r.getAs[Long](qcol))))
+      assert(sizes.max - sizes.min <= 1,
+        s"$qcol buckets unbalanced: $sizes")
+    }
+    // quartile 1 of frequency really is the top quarter by (freq, user)
+    val byF = out.sortBy(r =>
+      (-r.getAs[Long]("freq"), r.getAs[Long]("user_id")))
+    val q1 = byF.take((n + 3) / 4).map(_.getAs[Long]("user_id")).toSet
+    assert(out.filter(_.getAs[Long]("f_q") == 1L)
+      .map(_.getAs[Long]("user_id")).toSet === q1)
+    // monetary column is the exact decimal sum of the user's values
+    val expect = Tables.table(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(Det.dsumx(col("value"), 2).as("m"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        r.getAs[java.math.BigDecimal]("m")).toMap
+    out.foreach(r => assert(
+      r.getAs[java.math.BigDecimal]("monetary") ===
+        expect(r.getAs[Long]("user_id"))))
+  }
+
+  test("eval_recall agrees with the brute and ivf keys' own outputs") {
+    val rec = run("pipeline_eval_recall").collect()
+    assert(rec.length === 8)
+    // ground truth = vec_ann_brute's top-3 (its top-5 restricted to
+    // rn<=3 — same unit-dot ranking); candidate = vec_ann_ivf_fixed
+    val gt = run("vec_ann_brute").collect()
+      .filter(_.getAs[Long]("rn") <= 3)
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = run("vec_ann_ivf_fixed").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    rec.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val hits = ivf.filter(_._1 == q).count(p => gt.contains(p))
+      assert(r.getAs[Long]("n_hits") === hits.toLong, s"q=$q")
+      assert(math.abs(r.getAs[Double]("recall_r6") - hits / 3.0) < 1e-6)
+    }
+  }
+
   test("dedup-latest keeps exactly one row per (user, type)") {
     val d = run("events_dedup_latest")
     assert(d.groupBy("user_id", "event_type").count()
