@@ -110,6 +110,39 @@ AUDITS = {
             sum(freq) OVER ()::BIGINT AS total
           FROM freq)
         SELECT cum_freq / total AS x FROM ranked WHERE rank <= 100""", 6),
+    "agg_skew_kurt:skew": ("""
+        WITH m AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS s1,
+            CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(28,4)))
+              AS DOUBLE) AS s2,
+            CAST(sum(CAST(c_acctbal * c_acctbal * c_acctbal
+              AS DECIMAL(28,6))) AS DOUBLE) AS s3
+          FROM customer GROUP BY c_mktsegment)
+        SELECT (s3 / n - CAST(3 AS DOUBLE) * (s1 / n) * (s2 / n)
+                + CAST(2 AS DOUBLE) * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS x
+        FROM m""", 6),
+    "agg_skew_kurt:kurt": ("""
+        WITH m AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS s1,
+            CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(28,4)))
+              AS DOUBLE) AS s2,
+            CAST(sum(CAST(c_acctbal * c_acctbal * c_acctbal
+              AS DECIMAL(28,6))) AS DOUBLE) AS s3,
+            CAST(sum(CAST(c_acctbal * c_acctbal * c_acctbal * c_acctbal
+              AS DECIMAL(28,8))) AS DOUBLE) AS s4
+          FROM customer GROUP BY c_mktsegment)
+        SELECT (s4 / n - CAST(4 AS DOUBLE) * (s1 / n) * (s3 / n)
+                + CAST(6 AS DOUBLE) * (s1 / n) * (s1 / n) * (s2 / n)
+                - CAST(3 AS DOUBLE) * (s1 / n) * (s1 / n) * (s1 / n)
+                  * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * (s2 / n - (s1 / n) * (s1 / n)))
+             - CAST(3 AS DOUBLE) AS x
+        FROM m""", 6),
     "graph_pagerank": ("""
         WITH seq AS (
           SELECT event_type AS from_type,

@@ -188,6 +188,58 @@ object Aggs {
         |count(*)::BIGINT AS cnt
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))),
 
+    // Higher moments — skewness and excess kurtosis — from exact decimal
+    // power sums, extending agg_stats' variance pattern to S3/S4. Every
+    // power x·x·x(·x) is a left-associated chain of correctly-rounded
+    // double multiplies on identical inputs (both engines parse the same
+    // left-assoc expression), snapped to decimal BEFORE the
+    // order-sensitive sum, so the four power sums are exact and
+    // order-independent; all arithmetic after them is the same scalar
+    // IEEE chain on both engines. m2^1.5 is written as m2·sqrt(m2) —
+    // sqrt and multiply are correctly rounded, libm pow is NOT (the
+    // scalar_trig lesson). One map-side-partial aggregate; domain-sized
+    // output. Rounded at 6 with a preflight boundary audit.
+    Q("agg_skew_kurt",
+      (s, dir) => {
+        val c = Tables.table(s, dir, "customer")
+        val n = count(lit(1)).cast("double")
+        val s1 = dsum(col("c_acctbal"), 2)
+        val s2 = dsum(col("c_acctbal") * col("c_acctbal"), 4)
+        val s3 = dsum(col("c_acctbal") * col("c_acctbal")
+          * col("c_acctbal"), 6)
+        val s4 = dsum(col("c_acctbal") * col("c_acctbal")
+          * col("c_acctbal") * col("c_acctbal"), 8)
+        val mu = s1 / n
+        val m2 = s2 / n - mu * mu
+        val m3 = (s3 / n - lit(3.0) * mu * (s2 / n)) +
+          lit(2.0) * mu * mu * mu
+        val m4 = (s4 / n - lit(4.0) * mu * (s3 / n)) +
+          lit(6.0) * mu * mu * (s2 / n) - lit(3.0) * mu * mu * mu * mu
+        c.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("cnt"),
+            round(m3 / (m2 * sqrt(m2)), 6).as("skew_r6"),
+            round(m4 / (m2 * m2) - lit(3.0), 6).as("kurt_r6"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some {
+        val n = "CAST(count(*) AS DOUBLE)"
+        val s1 = sqlDsum("c_acctbal", 2)
+        val s2 = sqlDsum("c_acctbal * c_acctbal", 4)
+        val s3 = sqlDsum("c_acctbal * c_acctbal * c_acctbal", 6)
+        val s4 = sqlDsum("c_acctbal * c_acctbal * c_acctbal * c_acctbal", 8)
+        val mu = s"($s1 / $n)"
+        val m2 = s"($s2 / $n - $mu * $mu)"
+        val m3 = s"($s3 / $n - CAST(3 AS DOUBLE) * $mu * ($s2 / $n)" +
+          s" + CAST(2 AS DOUBLE) * $mu * $mu * $mu)"
+        val m4 = s"($s4 / $n - CAST(4 AS DOUBLE) * $mu * ($s3 / $n)" +
+          s" + CAST(6 AS DOUBLE) * $mu * $mu * ($s2 / $n)" +
+          s" - CAST(3 AS DOUBLE) * $mu * $mu * $mu * $mu)"
+        sql(s"""SELECT c_mktsegment, count(*)::BIGINT AS cnt,
+          |round($m3 / ($m2 * sqrt($m2)), 6) AS skew_r6,
+          |round($m4 / ($m2 * $m2) - CAST(3 AS DOUBLE), 6) AS kurt_r6
+          |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      }),
+
     // Quantile sketches differ across engines → no oracle (D3); the exact
     // twin is agg_stats' median.
     Q("agg_percentile_approx",

@@ -476,6 +476,57 @@ object TextOps {
         |    AS domain,
         |  count(*)::BIGINT AS n_docs
         |FROM h GROUP BY 1, 2 ORDER BY host"""))),
+
+    // Snapshot diffing — the data-versioning report a corpus pipeline
+    // runs between ingests ("what changed since the last cut?"). Two
+    // synthetic snapshots derive deterministically from one scan each:
+    // A drops doc_id % 20 == 3 (so those read as ADDED in B), B drops
+    // doc_id % 20 == 7 (REMOVED) and rewrites every doc_id % 5 == 0 text
+    // (CHANGED, detected by content-hash inequality — never by comparing
+    // full text, which at 100 TB would shuffle the corpus body; sha256
+    // is computed map-side and only the 64-hex digest rides the join).
+    // The full-outer join on doc_id is the honest diff cost: both
+    // snapshots shuffle once on the key, then classification is a
+    // map-side CASE. Output is the domain-sized (lang, change) count
+    // matrix.
+    Q("pipeline_dataset_diff",
+      (s, dir) => {
+        val docs = Tables.table(s, dir, "documents")
+        val a = docs.filter(pmod(col("doc_id"), lit(20L)) =!= 3)
+          .select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
+            sha2(col("text"), 256).as("a_sha"))
+        val b = docs.filter(pmod(col("doc_id"), lit(20L)) =!= 7)
+          .select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+            sha2(when(pmod(col("doc_id"), lit(5L)) === 0,
+              concat(col("text"), lit(" [rev2]"))).otherwise(col("text")),
+              256).as("b_sha"))
+        a.join(b, col("a_id") === col("b_id"), "full_outer")
+          .select(
+            coalesce(col("b_lang"), col("a_lang")).as("lang"),
+            when(col("a_id").isNull, "added")
+              .when(col("b_id").isNull, "removed")
+              .when(col("a_sha") =!= col("b_sha"), "changed")
+              .otherwise("unchanged").as("change"))
+          .groupBy(col("lang"), col("change"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("lang"), col("change"))
+      },
+      Some(sql("""WITH a AS (
+        |  SELECT doc_id AS a_id, lang AS a_lang, sha256(text) AS a_sha
+        |  FROM documents WHERE doc_id % 20 <> 3),
+        |b AS (
+        |  SELECT doc_id AS b_id, lang AS b_lang,
+        |    sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+        |                ELSE text END) AS b_sha
+        |  FROM documents WHERE doc_id % 20 <> 7)
+        |SELECT coalesce(b_lang, a_lang) AS lang,
+        |  CASE WHEN a_id IS NULL THEN 'added'
+        |       WHEN b_id IS NULL THEN 'removed'
+        |       WHEN a_sha <> b_sha THEN 'changed'
+        |       ELSE 'unchanged' END AS change,
+        |  count(*)::BIGINT AS cnt
+        |FROM a FULL OUTER JOIN b ON a_id = b_id
+        |GROUP BY 1, 2 ORDER BY lang, change"""))),
   )
 
   /** Carter–Wegman minhash machinery shared by `text_minhash_sig`,

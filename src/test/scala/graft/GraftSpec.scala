@@ -306,6 +306,50 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("skew/kurt match a driver-side replay of the moment formulas") {
+    val out = run("agg_skew_kurt").collect()
+    val raw = Tables.table(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val xs = raw(r.getAs[String]("c_mktsegment")).map(_._2)
+      val n = xs.length.toDouble
+      // exact power sums via BigDecimal (mirrors the decimal snap path)
+      def ps(p: Int, sc: Int) = xs.map { x =>
+        var v = x; for (_ <- 2 to p) v = v * x
+        BigDecimal(v).setScale(sc, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      val (s1, s2, s3, s4) = (ps(1, 2), ps(2, 4), ps(3, 6), ps(4, 8))
+      val mu = s1 / n
+      val m2 = s2 / n - mu * mu
+      val m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+      val m4 = s4 / n - 4.0 * mu * (s3 / n) + 6.0 * mu * mu * (s2 / n) -
+        3.0 * mu * mu * mu * mu
+      assert(math.abs(r.getAs[Double]("skew_r6")
+        - m3 / (m2 * math.sqrt(m2))) < 1e-5)
+      assert(math.abs(r.getAs[Double]("kurt_r6")
+        - (m4 / (m2 * m2) - 3.0)) < 1e-5)
+      assert(r.getAs[Long]("cnt") === xs.length.toLong)
+    }
+  }
+
+  test("dataset diff: change classes partition A ∪ B with exact counts") {
+    val out = run("pipeline_dataset_diff").collect()
+    val byChange = out.groupBy(_.getAs[String]("change"))
+      .map { case (c, rs) => c -> rs.map(_.getAs[Long]("cnt")).sum }
+    val ids = Tables.table(spark, sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val added = ids.count(i => i % 20 == 3)
+    val removed = ids.count(i => i % 20 == 7)
+    val changed = ids.count(i => i % 5 == 0 && i % 20 != 3 && i % 20 != 7)
+    assert(byChange("added") === added.toLong)
+    assert(byChange("removed") === removed.toLong)
+    assert(byChange("changed") === changed.toLong)
+    // the four classes partition A ∪ B
+    assert(byChange.values.sum === ids.length.toLong)
+  }
+
   test("dedup-latest keeps exactly one row per (user, type)") {
     val d = run("events_dedup_latest")
     assert(d.groupBy("user_id", "event_type").count()

@@ -523,4 +523,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 hash exchange on event_type, saw $hashEx:\n" +
         p.take(3000))
   }
+
+  test("pagerank's emitted plan touches NO fact scan (literal iteration)") {
+    // The single fact pass happens eagerly (collect of the domain-sized
+    // edge table) while BUILDING the frame; the returned plan must then be
+    // pure literal math — a fact scan here would mean the iteration loop
+    // re-reads events per round (the shared-subtree trap).
+    val p = finalPlanOf(Registry.queries("graph_pagerank")(spark, sf))
+    val scans = "events\\.parquet".r.findAllMatchIn(p).size
+    assert(scans === 0, s"expected 0 events scans, saw $scans:\n${p.take(3000)}")
+  }
+
+  test("rfm executes ONE events scan and one user_id exchange") {
+    val p = finalPlanOf(Registry.queries("events_rfm")(spark, sf))
+    val scans = "events\\.parquet".r.findAllMatchIn(p).size
+    assert(scans === 1, s"expected 1 events scan, saw $scans:\n${p.take(3000)}")
+    val userEx = "hashpartitioning\\(user_id".r.findAllMatchIn(p).size
+    assert(userEx === 1,
+      s"expected exactly 1 hash exchange on user_id, saw $userEx:\n" +
+        p.take(3000))
+  }
 }
