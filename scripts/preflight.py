@@ -535,10 +535,23 @@ def main():
         else:
             print(f"pass {key:28s} rows={len(sdf)}")
             n_pass += 1
+    # On a FILTERED Verify smoke (explicit 3rd CLI arg) the un-attempted
+    # keys are legitimately absent — flagging each of them drowned the
+    # real result in 100+ spurious FAILs. The keyset manifest still
+    # prints the filtered note, and a FULL run still hard-fails here.
+    manifest_path = os.path.join(out, "keys.json")
+    run_filtered = False
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            run_filtered = bool(json.load(f).get("filtered", False))
     missing = sorted(set(oracle) - set(keys))
-    for key in missing:
-        print(f"FAIL {key:28s} oracle declared but no Verify output")
-        n_fail += 1
+    if run_filtered and missing:
+        print(f"note: filtered run — {len(missing)} oracle keys not "
+              "attempted (not failures)")
+    else:
+        for key in missing:
+            print(f"FAIL {key:28s} oracle declared but no Verify output")
+            n_fail += 1
     n_fail += schema_fingerprint(sf)
     n_fail += keyset_manifest(out, keys)
     n_fail += audit(con, oracle)
