@@ -113,11 +113,13 @@ AUDITS = {
     "agg_skew_kurt:skew": ("""
         WITH m AS (
           SELECT CAST(count(*) AS DOUBLE) AS n,
-            CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS s1,
-            CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(28,4)))
-              AS DOUBLE) AS s2,
-            CAST(sum(CAST(c_acctbal * c_acctbal * c_acctbal
-              AS DECIMAL(28,6))) AS DOUBLE) AS s3
+            CAST(sum(CAST(c_acctbal AS DECIMAL(8,2))) AS DOUBLE) AS s1,
+            CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(8,2))
+                   * CAST(c_acctbal AS DECIMAL(8,2)) AS DECIMAL(20,4)))
+                 AS DOUBLE) AS s2,
+            CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(8,2))
+                   * CAST(c_acctbal AS DECIMAL(8,2)) AS DECIMAL(20,4))
+                   * CAST(c_acctbal AS DECIMAL(8,2))) AS DOUBLE) AS s3
           FROM customer GROUP BY c_mktsegment)
         SELECT (s3 / n - CAST(3 AS DOUBLE) * (s1 / n) * (s2 / n)
                 + CAST(2 AS DOUBLE) * (s1 / n) * (s1 / n) * (s1 / n))
@@ -127,13 +129,18 @@ AUDITS = {
     "agg_skew_kurt:kurt": ("""
         WITH m AS (
           SELECT CAST(count(*) AS DOUBLE) AS n,
-            CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS s1,
-            CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(28,4)))
-              AS DOUBLE) AS s2,
-            CAST(sum(CAST(c_acctbal * c_acctbal * c_acctbal
-              AS DECIMAL(28,6))) AS DOUBLE) AS s3,
-            CAST(sum(CAST(c_acctbal * c_acctbal * c_acctbal * c_acctbal
-              AS DECIMAL(28,8))) AS DOUBLE) AS s4
+            CAST(sum(CAST(c_acctbal AS DECIMAL(8,2))) AS DOUBLE) AS s1,
+            CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(8,2))
+                   * CAST(c_acctbal AS DECIMAL(8,2)) AS DECIMAL(20,4)))
+                 AS DOUBLE) AS s2,
+            CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(8,2))
+                   * CAST(c_acctbal AS DECIMAL(8,2)) AS DECIMAL(20,4))
+                   * CAST(c_acctbal AS DECIMAL(8,2))) AS DOUBLE) AS s3,
+            CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(8,2))
+                   * CAST(c_acctbal AS DECIMAL(8,2)) AS DECIMAL(20,4))
+                   * CAST(CAST(c_acctbal AS DECIMAL(8,2))
+                   * CAST(c_acctbal AS DECIMAL(8,2)) AS DECIMAL(20,4)))
+                 AS DOUBLE) AS s4
           FROM customer GROUP BY c_mktsegment)
         SELECT (s4 / n - CAST(4 AS DOUBLE) * (s1 / n) * (s3 / n)
                 + CAST(6 AS DOUBLE) * (s1 / n) * (s1 / n) * (s2 / n)
@@ -496,7 +503,22 @@ def main():
     # sweep. Give it a spill directory and leave headroom for the pandas
     # result frames this script holds alongside the engine.
     con.execute("SET temp_directory='/tmp/duckdb_preflight_spill'")
-    con.execute("SET memory_limit='80GB'")
+    # 60% of physical RAM, not a hardcoded figure: a fixed 80GB on a
+    # smaller host would EXCEED physical memory and reinstate the OOM
+    # kill this spill config exists to prevent (code-review r10). The
+    # 40% headroom holds the pandas result frames this script keeps
+    # alongside the engine.
+    mem_kb = 0
+    try:
+        with open("/proc/meminfo") as f:
+            for ln in f:
+                if ln.startswith("MemTotal:"):
+                    mem_kb = int(ln.split()[1])
+                    break
+    except OSError:
+        pass
+    limit_gb = max(4, (mem_kb * 6) // (10 * 1024 * 1024)) if mem_kb else 4
+    con.execute(f"SET memory_limit='{limit_gb}GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
@@ -539,11 +561,14 @@ def main():
     # keys are legitimately absent — flagging each of them drowned the
     # real result in 100+ spurious FAILs. The keyset manifest still
     # prints the filtered note, and a FULL run still hard-fails here.
-    manifest_path = os.path.join(out, "keys.json")
+    # A missing/corrupt keys.json must NOT crash before the summary —
+    # treat it as unfiltered and let keyset_manifest() report it.
     run_filtered = False
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
+    try:
+        with open(os.path.join(out, "keys.json")) as f:
             run_filtered = bool(json.load(f).get("filtered", False))
+    except (OSError, ValueError):
+        pass
     missing = sorted(set(oracle) - set(keys))
     if run_filtered and missing:
         print(f"note: filtered run — {len(missing)} oracle keys not "

@@ -25,8 +25,14 @@ if [ "${GROW:-0}" = "1" ]; then
   GROWFLAG="--grow"; CMPFLAG="--grown"; DETAIL=bench_detail_grown.json
 fi
 # Override the detail filename (e.g. to keep a 30x and a 100x snapshot
-# side by side without clobbering the tracked one).
+# side by side without clobbering the tracked one). Never the tracked
+# anchor itself: that would both overwrite the sf0.1 baseline and make
+# scale_compare diff the file against itself (trivially green).
 DETAIL="${GRAFT_SWEEP_DETAIL:-$DETAIL}"
+if [ "$DETAIL" = "bench_detail.json" ]; then
+  echo "GRAFT_SWEEP_DETAIL must not be bench_detail.json (tracked anchor)" >&2
+  exit 2
+fi
 
 rm -rf "$DST" "$OUT"
 python3 scripts/scale_up.py "$SRC" "$DST" "$REP" $GROWFLAG

@@ -4,6 +4,7 @@ import graft.{Det, Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** §2.1-D — aggregations (SURVEY.md:201-212).
   *
@@ -188,27 +189,33 @@ object Aggs {
         |count(*)::BIGINT AS cnt
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))),
 
-    // Higher moments — skewness and excess kurtosis — from exact decimal
-    // power sums, extending agg_stats' variance pattern to S3/S4. Every
-    // power x·x·x(·x) is a left-associated chain of correctly-rounded
-    // double multiplies on identical inputs (both engines parse the same
-    // left-assoc expression), snapped to decimal BEFORE the
-    // order-sensitive sum, so the four power sums are exact and
-    // order-independent; all arithmetic after them is the same scalar
-    // IEEE chain on both engines. m2^1.5 is written as m2·sqrt(m2) —
-    // sqrt and multiply are correctly rounded, libm pow is NOT (the
-    // scalar_trig lesson). One map-side-partial aggregate; domain-sized
-    // output. Rounded at 6 with a preflight boundary audit.
+    // Higher moments — skewness and excess kurtosis — from EXACT power
+    // sums computed entirely in decimal arithmetic. Snapping the DOUBLE
+    // powers x³/x⁴ to a decimal (the agg_stats pattern) would NOT be
+    // exact here: x³ at 6 dp needs ~19 significant digits, past double's
+    // shortest-repr 17, so Spark (BigDecimal of the shortest repr) and
+    // DuckDB (int128 scaling of the exact binary value) could snap the
+    // SAME double to adjacent decimals (code-review r10). Instead the
+    // 2-dp input is recovered as an exact DECIMAL(8,2) — its double is
+    // within ~1 e-12 of the 1 e-2 grid point, so the cast is exact and
+    // identical in both engines — and the powers are DECIMAL products:
+    // (8,2)→(·,4)→(·,6)→(·,8), every cell exact, every sum exact and
+    // order-independent at any corpus size (DECIMAL(38,8) carries
+    // 10³⁰ units — 10¹³ rows × |x|⁴ ≤ 10¹⁶ fits). Only the moment
+    // FORMULAS run in doubles, the same scalar IEEE chain on both
+    // engines. m2^1.5 is written as m2·sqrt(m2) — sqrt and multiply are
+    // correctly rounded, libm pow is NOT (the scalar_trig lesson). One
+    // map-side-partial aggregate; domain-sized output. Rounded at 6
+    // with a preflight boundary audit.
     Q("agg_skew_kurt",
       (s, dir) => {
         val c = Tables.table(s, dir, "customer")
+        val xd = col("c_acctbal").cast(DecimalType(8, 2))
         val n = count(lit(1)).cast("double")
-        val s1 = dsum(col("c_acctbal"), 2)
-        val s2 = dsum(col("c_acctbal") * col("c_acctbal"), 4)
-        val s3 = dsum(col("c_acctbal") * col("c_acctbal")
-          * col("c_acctbal"), 6)
-        val s4 = dsum(col("c_acctbal") * col("c_acctbal")
-          * col("c_acctbal") * col("c_acctbal"), 8)
+        val s1 = sum(xd).cast("double")
+        val s2 = sum(xd * xd).cast("double")
+        val s3 = sum(xd * xd * xd).cast("double")
+        val s4 = sum(xd * xd * xd * xd).cast("double")
         val mu = s1 / n
         val m2 = s2 / n - mu * mu
         val m3 = (s3 / n - lit(3.0) * mu * (s2 / n)) +
@@ -222,11 +229,17 @@ object Aggs {
           .orderBy(col("c_mktsegment"))
       },
       Some {
+        // DuckDB's 4-fold product overflows its int64 intermediate, so
+        // the oracle widens x² explicitly; DECIMAL(20,4) holds x² exactly
+        // and exact·exact = exact, so both engines' (differently-staged)
+        // decimal chains produce the IDENTICAL exact power sums.
+        val xd = "CAST(c_acctbal AS DECIMAL(8,2))"
+        val x2 = s"CAST($xd * $xd AS DECIMAL(20,4))"
         val n = "CAST(count(*) AS DOUBLE)"
-        val s1 = sqlDsum("c_acctbal", 2)
-        val s2 = sqlDsum("c_acctbal * c_acctbal", 4)
-        val s3 = sqlDsum("c_acctbal * c_acctbal * c_acctbal", 6)
-        val s4 = sqlDsum("c_acctbal * c_acctbal * c_acctbal * c_acctbal", 8)
+        val s1 = s"CAST(sum($xd) AS DOUBLE)"
+        val s2 = s"CAST(sum($x2) AS DOUBLE)"
+        val s3 = s"CAST(sum($x2 * $xd) AS DOUBLE)"
+        val s4 = s"CAST(sum($x2 * $x2) AS DOUBLE)"
         val mu = s"($s1 / $n)"
         val m2 = s"($s2 / $n - $mu * $mu)"
         val m3 = s"($s3 / $n - CAST(3 AS DOUBLE) * $mu * ($s2 / $n)" +
@@ -487,9 +500,16 @@ object Aggs {
     // H = ln N − (Σ c·ln c)/N over the domain-sized (lang, source)
     // count table, so every input is an exact integer count and the only
     // float work is ln on integers (bit-identical cross-engine) and one
-    // exact-decimal sum: c·ln c snaps at scale 6 — ≤ 14 significant
-    // digits up to ~1e9 docs/lang, inside the decimal→double safe band
-    // (see Det.dsumx docstring) — and the final division/round is the
+    // decimal-snapped sum. The per-row snap of c·ln c at scale 6 is NOT
+    // exact once c·ln c carries more than ~15 significant digits
+    // (c ≳ 1e7): the two engines can round the same double to adjacent
+    // 1e-6 cells (shortest-repr vs exact-binary rounding). What holds at
+    // EVERY scale is the error bound: a straddle changes the sum by 1e-6
+    // per affected row, and H divides by n_docs, so the cross-engine
+    // divergence of H is ≤ n_sources·1e-6/n_docs — shrinking with corpus
+    // size and many orders below the round-6 boundary distance the
+    // preflight audit enforces (code-review r10 corrected the earlier
+    // "exact up to 1e9 docs" overclaim). The final division/round is the
     // same IEEE op on both engines. Two cascaded domain-sized aggregates;
     // the only fact-proportional cost is the first map-side count.
     Q("agg_entropy",

@@ -214,12 +214,15 @@ class InvariantSpec extends AnyFunSuite {
     assert(cov.length <= 100 && cov.nonEmpty)
     if (cov.length < 100) // whole vocab emitted ⇒ curve must end at 1
       assert(cov.last.getAs[Double]("coverage_r6") === 1.0)
-    cov.sliding(2).foreach { case Array(a, b) =>
-      assert(a.getAs[Long]("cum_freq") + b.getAs[Long]("freq") ===
-        b.getAs[Long]("cum_freq"), "running sum must telescope")
-      assert(a.getAs[Double]("coverage_r6") <= b.getAs[Double]("coverage_r6"))
-      // rank order is (freq desc, word asc)
-      assert(a.getAs[Long]("freq") >= b.getAs[Long]("freq"))
+    cov.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("cum_freq") + b.getAs[Long]("freq") ===
+          b.getAs[Long]("cum_freq"), "running sum must telescope")
+        assert(a.getAs[Double]("coverage_r6") <=
+          b.getAs[Double]("coverage_r6"))
+        // rank order is (freq desc, word asc)
+        assert(a.getAs[Long]("freq") >= b.getAs[Long]("freq"))
+      case _ => // single-type vocabulary: nothing pairwise to check
     }
     assert(cov.last.getAs[Double]("coverage_r6") <= 1.0)
     // head of the curve agrees with text_wordcount exactly
