@@ -533,8 +533,16 @@ def main():
             print(f"FAIL {key:28s} no spark parquet output")
             n_fail += 1
             continue
-        sdf = con.execute(
-            "SELECT * FROM read_parquet(?)", [files]).df()
+        # A prior key's OOM can leave the connection's buffer pool pinned
+        # at its limit; one bad key must FAIL, not kill the whole run
+        # (the 100x sweep died reading the key AFTER an oracle OOM).
+        try:
+            sdf = con.execute(
+                "SELECT * FROM read_parquet(?)", [files]).df()
+        except Exception as e:
+            print(f"FAIL {key:28s} spark-dump read error: {str(e)[:160]}")
+            n_fail += 1
+            continue
         if key not in oracle:
             ok = len(sdf) > 0
             print(f"{'pass' if ok else 'FAIL'} {key:28s} rows-only "

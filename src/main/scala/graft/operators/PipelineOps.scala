@@ -1394,23 +1394,26 @@ object PipelineOps {
 
     // Sequence packing: each document's token-id sequence split into
     // fixed-length chunks of 32 (context-length packing for training).
+    // Chunk i is, by definition, the tokens at positions
+    // [i·CHUNK_LEN, i·CHUNK_LEN + CHUNK_LEN), so packing is a REGROUP on
+    // (doc_id, pos DIV CHUNK_LEN) — never "collect the whole document
+    // then slice". The collect-then-slice formulation carried the full
+    // per-doc id array once per chunk row; at the 100× sweep that
+    // duplication OOM-killed the DuckDB oracle (list projections don't
+    // spill), and on Spark it held doc-sized arrays through an explode
+    // for no reason. The regroup's state per group is one chunk
+    // (≤ CHUNK_LEN ids) — spill-friendly in any engine at any scale.
     Q("text_chunk_pack",
       (s, dir) => {
         val tokens = tokensOf(s, dir)
         val vocab = vocabOf(tokens)
         tokens.join(broadcast(vocab), "word")
-          .groupBy(col("doc_id"))
+          .groupBy(col("doc_id"),
+            expr(s"pos DIV $CHUNK_LEN").cast("long").as("chunk_idx"))
           .agg(expr(
             "transform(array_sort(collect_list(struct(pos, id))), x -> x.id)")
-            .as("ids"))
-          .select(col("doc_id"), posexplode(expr(
-            s"""transform(sequence(0, (size(ids) + ${CHUNK_LEN - 1})
-               |    div $CHUNK_LEN - 1),
-               |  i -> slice(ids, i * $CHUNK_LEN + 1, $CHUNK_LEN))"""
-              .stripMargin))
-            .as(Seq("chunk_idx", "chunk")))
-          .select(col("doc_id"), col("chunk_idx").cast("long")
-            .as("chunk_idx"),
+            .as("chunk"))
+          .select(col("doc_id"), col("chunk_idx"),
             size(col("chunk")).cast("long").as("chunk_len"),
             concat_ws(",", expr("transform(chunk, x -> cast(x as string))"))
               .as("chunk_csv"))
@@ -1426,20 +1429,13 @@ object PipelineOps {
         |  SELECT word, row_number() OVER (ORDER BY count(*) DESC, word ASC)
         |    AS id
         |  FROM tokens GROUP BY word),
-        |seqs AS (
-        |  SELECT doc_id, list(id ORDER BY pos) AS ids
-        |  FROM tokens JOIN vocab USING (word) GROUP BY doc_id),
         |chunked AS (
-        |  SELECT doc_id,
-        |    unnest(generate_series(0, (len(ids) + 31) // 32 - 1))
-        |      AS chunk_idx,
-        |    ids
-        |  FROM seqs)
-        |SELECT doc_id, chunk_idx,
-        |  len(ids[chunk_idx * 32 + 1 : (chunk_idx + 1) * 32])::BIGINT
-        |    AS chunk_len,
-        |  array_to_string(ids[chunk_idx * 32 + 1 : (chunk_idx + 1) * 32],
-        |    ',') AS chunk_csv
+        |  SELECT doc_id, pos // 32 AS chunk_idx, list(id ORDER BY pos)
+        |    AS chunk
+        |  FROM tokens JOIN vocab USING (word)
+        |  GROUP BY doc_id, pos // 32)
+        |SELECT doc_id, chunk_idx, len(chunk)::BIGINT AS chunk_len,
+        |  array_to_string(chunk, ',') AS chunk_csv
         |FROM chunked ORDER BY doc_id, chunk_idx"""))),
 
     // End-to-end dedup pipeline composition: exact-hash canonical keep +
