@@ -493,21 +493,19 @@ def keyset_manifest(out, verified_keys):
     return fails
 
 
-def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+def make_con(sf):
+    """Fresh DuckDB connection with spill + memory config and table views.
+
+    An in-memory DuckDB cannot spill by default, so a wide oracle
+    intermediate (shingle explosion over a 100x-scaled corpus) dies with
+    OutOfMemory instead of going out of core — found by the 100x grown
+    sweep. Give it a spill directory, and size memory_limit at 60% of
+    physical RAM, not a hardcoded figure: a fixed 80GB on a smaller host
+    would EXCEED physical memory and reinstate the OOM kill (code-review
+    r10). The 40% headroom holds the pandas result frames this script
+    keeps alongside the engine."""
     con = duckdb.connect()
-    # An in-memory DuckDB cannot spill by default, so a wide oracle
-    # intermediate (shingle explosion over a 100x-scaled corpus) dies with
-    # OutOfMemory instead of going out of core — found by the 100x grown
-    # sweep. Give it a spill directory and leave headroom for the pandas
-    # result frames this script holds alongside the engine.
     con.execute("SET temp_directory='/tmp/duckdb_preflight_spill'")
-    # 60% of physical RAM, not a hardcoded figure: a fixed 80GB on a
-    # smaller host would EXCEED physical memory and reinstate the OOM
-    # kill this spill config exists to prevent (code-review r10). The
-    # 40% headroom holds the pandas result frames this script keeps
-    # alongside the engine.
     mem_kb = 0
     try:
         with open("/proc/meminfo") as f:
@@ -522,6 +520,13 @@ def main():
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    return con
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    con = make_con(sf)
     with open(os.path.join(out, "oracle_sql.json")) as f:
         oracle = json.load(f)
     keys = sorted(d for d in os.listdir(out)
@@ -533,14 +538,30 @@ def main():
             print(f"FAIL {key:28s} no spark parquet output")
             n_fail += 1
             continue
-        # A prior key's OOM can leave the connection's buffer pool pinned
-        # at its limit; one bad key must FAIL, not kill the whole run
-        # (the 100x sweep died reading the key AFTER an oracle OOM).
-        try:
-            sdf = con.execute(
-                "SELECT * FROM read_parquet(?)", [files]).df()
-        except Exception as e:
-            print(f"FAIL {key:28s} spark-dump read error: {str(e)[:160]}")
+        # An OOMed query can leave the connection's buffer pool pinned at
+        # its limit, after which EVERY later allocation fails (the 100x
+        # sweep cascaded 50+ spurious FAILs this way). On any failure:
+        # rebuild the connection and retry the key ONCE with a fresh
+        # buffer pool; only a fresh-connection failure is a real FAIL,
+        # and the loop continues on the new connection either way.
+        def run_q(q, params=None):
+            nonlocal con
+            try:
+                return con.execute(q, params).df(), None
+            except Exception:
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = make_con(sf)
+                try:
+                    return con.execute(q, params).df(), None
+                except Exception as e:
+                    return None, str(e)
+
+        sdf, err = run_q("SELECT * FROM read_parquet(?)", [files])
+        if sdf is None:
+            print(f"FAIL {key:28s} spark-dump read error: {err[:160]}")
             n_fail += 1
             continue
         if key not in oracle:
@@ -550,10 +571,9 @@ def main():
             n_pass += ok
             n_fail += (not ok)
             continue
-        try:
-            odf = con.execute(oracle[key]).df()
-        except Exception as e:
-            print(f"FAIL {key:28s} oracle error: {str(e)[:200]}")
+        odf, err = run_q(oracle[key])
+        if odf is None:
+            print(f"FAIL {key:28s} oracle error: {err[:200]}")
             n_fail += 1
             continue
         problems = compare(key, sdf, odf)
