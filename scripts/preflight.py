@@ -407,6 +407,42 @@ def compare(key, sdf, odf):
     return problems
 
 
+def decimal_columns(files):
+    """D9 (SURVEY §2.0, added r11): names of decimal-typed columns in a
+    Verify parquet dump. Raw DECIMAL(38,s) output provably fails the
+    driver's hasher (CORRECTNESS_r10: 9 keys incl. the flagship, all
+    rows/schema-matching, all hash_match:false, while this script stayed
+    187/187 green) — decimals are for accumulation, emission is
+    double/BIGINT/STRING."""
+    import pyarrow.parquet as pq
+    s = pq.read_schema(files[0])
+    import pyarrow.types as pt
+    return [f.name for f in s if pt.is_decimal(f.type)]
+
+
+def d9_selftest():
+    """Prove the D9 guard fires: a decimal-columned parquet written here
+    must be flagged. Returns 0 when the guard works, 1 when it is blind
+    (the enforcement pattern R8's trig ban uses — a guard that cannot
+    demonstrate detection is not a guard)."""
+    import tempfile
+    c = duckdb.connect()
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "probe.parquet")
+        # the y literal must be cast: a bare 1.23 is DECIMAL(3,2) in DuckDB
+        c.execute(f"COPY (SELECT CAST(1.23 AS DECIMAL(38,2)) AS x, "
+                  f"CAST(1.23 AS DOUBLE) AS y) TO '{p}' (FORMAT PARQUET)")
+        hit = decimal_columns([p])
+    c.close()
+    if hit == ["x"]:
+        print("audit d9-selftest             decimal guard fires on a "
+              "decimal column and ignores doubles")
+        return 0
+    print(f"AUDIT-FAIL d9-selftest          guard returned {hit!r}, "
+          f"expected ['x'] — D9 enforcement is blind")
+    return 1
+
+
 def schema_fingerprint(sf):
     """Fixture-drift tripwire (VERDICT r8 missing #3): compare each table's
     physical parquet schema against the pin in scripts/fixture_schemas.json.
@@ -540,24 +576,33 @@ def main():
             continue
         # An OOMed query can leave the connection's buffer pool pinned at
         # its limit, after which EVERY later allocation fails (the 100x
-        # sweep cascaded 50+ spurious FAILs this way). On any failure:
-        # rebuild the connection and retry the key ONCE with a fresh
-        # buffer pool; only a fresh-connection failure is a real FAIL,
-        # and the loop continues on the new connection either way.
+        # sweep cascaded 50+ spurious FAILs this way). On an ALLOCATION-
+        # class failure only: rebuild the connection and retry the key
+        # ONCE with a fresh buffer pool. Deterministic failures (binder/
+        # syntax/schema errors) cannot succeed on a fresh connection, so
+        # they fail fast instead of paying a second full execution on a
+        # grown corpus (ADVICE r10). A non-retried error still rebuilds
+        # the connection so later keys don't inherit a poisoned pool.
         def run_q(q, params=None):
             nonlocal con
+            import re as _re
+            oomish = _re.compile(
+                r"out of memory|could not allocate|failed to allocate"
+                r"|memory limit|allocation", _re.IGNORECASE)
             try:
                 return con.execute(q, params).df(), None
-            except Exception:
+            except Exception as e:
                 try:
                     con.close()
                 except Exception:
                     pass
                 con = make_con(sf)
+                if not oomish.search(str(e)):
+                    return None, str(e)
                 try:
                     return con.execute(q, params).df(), None
-                except Exception as e:
-                    return None, str(e)
+                except Exception as e2:
+                    return None, str(e2)
 
         sdf, err = run_q("SELECT * FROM read_parquet(?)", [files])
         if sdf is None:
@@ -570,6 +615,16 @@ def main():
                   f"(no oracle) rows={len(sdf)}")
             n_pass += ok
             n_fail += (not ok)
+            continue
+        # D9 hard gate: an oracle-declared key must not emit decimal
+        # columns (oracle-less diagnostics like diag_decimal_repr are
+        # exempt by the `key not in oracle` branch above).
+        dec = decimal_columns(files)
+        if dec:
+            print(f"FAIL {key:28s} D9: decimal-typed output column(s) "
+                  f"{dec} — driver's hasher rejects raw decimals "
+                  f"(CORRECTNESS_r10); emit double/BIGINT/STRING")
+            n_fail += 1
             continue
         odf, err = run_q(oracle[key])
         if odf is None:
@@ -609,6 +664,7 @@ def main():
     n_fail += keyset_manifest(out, keys)
     n_fail += audit(con, oracle)
     n_fail += bpe_differential(con, out)
+    n_fail += d9_selftest()
     print(f"\n{n_pass} pass / {n_fail} fail (sf={sf})")
     sys.exit(1 if n_fail else 0)
 

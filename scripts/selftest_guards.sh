@@ -52,6 +52,33 @@ grep -q "FIXTURE SCHEMA DRIFT" "$TMP/out2.log" || {
   tail -5 "$TMP/out2.log"; exit 1; }
 echo "guard 2 OK: re-encoded events.ts made preflight fail with the drift banner"
 
+# ---- guard 2b: D9 decimal-emission tripwire (r11) ------------------------
+# Proves an oracle-declared key whose dump contains a raw DECIMAL column
+# goes red BEFORE any value compare — the r10 failure mode (9 driver
+# hash-fails, local preflight green) must now be unreachable locally.
+cp -r "$SRC" "$TMP/dump_dec"
+DECKEY=$(python3 -c "
+import json
+print(sorted(json.load(open('$TMP/dump_dec/oracle_sql.json')))[0])")
+DECFILE=$(ls "$TMP/dump_dec/$DECKEY"/*.parquet | head -1)
+python3 - "$DECFILE" <<'EOF'
+import duckdb, sys
+f = sys.argv[1]
+# inject a decimal column (type-agnostic: no cast of existing data needed;
+# the D9 guard inspects the SCHEMA before any value compare runs)
+duckdb.sql(f"CREATE TABLE t AS SELECT CAST(1.23 AS DECIMAL(38,2)) "
+           f"AS __d9_probe, * FROM read_parquet('{f}')")
+duckdb.sql(f"COPY t TO '{f}' (FORMAT PARQUET)")
+EOF
+if python3 scripts/preflight.py "$SF" "$TMP/dump_dec" > "$TMP/out2b.log" 2>&1; then
+  echo "SELFTEST FAIL: preflight exited 0 despite a decimal output column"
+  exit 1
+fi
+grep -q "D9: decimal-typed output column" "$TMP/out2b.log" || {
+  echo "SELFTEST FAIL: decimal dump not attributed to the D9 guard:"
+  tail -5 "$TMP/out2b.log"; exit 1; }
+echo "guard 2b OK: decimal-typed $DECKEY dump made preflight fail with the D9 diagnostic"
+
 # ---- guard 3: suite-total tripwire (inflate every key 3x) ---------------
 # Proves the bench_budgets.py cross-cutting-regression trip actually fires:
 # a uniformly-slower suite (conf change, lost cache, AQE off) must go red

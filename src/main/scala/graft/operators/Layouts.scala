@@ -93,15 +93,38 @@ object Layouts {
         val ordTab = s"graft_ord_bucketed_$digest"
         val wh = java.nio.file.Paths.get(java.net.URI.create(
           s.conf.get("spark.sql.warehouse.dir")).getPath)
-        Seq(custTab, ordTab).foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t")
-          val loc = wh.resolve(t)
+        def rmTree(loc: java.nio.file.Path): Unit =
           if (java.nio.file.Files.exists(loc)) {
             import scala.jdk.CollectionConverters._
             java.nio.file.Files.walk(loc).iterator().asScala.toSeq
               .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
           }
-        }
+        // Sweep BOTH the pre-digest fixed-name tables (left behind by
+        // pre-r10 runs, dropped by no one since) and stale digest-suffixed
+        // pairs from OTHER fixture dirs, so a shared warehouse doesn't
+        // grow one orphan pair per SF forever (ADVICE r10). Other digests
+        // may belong to a LIVE concurrent JVM (the race the digest scheme
+        // exists for), so only dirs untouched for >6h are swept — no run
+        // holds its buckets that long; the current digest and the legacy
+        // fixed names are always reclaimed (this JVM owns the former and
+        // nothing has written the latter since r10).
+        import scala.jdk.CollectionConverters._
+        val staleMs = 6L * 3600 * 1000
+        if (java.nio.file.Files.isDirectory(wh))
+          java.nio.file.Files.list(wh).iterator().asScala.toSeq
+            .filter { p =>
+              val n = p.getFileName.toString
+              val ours = n == custTab || n == ordTab ||
+                n == "graft_cust_bucketed" || n == "graft_ord_bucketed"
+              val staleOther =
+                (n.startsWith("graft_cust_bucketed_") ||
+                  n.startsWith("graft_ord_bucketed_")) &&
+                java.nio.file.Files.getLastModifiedTime(p).toMillis <
+                  System.currentTimeMillis() - staleMs
+              ours || staleOther
+            }.foreach(rmTree)
+        Seq("graft_cust_bucketed", "graft_ord_bucketed",
+            custTab, ordTab).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
         Tables.table(s, dir, "customer").write.mode("overwrite")
           .bucketBy(8, "c_custkey").sortBy("c_custkey")
           .saveAsTable(custTab)

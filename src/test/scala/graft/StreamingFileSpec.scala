@@ -307,8 +307,16 @@ class StreamingFileSpec extends AnyFunSuite {
     try q2.processAllAvailable() finally q2.stop()
     val after = spark.read.parquet(out)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(after === admitted,
-      "re-offered duplicates were re-admitted after restart")
+    // Order-insensitive across restart (VERDICT r10 task 6): WHICH doc_id
+    // of a same-microbatch duplicate pair dropDuplicates kept is arbitrary
+    // on a replayed batch, so doc_id-SET equality can flake; assert
+    // instead that (a) no re-offered duplicate was admitted — all shifted
+    // ids sit ≥ +100000, outside the corpus range — and (b) the admission
+    // count is unchanged; content-set equality is pinned below.
+    assert(after.forall(_ < 100000L),
+      "a re-offered duplicate (shifted doc_id) was admitted after restart")
+    assert(after.size === admitted.size,
+      "admission count changed across restart")
     // and the final admitted CONTENT set still equals the batch gate's hash
     // set, with exactly one admission per hash — order-insensitive, unlike
     // the old min-doc_id keep-set compare, which depended on which of the
