@@ -388,6 +388,25 @@ def compare(key, sdf, odf):
         av, bv = a.values, b.values
         if a.dtype.kind == "f" and b.dtype.kind == "f":
             eq = (av == bv) | (np.isnan(av.astype(float)) & np.isnan(bv.astype(float)))
+            # GRAFT_ULP_TOL=1 (set ONLY by scale_sweep.sh, never for
+            # driver-graded SFs): tolerate a 1-ulp gap. Past ~15
+            # significant digits a sum's exact decimal is unrepresentable
+            # in double and Spark (correctly-rounded BigDecimal cast) vs
+            # DuckDB (int128->double scaling) can land on ADJACENT
+            # doubles — the documented D9/dsum boundary (sum_charge at
+            # 30x: 8.5e10 at scale 6 = 17 digits, 1 ulp apart). The
+            # driver never grades such row counts; the sweep's job is to
+            # catch PLAN-level divergence, which is never 1 ulp.
+            if not eq.all() and os.environ.get("GRAFT_ULP_TOL") == "1":
+                a64, b64 = av.astype(float), bv.astype(float)
+                ulp = np.spacing(np.maximum(np.abs(a64), np.abs(b64)))
+                tol = (~eq & np.isfinite(a64) & np.isfinite(b64)
+                       & (np.abs(a64 - b64) <= ulp))
+                if tol.any():
+                    print(f"note {key:24s} {int(tol.sum())} cell(s) in "
+                          f"[{c}] tolerated at 1 ulp (GRAFT_ULP_TOL; "
+                          f">15-sig-digit decimal->double cast boundary)")
+                eq = eq | tol
             if not eq.all():
                 i = int(np.argmin(eq))
                 diff = np.nanmax(np.abs(av.astype(float) - bv.astype(float)))

@@ -79,6 +79,30 @@ grep -q "D9: decimal-typed output column" "$TMP/out2b.log" || {
   tail -5 "$TMP/out2b.log"; exit 1; }
 echo "guard 2b OK: decimal-typed $DECKEY dump made preflight fail with the D9 diagnostic"
 
+# ---- guard 2c: ULP tolerance stays narrow (r11) ---------------------------
+# The scale sweeps run preflight with GRAFT_ULP_TOL=1 (1-ulp float slack
+# for the >15-sig-digit decimal->double boundary). Prove the slack is
+# EXACTLY one ulp: a float cell nudged by ~1e-9 relative must still fail
+# even with the tolerance active.
+cp -r "$SRC" "$TMP/dump_ulp"
+ULPFILE=$(ls "$TMP/dump_ulp/agg_hash_groupby"/*.parquet | head -1)
+python3 - "$ULPFILE" <<'EOF'
+import duckdb, sys
+f = sys.argv[1]
+duckdb.sql(f"CREATE TABLE t AS SELECT * FROM read_parquet('{f}')")
+duckdb.sql("UPDATE t SET sum_qty = sum_qty * (1 + 1e-9)")
+duckdb.sql(f"COPY t TO '{f}' (FORMAT PARQUET)")
+EOF
+if GRAFT_ULP_TOL=1 python3 scripts/preflight.py "$SF" "$TMP/dump_ulp" \
+    > "$TMP/out2c.log" 2>&1; then
+  echo "SELFTEST FAIL: GRAFT_ULP_TOL=1 swallowed a 1e-9 relative error"
+  exit 1
+fi
+grep -q "value\[sum_qty\]" "$TMP/out2c.log" || {
+  echo "SELFTEST FAIL: nudged sum_qty not attributed to the value compare:"
+  tail -5 "$TMP/out2c.log"; exit 1; }
+echo "guard 2c OK: a 1e-9-nudged float cell fails even under GRAFT_ULP_TOL=1"
+
 # ---- guard 3: suite-total tripwire (inflate every key 3x) ---------------
 # Proves the bench_budgets.py cross-cutting-regression trip actually fires:
 # a uniformly-slower suite (conf change, lost cache, AQE off) must go red
