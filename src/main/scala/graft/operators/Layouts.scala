@@ -96,8 +96,9 @@ object Layouts {
         def rmTree(loc: java.nio.file.Path): Unit =
           if (java.nio.file.Files.exists(loc)) {
             import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(loc).iterator().asScala.toSeq
-              .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+            val walk = java.nio.file.Files.walk(loc)
+            val all = try walk.iterator().asScala.toSeq finally walk.close()
+            all.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
           }
         // Sweep BOTH the pre-digest fixed-name tables (left behind by
         // pre-r10 runs, dropped by no one since) and stale digest-suffixed
@@ -110,19 +111,24 @@ object Layouts {
         // nothing has written the latter since r10).
         import scala.jdk.CollectionConverters._
         val staleMs = 6L * 3600 * 1000
-        if (java.nio.file.Files.isDirectory(wh))
-          java.nio.file.Files.list(wh).iterator().asScala.toSeq
-            .filter { p =>
-              val n = p.getFileName.toString
-              val ours = n == custTab || n == ordTab ||
-                n == "graft_cust_bucketed" || n == "graft_ord_bucketed"
-              val staleOther =
-                (n.startsWith("graft_cust_bucketed_") ||
-                  n.startsWith("graft_ord_bucketed_")) &&
+        if (java.nio.file.Files.isDirectory(wh)) {
+          val ls = java.nio.file.Files.list(wh)
+          val entries = try ls.iterator().asScala.toSeq finally ls.close()
+          entries.filter { p =>
+            val n = p.getFileName.toString
+            val ours = n == custTab || n == ordTab ||
+              n == "graft_cust_bucketed" || n == "graft_ord_bucketed"
+            // mtime read may race another JVM's concurrent cleanup —
+            // a vanished dir is simply not ours to sweep
+            val staleOther =
+              (n.startsWith("graft_cust_bucketed_") ||
+                n.startsWith("graft_ord_bucketed_")) &&
+              scala.util.Try(
                 java.nio.file.Files.getLastModifiedTime(p).toMillis <
-                  System.currentTimeMillis() - staleMs
-              ours || staleOther
-            }.foreach(rmTree)
+                  System.currentTimeMillis() - staleMs).getOrElse(false)
+            ours || staleOther
+          }.foreach(rmTree)
+        }
         Seq("graft_cust_bucketed", "graft_ord_bucketed",
             custTab, ordTab).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
         Tables.table(s, dir, "customer").write.mode("overwrite")
