@@ -41,6 +41,28 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("D9: no oracle-declared key emits a decimal-typed column") {
+    // JVM-level mirror of the preflight schema guard (SURVEY §2.0 D9):
+    // raw DECIMAL output provably fails the driver's hasher, so it must
+    // be caught at `sbt test` time, before a dump even exists. Schema
+    // inspection only — no execution.
+    import org.apache.spark.sql.types.DecimalType
+    def decimals(q: Q) = q.build(spark, sf).schema.fields
+      .collect { case f if f.dataType.isInstanceOf[DecimalType] => f.name }
+    Registry.all.filter(_.oracle.isDefined).foreach { q =>
+      assert(decimals(q).isEmpty,
+        s"${q.key} emits decimal column(s) ${decimals(q)} — D9 bans " +
+          "decimals at the hash-graded interface (accumulate in decimal, " +
+          "emit double/BIGINT/STRING)")
+    }
+    // ...and the oracle-less probe must keep all three representations,
+    // or it stops being the hasher-localization instrument D9 relies on.
+    val probe = Registry.all.find(_.key == "diag_decimal_repr").get
+    assert(probe.oracle.isEmpty, "diag_decimal_repr must stay oracle-less")
+    assert(decimals(probe) === Seq("sum_dec"),
+      "the probe must emit exactly one decimal leg next to double/string")
+  }
+
   test("Tables.events reads the legacy INT64 TIMESTAMP(NANOS) variant") {
     // The pre-r8 physical encoding, pinned as a test resource (pyarrow
     // timestamp[ns], INT64 + Timestamp(nanoseconds) logical type) so the
