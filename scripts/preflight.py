@@ -681,8 +681,18 @@ def main():
             n_fail += 1
     n_fail += schema_fingerprint(sf)
     n_fail += keyset_manifest(out, keys)
-    n_fail += audit(con, oracle)
-    n_fail += bpe_differential(con, out)
+    # GRAFT_SKIP_AUDITS=1: for chunked per-key re-runs on 100x-class
+    # corpora ONLY. The boundary audits re-scan whole tables (tf_idf over
+    # 500k docs) and are the one stage that OOMs a buffer pool already
+    # stressed by a heavy key compare — and they will have passed in the
+    # sibling full-chunk processes. Never set on a driver-SF gate: there
+    # the audits are cheap and load-bearing.
+    if os.environ.get("GRAFT_SKIP_AUDITS") == "1":
+        print("note: boundary audits + BPE differential SKIPPED "
+              "(GRAFT_SKIP_AUDITS=1 — chunked oracle re-run)")
+    else:
+        n_fail += audit(con, oracle)
+        n_fail += bpe_differential(con, out)
     n_fail += d9_selftest()
     print(f"\n{n_pass} pass / {n_fail} fail (sf={sf})")
     sys.exit(1 if n_fail else 0)

@@ -75,6 +75,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(avg === 3.0)
   }
 
+  test("Det.dsum's emitted double is the correctly-rounded exact sum " +
+    "past 15 significant digits (the D9 boundary, pinned)") {
+    // The sum below needs 17 significant digits — unrepresentable in
+    // double, so the cast must round. Spark's decimal->double goes
+    // through BigDecimal.doubleValue (correctly rounded); pin that the
+    // emitted value IS the nearest double to the exact decimal, so the
+    // only cross-engine exposure left is the ORACLE's cast (DuckDB's
+    // int128 scaling can be 1 ulp off — tolerated by the scale sweeps,
+    // never reachable at driver-graded row counts).
+    val exact = new java.math.BigDecimal("84851274223.023965") // 17 digits
+    // feed decimals directly (doubles could not carry these addends):
+    // the (38,18)->(28,6) cast inside dsum is exact for scale<=6 values
+    val df = Seq("84851274223.023960", "0.000005")
+      .map(new java.math.BigDecimal(_)).toDF("v")
+    val emitted = df.agg(Det.dsum(col("v"), 6).as("s")).head.getDouble(0)
+    assert(emitted === exact.doubleValue,
+      "dsum's double emission must be the correctly-rounded exact sum")
+    // and the value genuinely sits past double's exact range: its
+    // round-trip through double does NOT recover the decimal
+    assert(new java.math.BigDecimal(exact.doubleValue).compareTo(exact) != 0)
+  }
+
   test("graft_dot matches HOF semantics on nulls and unequal lengths") {
     graft.plans.GraftFunctions.register(spark)
     val schema = StructType(Seq(
