@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -548,44 +549,54 @@ object EventOps {
     // RFM segmentation — recency/frequency/monetary quartiles per user,
     // the classic user-base triage every growth team runs. Fact-
     // proportional work is ONE groupBy(user_id) with map-side partials;
-    // everything after (the global anchor, three ntile windows, the
-    // segment CASE) runs on the per-user aggregate. HONEST SCALE NOTE
-    // (ADVICE r10): unlike event_type, the USER domain grows with the
-    // corpus, so the three unpartitioned ntile windows are a single-task
-    // global sort over all users — fine up to ~10^8 users (a few GB of
-    // 5-column rows through one task's ExternalSorter), the documented
-    // ceiling of this exact-quartile shape. Past that, swap ntile for a
-    // distributed rank: sortWithinPartitions + per-partition counts
-    // broadcast as cumulative offsets (rank = offset + local row number),
-    // then bucket = (4*rank-1) DIV n — same remainder-to-earlier-buckets
-    // semantics, no global single task. Kept as ntile here because the
-    // oracle's SQL-standard ntile is the semantic contract being graded.
-    // All three metrics are exact: recency is integer-µs floor-division
-    // into days, frequency is a long count, monetary is the decimal-
-    // accumulated sum emitted as double (Det.dsum — D9: raw decimal
-    // emission fails the driver's hasher; double is exact at graded SFs),
-    // so every ntile ORDER BY is over exact values with a user_id
-    // tie-break: bucket assignment is fully deterministic and identical
-    // cross-engine (SQL-standard ntile: equal buckets, remainder to the
-    // earlier ones). Quartile 1 is always "best".
+    // everything after runs on the per-user aggregate. The USER domain
+    // grows with the corpus, so quartiles are NOT ntile windows (r12,
+    // VERDICT r11 task 2 — the old three unpartitioned ntile sorts were a
+    // single-task ceiling at ~10^8 users): the per-user frame is
+    // localCheckpoint'ed once (pagerank/bpeMerges precedent — also what
+    // lets the scalar anchor come from one tiny aggregate instead of an
+    // unpartitioned whole-frame window), each axis gets a DistRank
+    // two-phase global rank (range-partitioned, no single-partition
+    // exchange), and the bucket is literal arithmetic on the rank:
+    // SQL-standard ntile(4) over n rows puts boundary i at rank
+    // i·(n DIV 4) + min(i, n MOD 4) — equal buckets, remainder to the
+    // earlier ones — so bucket = 1 + Σᵢ [rank > boundary(i)], bit-equal
+    // to the oracle's ntile at any n. All three metrics are exact:
+    // recency is integer-µs floor-division into days, frequency is a long
+    // count, monetary is the decimal-accumulated sum emitted as double
+    // (Det.dsum — D9), and every rank ORDER BY tie-breaks on user_id:
+    // bucket assignment is fully deterministic and identical
+    // cross-engine. Quartile 1 is always "best".
     Q("events_rfm",
       (s, dir) => {
-        val whole = Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)
-        val byR = Window.orderBy(col("rec_days").asc, col("user_id").asc)
-        val byF = Window.orderBy(col("freq").desc, col("user_id").asc)
-        val byM = Window.orderBy(col("monetary").desc, col("user_id").asc)
-        Tables.table(s, dir, "events")
+        val perUser = Tables.table(s, dir, "events")
           .groupBy(col("user_id"))
           .agg(max(col("ts_us")).as("last_us"),
             count(lit(1)).as("freq"),
             dsum(col("value"), 2).as("monetary"))
-          .withColumn("anchor_us", max(col("last_us")).over(whole))
-          .withColumn("rec_days",
-            expr("(anchor_us - last_us) DIV 86400000000"))
-          .withColumn("r_q", ntile(4).over(byR).cast("long"))
-          .withColumn("f_q", ntile(4).over(byF).cast("long"))
-          .withColumn("m_q", ntile(4).over(byM).cast("long"))
+          .localCheckpoint()
+        val head = perUser
+          .agg(count(lit(1)).as("n"), max(col("last_us")).as("a"))
+          .collect()(0)
+        val n = head.getLong(0)
+        val anchor = if (n == 0) 0L else head.getLong(1)
+        val scored = perUser.withColumn("rec_days",
+          expr(s"(${anchor}L - last_us) DIV 86400000000"))
+        val ranked = DistRank.withRank(
+          DistRank.withRank(
+            DistRank.withRank(scored,
+              Seq(col("rec_days").asc, col("user_id").asc), "__r_rank"),
+            Seq(col("freq").desc, col("user_id").asc), "__f_rank"),
+          Seq(col("monetary").desc, col("user_id").asc), "__m_rank")
+        def boundary(i: Long): Long = i * (n / 4) + math.min(i, n % 4)
+        def quart(rank: Column): Column =
+          (lit(1L) + when(rank > boundary(1), 1L).otherwise(0L)
+            + when(rank > boundary(2), 1L).otherwise(0L)
+            + when(rank > boundary(3), 1L).otherwise(0L)).cast("long")
+        ranked
+          .withColumn("r_q", quart(col("__r_rank")))
+          .withColumn("f_q", quart(col("__f_rank")))
+          .withColumn("m_q", quart(col("__m_rank")))
           .select(col("user_id"), col("rec_days"), col("freq"),
             col("monetary"), col("r_q"), col("f_q"), col("m_q"),
             when(col("r_q") === 1 && col("f_q") === 1 && col("m_q") === 1,

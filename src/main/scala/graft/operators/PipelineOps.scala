@@ -46,12 +46,17 @@ object PipelineOps {
   private[graft] val CHUNK_LEN = 32
 
   /** Frequency-ranked vocabulary: id 1 = most frequent, ties by word —
-    * shared by text_tokenize_ids, text_chunk_pack, and the roundtrip test
-    * so the ranking rule cannot drift between them. */
+    * shared by text_tokenize_ids, text_chunk_pack, pipeline_pretokenize,
+    * and the roundtrip test so the ranking rule cannot drift between them.
+    * Ranked via [[DistRank]] (r12, VERDICT r11 task 1): vocabulary grows
+    * with the corpus (Heaps' law — ~10⁸⁺ types at 100 TB), so the old
+    * unpartitioned `row_number` window was a single-task global sort; the
+    * two-phase rank is bit-identical ((cnt desc, word) is a strict total
+    * order — word is unique) with no single-partition exchange. */
   private[graft] def vocabOf(tokens: DataFrame): DataFrame =
-    tokens.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .withColumn("id", row_number().over(
-        Window.orderBy(col("cnt").desc, col("word").asc)).cast("long"))
+    DistRank.withRank(
+      tokens.groupBy(col("word")).agg(count(lit(1)).as("cnt")),
+      Seq(col("cnt").desc, col("word").asc), "id")
       .select(col("word"), col("id"))
 
   private[graft] def tokensOf(s: SparkSession, dir: String): DataFrame =

@@ -67,33 +67,29 @@ object TextOps {
     // Zipf/vocabulary coverage curve: for the top-100 word types, what
     // share of the TOTAL token mass do ranks 1..k cover — the number a
     // tokenizer-sizing pass reads off ("how big a vocab for 95%
-    // coverage"). Single linear chain (tokenize → vocab-sized count →
-    // one ordered window pass), deliberately NOT freq.agg(total) +
-    // rejoin: a second consumer of `freq` would re-tokenize the corpus
-    // (Catalyst re-expands shared subtrees), so the running sum and the
-    // whole-frame total ride the same window exchange instead. The
-    // unpartitioned window is VOCAB-sized (word types, not tokens) —
-    // the standard single-task rank over a domain-sized frame; every
-    // corpus-proportional step before it is a map-side partial count.
-    // Counts stay exact longs; the only double op is one long/long
-    // division (exactly rounded IEEE on both engines) + round(…, 6).
+    // coverage"). Rank + running sum via DistRank (r12, VERDICT r11 task
+    // 1): the old unpartitioned window was a single-task sort over the
+    // FULL vocabulary, which grows with the corpus (Heaps' law) — the
+    // two-phase rank range-partitions instead, and the whole-frame total
+    // comes back with the same ≤P-row offsets collect, so there is still
+    // no second consumer of `freq` re-tokenizing the corpus (the
+    // shared-subtree trap the old single-window shape existed to avoid).
+    // Every corpus-proportional step is a map-side partial count; counts
+    // stay exact longs; the only double op is one long/long division
+    // (exactly rounded IEEE on both engines) + round(…, 6).
     Q("text_vocab_coverage",
       (s, dir) => {
-        val byFreq = Window.orderBy(col("freq").desc, col("word").asc)
-        val cum = byFreq.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)
-        val whole = Window.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)
-        Tables.table(s, dir, "documents")
+        val freq = Tables.table(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("word"))
           .groupBy(col("word"))
           .agg(count(lit(1)).as("freq"))
-          .withColumn("rank", row_number().over(byFreq).cast("long"))
-          .withColumn("cum_freq", sum(col("freq")).over(cum))
-          .withColumn("total", sum(col("freq")).over(whole))
-          .filter(col("rank") <= 100)
+        val r = DistRank.withRankAndCum(freq,
+          Seq(col("freq").desc, col("word").asc), "rank",
+          Seq("freq" -> "cum_freq"))
+        r.df.filter(col("rank") <= 100)
           .select(col("rank"), col("word"), col("freq"), col("cum_freq"),
-            round(col("cum_freq") / col("total"), 6).as("coverage_r6"))
+            round(col("cum_freq") / lit(r.totals("freq")), 6)
+              .as("coverage_r6"))
           .orderBy(col("rank"))
       },
       Some(sql("""WITH freq AS (

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.operators.DistRank]] must be bit-identical to the unpartitioned
+  * `row_number` window it replaces (VERDICT r11 tasks 1–2: the rewrite is
+  * only hash-neutral if this equivalence holds for every order direction,
+  * tie-break shape, and partition skew). */
+class DistRankSpec extends AnyFunSuite {
+  import TestSpark._
+  import operators.DistRank
+
+  test("rank == unpartitioned row_number on a skewed synthetic frame") {
+    import spark.implicits._
+    // Zipf-ish duplicate-heavy keys (the vocabOf shape: huge tie classes
+    // on the first sort column, broken by the unique second) spread over
+    // enough rows that all 4 test partitions are populated.
+    val rows = (1 to 5000).map { i =>
+      (s"w${i % 7}_${i % 613}", (5000 / (1 + i % 613)).toLong)
+    }
+    val df = rows.toDF("word", "cnt")
+      .groupBy($"word").agg(sum($"cnt").as("cnt"))
+    val expected = df.withColumn("id", row_number().over(
+        Window.orderBy($"cnt".desc, $"word".asc)).cast("long"))
+      .select($"word", $"id").collect().map(r => r.getString(0) -> r.getLong(1))
+    val got = DistRank.withRank(df, Seq($"cnt".desc, $"word".asc), "id")
+      .select($"word", $"id").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toMap === expected.toMap)
+  }
+
+  test("running sum + totals == unpartitioned cumulative window") {
+    import spark.implicits._
+    val df = (1 to 997).map(i => (s"k$i", (i * 37 % 101 + 1).toLong))
+      .toDF("word", "freq")
+    val w = Window.orderBy($"freq".desc, $"word".asc)
+    val expected = df.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum($"freq").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"word", $"rank", $"cum").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val r = DistRank.withRankAndCum(df,
+      Seq($"freq".desc, $"word".asc), "rank", Seq("freq" -> "cum"))
+    val got = r.df.select($"word", $"rank", $"cum").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(got === expected)
+    assert(r.rows === 997L)
+    assert(r.totals("freq") === (1 to 997).map(i => (i * 37 % 101 + 1).toLong).sum)
+  }
+
+  test("ranked plan has no single-partition exchange") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (s"k$i", i.toLong)).toDF("word", "freq")
+    val ranked = DistRank.withRank(df, Seq($"freq".desc, $"word".asc), "id")
+    ranked.collect()
+    val p = ranked.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
+  test("quartile-from-rank matches ntile(4) at awkward row counts") {
+    import spark.implicits._
+    // The events_rfm bucket formula: boundary(i) = i*(n/4) + min(i, n%4),
+    // bucket = 1 + Σ [rank > boundary(i)] — must equal SQL ntile for every
+    // remainder class, including n < 4.
+    for (n <- Seq(1, 2, 3, 4, 5, 7, 8, 100, 101, 102, 103)) {
+      val df = (1 to n).map(i => (i.toLong, s"u$i")).toDF("v", "u")
+      val expected = df.withColumn("q",
+          ntile(4).over(Window.orderBy($"v".asc, $"u".asc)).cast("long"))
+        .select($"u", $"q").collect().map(r => r.getString(0) -> r.getLong(1))
+      val ranked = DistRank.withRank(df, Seq($"v".asc, $"u".asc), "r")
+      def boundary(i: Long): Long = i * (n / 4) + math.min(i, n % 4)
+      val got = ranked.withColumn("q",
+          (lit(1L) + when($"r" > boundary(1), 1L).otherwise(0L)
+            + when($"r" > boundary(2), 1L).otherwise(0L)
+            + when($"r" > boundary(3), 1L).otherwise(0L)).cast("long"))
+        .select($"u", $"q").collect().map(r => r.getString(0) -> r.getLong(1))
+      assert(got.toMap === expected.toMap, s"n=$n")
+    }
+  }
+}

@@ -534,13 +534,34 @@ class PlanSpec extends AnyFunSuite {
     assert(scans === 0, s"expected 0 events scans, saw $scans:\n${p.take(3000)}")
   }
 
-  test("rfm executes ONE events scan and one user_id exchange") {
+  test("rfm final plan: no fact re-scan, no single-partition exchange") {
+    // The single events scan + the one user_id exchange happen EAGERLY
+    // while building the frame (the per-user aggregate localCheckpoints —
+    // pagerank precedent); the returned plan must read only checkpointed
+    // user-domain data. r12 (VERDICT r11 task 2): quartiles are literal
+    // arithmetic over DistRank two-phase ranks, so the old three
+    // unpartitioned ntile Windows — a ×3 single-task global sort over a
+    // user domain that grows with the corpus — must be gone entirely.
     val p = finalPlanOf(Registry.queries("events_rfm")(spark, sf))
     val scans = "events\\.parquet".r.findAllMatchIn(p).size
-    assert(scans === 1, s"expected 1 events scan, saw $scans:\n${p.take(3000)}")
-    val userEx = "hashpartitioning\\(user_id".r.findAllMatchIn(p).size
-    assert(userEx === 1,
-      s"expected exactly 1 hash exchange on user_id, saw $userEx:\n" +
+    assert(scans === 0, s"expected 0 events scans, saw $scans:\n${p.take(3000)}")
+    assert(!p.contains("SinglePartition"),
+      "single-partition exchange crept back in:\n" + p.take(3000))
+    assert(!p.contains("Window"),
+      "a window sort crept back into rfm (ranks are map-side now):\n" +
         p.take(3000))
+  }
+
+  test("vocab-ranked keys plan no single-partition exchange") {
+    // r12 (VERDICT r11 task 1): vocabOf / text_vocab_coverage rank the
+    // FULL vocabulary — a corpus-growing domain (Heaps' law) — so the
+    // rank must be DistRank's range-partitioned two-phase shape, never an
+    // unpartitioned row_number window's Exchange SinglePartition.
+    Seq("text_tokenize_ids", "text_chunk_pack", "text_vocab_coverage")
+      .foreach { k =>
+        val p = finalPlanOf(Registry.queries(k)(spark, sf))
+        assert(!p.contains("SinglePartition"),
+          s"$k has a single-partition exchange:\n" + p.take(3000))
+      }
   }
 }
