@@ -10,15 +10,64 @@
 # whole-table boundary audits skipped (GRAFT_SKIP_AUDITS=1 — they passed
 # in the sibling chunks), and only a solo per-key failure is real.
 #
-# Usage: scripts/chunked_preflight.sh SF_DIR VERIFY_DUMP [CHUNK=12]
-# Exit 0 == every key in the dump passed in some process.
+# Round-12 hardening (VERDICT r11 task 3 + ADVICE r11):
+#  - KEYS come from the dump's keys.json REGISTRY, not from `ls` of the
+#    dump dirs: a silent engine-side write failure (registry key with no
+#    output dir, or a key recorded in `failed`) hard-fails up front
+#    instead of becoming invisible to the roll-up.
+#  - ULP tolerance is a parameter, STRICT by default: pass ULP_TOL=1 for
+#    grown-fixture sweeps only (the >15-sig-digit decimal→double cast
+#    boundary, SURVEY D9). A chunked run at a driver-graded SF can never
+#    quietly under-claim "bit-exact" again.
+#  - A chunk that exits nonzero with NOTHING left to retry (every key
+#    printed pass) is a GRADED non-key failure — boundary audit, schema
+#    fingerprint drift, keyset manifest, d9 selftest — and propagates as
+#    a hard failure; sibling-chunk passes cover crashes, not graded
+#    audit failures. Any AUDIT-FAIL line anywhere is also terminal.
+#
+# Usage: [ULP_TOL=0|1] scripts/chunked_preflight.sh SF_DIR VERIFY_DUMP [CHUNK=12]
+# Exit 0 == manifest clean, every registry key passed in some process,
+#           and no graded audit failure anywhere.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:?scaled fixture dir}"
 SRC="${2:?verify dump dir}"
 CHUNK="${3:-12}"
+ULP_TOL="${ULP_TOL:-0}"
 WORK=$(mktemp -d /tmp/graft_chunks.XXXX)
 trap 'rm -rf "$WORK"' EXIT
+
+# ---- source-manifest gate (ADVICE r11): trust the registry, not `ls` ----
+# Hard-fail BEFORE chunking if the Verify run itself recorded failures or
+# left a registry/attempted key with no output dir — chunking such a dump
+# would grade a silent subset with exit 0.
+# (mapfile can't see a process substitution's exit status, so gate via a
+# temp file + explicit status check)
+if ! python3 - "$SRC" > "$WORK/keys.txt" <<'PY'
+import json, os, sys
+src = sys.argv[1]
+m = json.load(open(os.path.join(src, "keys.json")))
+if m.get("failed"):
+    sys.stderr.write("MANIFEST-FAIL: source dump records engine-side "
+                     f"failures: {sorted(m['failed'])}\n")
+    sys.exit(1)
+expected = m["attempted"] if m.get("filtered") else m["registry"]
+holes = [k for k in expected if not os.path.isdir(os.path.join(src, k))]
+if holes:
+    sys.stderr.write("MANIFEST-FAIL: registry key(s) with no output dir "
+                     f"(silent write failure?): {sorted(holes)}\n")
+    sys.exit(1)
+orphans = [d for d in os.listdir(src)
+           if os.path.isdir(os.path.join(src, d)) and d not in expected]
+if orphans:
+    sys.stderr.write("MANIFEST-FAIL: dump dirs not in the manifest "
+                     f"(stale dump?): {sorted(orphans)}\n")
+    sys.exit(1)
+print("\n".join(sorted(expected)))
+PY
+then echo "source manifest check FAILED — refusing to chunk"; exit 1; fi
+mapfile -t KEYS < "$WORK/keys.txt"
+[ ${#KEYS[@]} -gt 0 ] || { echo "MANIFEST-FAIL: empty key set"; exit 1; }
 
 mk_chunk() { # $1=dir, rest=keys — a filtered dump view over symlinks
   local d=$1; shift
@@ -27,29 +76,40 @@ mk_chunk() { # $1=dir, rest=keys — a filtered dump view over symlinks
   python3 - "$d" "$@" <<'PY'
 import json, sys
 d, ks = sys.argv[1], sys.argv[2:]
+# the source manifest was gated clean above (failed=[], no holes), so the
+# chunk view carries exactly its keys, marked filtered for preflight
 json.dump({"registry": ks, "attempted": ks, "failed": [],
            "filtered": True}, open(f"{d}/keys.json", "w"))
 PY
   local k; for k in "$@"; do ln -s "$SRC/$k" "$d/$k"; done
 }
 
-mapfile -t KEYS < <(ls -d "$SRC"/*/ | xargs -n1 basename | sort)
 declare -a cur=() retry=()
 c=0
+hard_fail=0
 for k in "${KEYS[@]}"; do
   cur+=("$k")
   if [ ${#cur[@]} -ge "$CHUNK" ] || [ "$k" = "${KEYS[-1]}" ]; then
     d="$WORK/c$c"
     mk_chunk "$d" "${cur[@]}"
-    if GRAFT_ULP_TOL=1 python3 scripts/preflight.py "$SF" "$d" \
+    if GRAFT_ULP_TOL="$ULP_TOL" python3 scripts/preflight.py "$SF" "$d" \
         > "$WORK/c$c.log" 2>&1; then
       echo "chunk $c OK (${#cur[@]} keys)"
     else
-      # keys that printed "pass" before the crash are done; retry the rest
+      # keys that printed "pass" before the crash are done; retry the rest.
+      # If NOTHING is left to retry, the failure was graded and non-key
+      # (audit/drift/manifest/selftest) — terminal, siblings can't cover it.
       echo "chunk $c FAILED — scheduling unpassed keys for solo re-run"
+      before=${#retry[@]}
       for kk in "${cur[@]}"; do
         grep -qE "^pass $kk " "$WORK/c$c.log" || retry+=("$kk")
       done
+      if [ ${#retry[@]} -eq "$before" ]; then
+        echo "chunk $c: graded non-key failure (all keys passed, exit != 0):"
+        grep -E "AUDIT-FAIL|^FAIL|DRIFT|MANIFEST|selftest" "$WORK/c$c.log" \
+          | head -5
+        hard_fail=1
+      fi
     fi
     cur=(); c=$((c+1))
   fi
@@ -59,7 +119,7 @@ fails=0
 for k in "${retry[@]+"${retry[@]}"}"; do
   d="$WORK/solo_$k"
   mk_chunk "$d" "$k"
-  GRAFT_ULP_TOL=1 GRAFT_SKIP_AUDITS=1 \
+  GRAFT_ULP_TOL="$ULP_TOL" GRAFT_SKIP_AUDITS=1 \
     python3 scripts/preflight.py "$SF" "$d" > "$WORK/solo_$k.log" 2>&1
   if grep -qE "^pass $k " "$WORK/solo_$k.log"; then
     echo "solo $k OK"
@@ -70,8 +130,13 @@ for k in "${retry[@]+"${retry[@]}"}"; do
   fi
 done
 
-# roll-up: every key must have a pass line somewhere, and no FAIL anywhere
+# roll-up: every registry key must have a pass line somewhere, no solo
+# failure, no graded non-key failure, and no AUDIT-FAIL anywhere at all
 cat "$WORK"/*.log | grep -E "^note " | sort -u
-passed=$(cat "$WORK"/*.log | grep -E "^pass " | awk '{print $2}' | sort -u | wc -l)
-echo "---- ${passed}/${#KEYS[@]} keys passed; $fails solo failure(s) ----"
-[ "$fails" -eq 0 ] && [ "$passed" -eq "${#KEYS[@]}" ]
+audit_fails=$(cat "$WORK"/*.log | grep -cE "^AUDIT-FAIL" || true)
+passed=$(cat "$WORK"/*.log | grep -E "^pass " | awk '{print $2}' | sort -u \
+  | grep -cxF -f <(printf '%s\n' "${KEYS[@]}") || true)
+echo "---- ${passed}/${#KEYS[@]} registry keys passed; $fails solo" \
+  "failure(s); $audit_fails audit failure(s); hard_fail=$hard_fail ----"
+[ "$fails" -eq 0 ] && [ "$hard_fail" -eq 0 ] && [ "$audit_fails" -eq 0 ] \
+  && [ "$passed" -eq "${#KEYS[@]}" ]

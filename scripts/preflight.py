@@ -432,11 +432,17 @@ def decimal_columns(files):
     driver's hasher (CORRECTNESS_r10: 9 keys incl. the flagship, all
     rows/schema-matching, all hash_match:false, while this script stayed
     187/187 green) — decimals are for accumulation, emission is
-    double/BIGINT/STRING."""
+    double/BIGINT/STRING. Unions ALL part files (ADVICE r11: a
+    heterogeneous multi-file dump whose first part happened to lack the
+    decimal column would evade the gate; per-file read_schema is cheap)."""
     import pyarrow.parquet as pq
-    s = pq.read_schema(files[0])
     import pyarrow.types as pt
-    return [f.name for f in s if pt.is_decimal(f.type)]
+    hit = []
+    for fp in files:
+        for f in pq.read_schema(fp):
+            if pt.is_decimal(f.type) and f.name not in hit:
+                hit.append(f.name)
+    return sorted(hit)
 
 
 def d9_selftest():

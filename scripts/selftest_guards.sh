@@ -183,4 +183,39 @@ print(f"grow invariants OK: dups {d}=3x{d0}, n_chars exact, norms exact, "
       f"span +62d")
 EOF
 echo "guard 4 OK: grow-mode fixture invariants hold on a 3x build"
+
+# ---- guard 5: chunked-preflight registry gate (r12, VERDICT r11 task 3) --
+# The chunked path must trust the dump's keys.json registry, not `ls`:
+# (a) a registry key whose output dir vanished (silent write failure) and
+# (b) a source manifest recording an engine-side failure must BOTH go red
+# at the manifest gate, before any chunk is graded.
+cp -r "$SRC" "$TMP/dump_hole"
+HOLEKEY=$(python3 -c "
+import json
+print(json.load(open('$TMP/dump_hole/keys.json'))['attempted'][1])")
+rm -r "$TMP/dump_hole/$HOLEKEY"
+if scripts/chunked_preflight.sh "$SF" "$TMP/dump_hole" > "$TMP/out5a.log" 2>&1; then
+  echo "SELFTEST FAIL: chunked_preflight exited 0 despite a dump hole ($HOLEKEY)"
+  exit 1
+fi
+grep -q "MANIFEST-FAIL" "$TMP/out5a.log" || {
+  echo "SELFTEST FAIL: dump hole not attributed to the manifest gate:"
+  tail -5 "$TMP/out5a.log"; exit 1; }
+cp -r "$SRC" "$TMP/dump_failed"
+python3 - "$TMP/dump_failed/keys.json" <<'EOF'
+import json, sys
+p = sys.argv[1]
+m = json.load(open(p))
+m["failed"] = [m["attempted"][0]]
+json.dump(m, open(p, "w"))
+EOF
+if scripts/chunked_preflight.sh "$SF" "$TMP/dump_failed" > "$TMP/out5b.log" 2>&1; then
+  echo "SELFTEST FAIL: chunked_preflight exited 0 despite recorded failures"
+  exit 1
+fi
+grep -q "MANIFEST-FAIL" "$TMP/out5b.log" || {
+  echo "SELFTEST FAIL: recorded failure not attributed to the manifest gate:"
+  tail -5 "$TMP/out5b.log"; exit 1; }
+echo "guard 5 OK: chunked manifest gate rejects dump holes and recorded failures"
+
 echo "selftest: all guards fire correctly"

@@ -636,5 +636,29 @@ object Aggs {
           dsumx(col("l_extendedprice"), 2).cast("string").as("sum_str"))
         .orderBy(col("l_returnflag")),
       None),
+
+    // §7.3.1 CANARY (r12, VERDICT r11 task 4): fixed-scale STRING emission
+    // of an exact decimal sum, probed against the DRIVER's hasher on one
+    // low-stakes, NON-flagship key. D9's double emission is exact at every
+    // driver-graded SF but carries a documented 1-ulp boundary at
+    // ≥~6M-row sums (the 100× sweep's two sum_charge cells); a
+    // driver-green fixed-scale string would be exact at ANY scale and
+    // retire that boundary for good. Spark renders a decimal as
+    // BigDecimal.toPlainString and DuckDB as the plain scale-preserving
+    // form — identical "123456.78" text for a DECIMAL(38,2) — verified
+    // bit-exact by local preflight; only the driver round can prove its
+    // hasher canonicalizes strings the same way (R8: local-green ≠
+    // driver-green for new representations). Blast radius: this 1 key.
+    Q("canary_string_sum",
+      (s, dir) => Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(dsumx(col("l_extendedprice"), 2).cast("string").as("sum_str"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag")),
+      Some(sql("""SELECT l_returnflag,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS VARCHAR)
+        |  AS sum_str,
+        |count(*)::BIGINT AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
   )
 }

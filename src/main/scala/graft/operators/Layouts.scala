@@ -105,12 +105,25 @@ object Layouts {
         // pairs from OTHER fixture dirs, so a shared warehouse doesn't
         // grow one orphan pair per SF forever (ADVICE r10). Other digests
         // may belong to a LIVE concurrent JVM (the race the digest scheme
-        // exists for), so only dirs untouched for >6h are swept — no run
-        // holds its buckets that long; the current digest and the legacy
-        // fixed names are always reclaimed (this JVM owns the former and
-        // nothing has written the latter since r10).
+        // exists for), so staleness uses the NEWEST mtime across the
+        // whole directory TREE — a top-level dir's mtime does not update
+        // on writes to nested leaf files, so the old top-level-only read
+        // could sweep a table a long soak was still writing (ADVICE r11)
+        // — with a 24 h threshold, comfortably above the longest observed
+        // sweep (the 100× chunked run is a few hours). The current digest
+        // and the legacy fixed names are always reclaimed (this JVM owns
+        // the former and nothing has written the latter since r10).
         import scala.jdk.CollectionConverters._
-        val staleMs = 6L * 3600 * 1000
+        val staleMs = 24L * 3600 * 1000
+        def newestMtime(root: java.nio.file.Path): Long = {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.iterator().asScala.map { f =>
+            scala.util.Try(
+              java.nio.file.Files.getLastModifiedTime(f).toMillis)
+              .getOrElse(Long.MaxValue) // racing delete: treat as fresh
+          }.foldLeft(0L)(math.max)
+          finally walk.close()
+        }
         if (java.nio.file.Files.isDirectory(wh)) {
           val ls = java.nio.file.Files.list(wh)
           val entries = try ls.iterator().asScala.toSeq finally ls.close()
@@ -118,14 +131,13 @@ object Layouts {
             val n = p.getFileName.toString
             val ours = n == custTab || n == ordTab ||
               n == "graft_cust_bucketed" || n == "graft_ord_bucketed"
-            // mtime read may race another JVM's concurrent cleanup —
+            // mtime walk may race another JVM's concurrent cleanup —
             // a vanished dir is simply not ours to sweep
             val staleOther =
               (n.startsWith("graft_cust_bucketed_") ||
                 n.startsWith("graft_ord_bucketed_")) &&
-              scala.util.Try(
-                java.nio.file.Files.getLastModifiedTime(p).toMillis <
-                  System.currentTimeMillis() - staleMs).getOrElse(false)
+              scala.util.Try(newestMtime(p) <
+                System.currentTimeMillis() - staleMs).getOrElse(false)
             ours || staleOther
           }.foreach(rmTree)
         }
