@@ -46,11 +46,15 @@ object DistRank {
     * partition (Spark's documented layout: partitionId << 33 | ordinal). */
   private val LOCAL_MASK = (1L << 33) - 1
 
-  /** Result frame plus the collected totals: `rows` = grand row count,
-    * `totals(src)` = grand sum of each `cum` source column — scalars a
-    * caller would otherwise need a second (subtree-duplicating) aggregate
-    * to obtain. */
-  final case class Ranked(df: DataFrame, rows: Long, totals: Map[String, Long])
+  /** Result frame plus the collected scalars: `rows` = grand row count,
+    * `totals(src)` = grand sum of each `cum` source column, `maxes(c)` =
+    * grand max of each `maxCols` column — scalars a caller would
+    * otherwise need a second (subtree-duplicating or job-adding)
+    * aggregate to obtain; here they ride the same ≤P-row stats collect
+    * for free (events_rfm gets its global anchor this way instead of a
+    * separate checkpoint + aggregate job pair). */
+  final case class Ranked(df: DataFrame, rows: Long,
+      totals: Map[String, Long], maxes: Map[String, Long])
 
   /** `df` + a 1-based global-rank column over `order` (which must be a
     * strict total order — tie-break to uniqueness, e.g. with a key col). */
@@ -58,24 +62,34 @@ object DistRank {
     withRankAndCum(df, order, rankCol, Nil).df
 
   /** As [[withRank]], plus for each `(src, dst)` in `cum` a running sum of
-    * long column `src` over the same total order, emitted as `dst`. */
+    * long column `src` over the same total order, emitted as `dst`, plus
+    * the grand max of each long column in `maxCols`. */
   def withRankAndCum(df: DataFrame, order: Seq[Column], rankCol: String,
-      cum: Seq[(String, String)]): Ranked = {
+      cum: Seq[(String, String)], maxCols: Seq[String] = Nil): Ranked = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    // LAZY checkpoint: the stats collect right below is the first action,
+    // so one job pays shuffle + sort + mono-id + block storage + the
+    // stats aggregate together (an eager checkpoint would spend a whole
+    // extra driver round-trip per rank — pure dispatch-floor wall at
+    // fixture scale). The collect still materializes the blocks BEFORE
+    // the caller's plan can run, so both consumers read the same pinned
+    // partitioning — the determinism argument is unchanged.
     val sorted = df
       .repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__mono", monotonically_increasing_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val pid = shiftright(col("__mono"), 33)
     val aggCols = count(lit(1)).as("__n") +:
-      cum.map { case (src, _) => sum(col(src)).as(s"__sum_$src") }
+      (cum.map { case (src, _) => sum(col(src)).as(s"__sum_$src") } ++
+        maxCols.map(c => max(col(c)).as(s"__max_$c")))
     val stats = sorted.groupBy(pid.as("__pid"))
       .agg(aggCols.head, aggCols.tail: _*)
       .orderBy(col("__pid"))
       .collect() // ≤ P rows: task-count-sized, never corpus-sized
     var rows = 0L
     val sums = scala.collection.mutable.Map(cum.map(_._1 -> 0L): _*)
+    val maxes = scala.collection.mutable.Map.empty[String, Long]
     val rankOff = Map.newBuilder[Long, Long]
     val cumOff = cum.map(_._1 -> Map.newBuilder[Long, Long]).toMap
     stats.foreach { r =>
@@ -85,6 +99,11 @@ object DistRank {
       cum.zipWithIndex.foreach { case ((src, _), i) =>
         cumOff(src) += id -> sums(src)
         sums(src) += r.getLong(2 + i)
+      }
+      maxCols.zipWithIndex.foreach { case (c, i) =>
+        val j = 2 + cum.size + i
+        if (!r.isNullAt(j))
+          maxes(c) = math.max(maxes.getOrElse(c, Long.MinValue), r.getLong(j))
       }
     }
     def off(m: Map[Long, Long]): Column = element_at(typedLit(m), pid)
@@ -102,6 +121,6 @@ object DistRank {
           acc.withColumn(dst, off(cumOff(src).result()) + sum(col(src)).over(w))
         }
       }
-    Ranked(withCums.drop("__mono"), rows, sums.toMap)
+    Ranked(withCums.drop("__mono"), rows, sums.toMap, maxes.toMap)
   }
 }

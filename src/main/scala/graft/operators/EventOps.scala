@@ -552,12 +552,11 @@ object EventOps {
     // everything after runs on the per-user aggregate. The USER domain
     // grows with the corpus, so quartiles are NOT ntile windows (r12,
     // VERDICT r11 task 2 — the old three unpartitioned ntile sorts were a
-    // single-task ceiling at ~10^8 users): the per-user frame is
-    // localCheckpoint'ed once (pagerank/bpeMerges precedent — also what
-    // lets the scalar anchor come from one tiny aggregate instead of an
-    // unpartitioned whole-frame window), each axis gets a DistRank
-    // two-phase global rank (range-partitioned, no single-partition
-    // exchange), and the bucket is literal arithmetic on the rank:
+    // single-task ceiling at ~10^8 users): each axis gets a DistRank
+    // two-phase global rank (range-partitioned, checkpoint-pinned, no
+    // single-partition exchange; the scalar anchor and n ride the first
+    // rank's ≤P-row stats collect instead of an unpartitioned whole-frame
+    // window), and the bucket is literal arithmetic on the rank:
     // SQL-standard ntile(4) over n rows puts boundary i at rank
     // i·(n DIV 4) + min(i, n MOD 4) — equal buckets, remainder to the
     // earlier ones — so bucket = 1 + Σᵢ [rank > boundary(i)], bit-equal
@@ -574,19 +573,21 @@ object EventOps {
           .agg(max(col("ts_us")).as("last_us"),
             count(lit(1)).as("freq"),
             dsum(col("value"), 2).as("monetary"))
-          .localCheckpoint()
-        val head = perUser
-          .agg(count(lit(1)).as("n"), max(col("last_us")).as("a"))
-          .collect()(0)
-        val n = head.getLong(0)
-        val anchor = if (n == 0) 0L else head.getLong(1)
-        val scored = perUser.withColumn("rec_days",
+        // The frequency rank goes first because it does not need the
+        // recency anchor — so n (rows) and the anchor (max last_us) ride
+        // its ≤P-row stats collect, and the per-user aggregate needs no
+        // separate checkpoint + aggregate job pair of its own (each
+        // driver-side job is pure dispatch-floor wall at fixture scale).
+        val r1 = DistRank.withRankAndCum(perUser,
+          Seq(col("freq").desc, col("user_id").asc), "__f_rank",
+          Nil, maxCols = Seq("last_us"))
+        val n = r1.rows
+        val anchor = r1.maxes.getOrElse("last_us", 0L)
+        val scored = r1.df.withColumn("rec_days",
           expr(s"(${anchor}L - last_us) DIV 86400000000"))
         val ranked = DistRank.withRank(
-          DistRank.withRank(
-            DistRank.withRank(scored,
-              Seq(col("rec_days").asc, col("user_id").asc), "__r_rank"),
-            Seq(col("freq").desc, col("user_id").asc), "__f_rank"),
+          DistRank.withRank(scored,
+            Seq(col("rec_days").asc, col("user_id").asc), "__r_rank"),
           Seq(col("monetary").desc, col("user_id").asc), "__m_rank")
         def boundary(i: Long): Long = i * (n / 4) + math.min(i, n % 4)
         def quart(rank: Column): Column =
