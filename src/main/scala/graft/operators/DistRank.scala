@@ -66,27 +66,42 @@ object DistRank {
     * the grand max of each long column in `maxCols`. */
   def withRankAndCum(df: DataFrame, order: Seq[Column], rankCol: String,
       cum: Seq[(String, String)], maxCols: Seq[String] = Nil): Ranked = {
-    val p = df.sparkSession.sessionState.conf.numShufflePartitions
-    // LAZY checkpoint: the stats collect right below is the first action,
-    // so one job pays shuffle + sort + mono-id + block storage + the
-    // stats aggregate together (an eager checkpoint would spend a whole
-    // extra driver round-trip per rank — pure dispatch-floor wall at
-    // fixture scale). The collect still materializes the blocks BEFORE
-    // the caller's plan can run, so both consumers read the same pinned
-    // partitioning — the determinism argument is unchanged.
+    val sess = df.sparkSession
+    val p = sess.sessionState.conf.numShufflePartitions
+    val pid = shiftright(col("__mono"), 33)
+    // NOTE on the range exchange's double-compute: RangePartitioner's
+    // sampling pass computes the upstream chain once and the shuffle map
+    // stage computes it again — the same two-pass cost every Spark
+    // global sort (orderBy) pays. Checkpointing the input first was
+    // measured WORSE here (an AQE-backed Dataset's lazy localCheckpoint
+    // materializes its upstream stages eagerly at call time and lazy
+    // local checkpointing launches synchronous catch-up jobs — 5-16 s
+    // stalls at fixture scale); callers whose upstream is genuinely
+    // expensive should pass an already-checkpointed frame (events_rfm's
+    // chained ranks do exactly that — rank 2 reads rank 1's pinned
+    // blocks).
+    //
+    // LAZY output checkpoint: the stats collect right below is the first
+    // action, so one job pays shuffle + sort + mono-id + block storage +
+    // the stats aggregate together (an eager checkpoint would spend a
+    // whole extra driver round-trip per rank). The collect still
+    // materializes the blocks BEFORE the caller's plan can run, so both
+    // consumers read the same pinned partitioning — the determinism
+    // argument is unchanged.
     val sorted = df
       .repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__mono", monotonically_increasing_id())
       .localCheckpoint(eager = false)
-    val pid = shiftright(col("__mono"), 33)
     val aggCols = count(lit(1)).as("__n") +:
       (cum.map { case (src, _) => sum(col(src)).as(s"__sum_$src") } ++
         maxCols.map(c => max(col(c)).as(s"__max_$c")))
+    // ≤ P rows: task-count-sized, never corpus-sized. Sorted DRIVER-side:
+    // an .orderBy here would add a range exchange whose RangePartitioner
+    // launches a whole extra sampling job per rank.
     val stats = sorted.groupBy(pid.as("__pid"))
       .agg(aggCols.head, aggCols.tail: _*)
-      .orderBy(col("__pid"))
-      .collect() // ≤ P rows: task-count-sized, never corpus-sized
+      .collect().sortBy(_.getLong(0))
     var rows = 0L
     val sums = scala.collection.mutable.Map(cum.map(_._1 -> 0L): _*)
     val maxes = scala.collection.mutable.Map.empty[String, Long]
@@ -122,5 +137,44 @@ object DistRank {
         }
       }
     Ranked(withCums.drop("__mono"), rows, sums.toMap, maxes.toMap)
+  }
+
+  /** Rank the SAME frame along several independent total orders in ONE
+    * two-phase pass (one exchange + one checkpoint + one ≤P-row stats
+    * collect, however many axes — each separate [[withRank]] call costs a
+    * whole driver job, which at fixture scale is pure dispatch-floor wall;
+    * events_rfm's recency+monetary axes fused this way cut the key from
+    * three rank jobs to two).
+    *
+    * Shape: the frame is unioned once per axis with the axis index as the
+    * LEADING range key, so every axis-i row ranks before every axis-(i+1)
+    * row and rank-within-axis = global rank − i·n (n = rows per axis,
+    * read off the same stats collect). The per-axis ranks are then pivoted
+    * back onto the original row — `groupBy(key).agg(max(when(axis=i, …)))`
+    * — one hash exchange on the key domain, never a single partition; the
+    * non-key columns ride the pivot as `max` of identical copies.
+    *
+    * Each axis supplies `(skey, outCol)`: a sort column normalized to
+    * ASCENDING whose type is IDENTICAL across axes (the union must not
+    * coerce — callers encode descending order by negation, exact for
+    * finite doubles and in-range longs) and the output rank column name.
+    * Ties break on `key`, which must be unique per row — the same strict-
+    * total-order requirement every rank here has. Output is bit-identical
+    * to axes.size separate unpartitioned `row_number` windows.
+    */
+  def withRanksPivoted(df: DataFrame, key: String,
+      axes: Seq[(Column, String)]): DataFrame = {
+    val tagged = axes.zipWithIndex.map { case ((skey, _), i) =>
+      df.withColumn("__axis", lit(i)).withColumn("__skey", skey)
+    }.reduce(_ unionAll _)
+    val r = withRankAndCum(tagged,
+      Seq(col("__axis").asc, col("__skey").asc, col(key).asc), "__g", Nil)
+    val n = r.rows / axes.size
+    val attrs = df.columns.filterNot(_ == key)
+    val aggs = attrs.map(c => max(col(c)).as(c)) ++
+      axes.zipWithIndex.map { case ((_, out), i) =>
+        max(when(col("__axis") === i, col("__g") - lit(i * n))).as(out)
+      }
+    r.df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -556,7 +556,9 @@ object EventOps {
     // two-phase global rank (range-partitioned, checkpoint-pinned, no
     // single-partition exchange; the scalar anchor and n ride the first
     // rank's ≤P-row stats collect instead of an unpartitioned whole-frame
-    // window), and the bucket is literal arithmetic on the rank:
+    // window, and the recency+monetary axes fuse into one union-tagged
+    // pass — two rank jobs total), and the bucket is literal arithmetic
+    // on the rank:
     // SQL-standard ntile(4) over n rows puts boundary i at rank
     // i·(n DIV 4) + min(i, n MOD 4) — equal buckets, remainder to the
     // earlier ones — so bucket = 1 + Σᵢ [rank > boundary(i)], bit-equal
@@ -585,10 +587,16 @@ object EventOps {
         val anchor = r1.maxes.getOrElse("last_us", 0L)
         val scored = r1.df.withColumn("rec_days",
           expr(s"(${anchor}L - last_us) DIV 86400000000"))
-        val ranked = DistRank.withRank(
-          DistRank.withRank(scored,
-            Seq(col("rec_days").asc, col("user_id").asc), "__r_rank"),
-          Seq(col("monetary").desc, col("user_id").asc), "__m_rank")
+        // Recency + monetary fuse into ONE two-phase pass (r12: each
+        // separate rank is a whole driver job — pure dispatch-floor wall
+        // at fixture scale — so 3 rank jobs become 2; the freq axis
+        // cannot join the fusion because its stats collect produces the
+        // anchor that DEFINES the recency sort key). Both axes normalize
+        // to ascending doubles: rec_days is a small long (exact under
+        // cast) and monetary is a finite dsum double (negation exact).
+        val ranked = DistRank.withRanksPivoted(scored, "user_id", Seq(
+          (col("rec_days").cast("double"), "__r_rank"),
+          ((-col("monetary")).cast("double"), "__m_rank")))
         def boundary(i: Long): Long = i * (n / 4) + math.min(i, n % 4)
         def quart(rank: Column): Column =
           (lit(1L) + when(rank > boundary(1), 1L).otherwise(0L)

@@ -58,6 +58,34 @@ class DistRankSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p.take(3000))
   }
 
+  test("fused multi-axis rank == two separate row_number windows") {
+    import spark.implicits._
+    // The events_rfm fusion shape: one union-tagged two-phase pass must
+    // reproduce BOTH unpartitioned windows bit-for-bit, including desc
+    // order via negation and big tie classes broken by the unique key.
+    val df = (1 to 997).map { i =>
+      (s"u$i", (i % 13).toLong, (i * 37 % 101).toDouble / 4.0)
+    }.toDF("u", "days", "money")
+    val expected = df
+      .withColumn("r1", row_number().over(
+        Window.orderBy($"days".asc, $"u".asc)).cast("long"))
+      .withColumn("r2", row_number().over(
+        Window.orderBy($"money".desc, $"u".asc)).cast("long"))
+      .select($"u", $"r1", $"r2").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val fused = DistRank.withRanksPivoted(df, "u", Seq(
+      ($"days".cast("double"), "r1"), ((-$"money").cast("double"), "r2")))
+    val got = fused.select($"u", $"r1", $"r2").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // the carried non-key columns must survive the pivot unchanged
+    val money = fused.select($"u", $"money").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(money("u5") === (5 * 37 % 101).toDouble / 4.0)
+    val p = fused.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
   test("quartile-from-rank matches ntile(4) at awkward row counts") {
     import spark.implicits._
     // The events_rfm bucket formula: boundary(i) = i*(n/4) + min(i, n%4),

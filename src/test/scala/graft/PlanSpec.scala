@@ -552,6 +552,73 @@ class PlanSpec extends AnyFunSuite {
         p.take(3000))
   }
 
+  test("registry sweep: every single-partition exchange is row-bounded") {
+    // r12 structural fence for the whole registry, not just the keys the
+    // r11 VERDICT named: a ShuffleExchange to SinglePartition is the
+    // one-reducer global-sort/collect shape that killed vocabOf and
+    // events_rfm at 100 TB. It is legitimate ONLY when the subtree below
+    // it provably bounds rows to task-count/constant size — a scalar
+    // (empty-grouping) partial aggregate (≤1 row per input partition) or
+    // a local limit. Anything else must either lose the exchange or be
+    // allowlisted here WITH a domain-size justification, so a future key
+    // can never quietly reintroduce the anti-pattern.
+    import org.apache.spark.sql.execution.{SparkPlan, LocalLimitExec, CollectLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val allow: Map[String, String] = Map(
+      "events_gap_fill" -> ("whole-frame min/max window over the " +
+        "(event_type × day) aggregate — domain-sized, never the fact; " +
+        "documented at the definition"),
+      "window_moving_avg" -> ("7-day moving window over the per-DAY " +
+        "aggregate — the day domain grows with calendar time (~10^4), " +
+        "not corpus volume"),
+      "window_share_of_total" -> ("share-of-total window over the " +
+        "per-NATION aggregate — 25 rows, fixed dimension domain"),
+      "sample_temperature" -> ("corpus-total window over the per-SOURCE " +
+        "aggregate — #sources rows; a separate agg branch would re-read " +
+        "parquet (the shared-subtree trap, documented at the definition)"),
+      "pipeline_mix_schedule" -> ("same per-SOURCE global-total shape as " +
+        "sample_temperature — domain-sized, one corpus scan by design"))
+    // queryExecution.sparkPlan predates EnsureRequirements, which is the
+    // pass that INSERTS distribution-required exchanges (an unpartitioned
+    // window's AllTuples → Exchange SinglePartition) — so the audit must
+    // read the prepared plan, unwrapping AQE's initial physical plan.
+    def physical(df: org.apache.spark.sql.DataFrame): SparkPlan =
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    def bounded(p: SparkPlan): Boolean = p.find {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case _: LocalLimitExec => true
+      case _: CollectLimitExec => true
+      case _: TakeOrderedAndProjectExec => true
+      case _ => false
+    }.isDefined
+    def singlePartExchanges(p: SparkPlan): Seq[ShuffleExchangeExec] =
+      p.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }
+    val offending = Registry.all.flatMap { q =>
+      val bad = singlePartExchanges(physical(q.build(spark, sf)))
+        .filterNot(e => bounded(e.child)).map(_.child.nodeName)
+      if (bad.nonEmpty && !allow.contains(q.key)) Some(q.key -> bad) else None
+    }
+    assert(offending.isEmpty,
+      "unbounded single-partition exchange(s) — fix the plan or allowlist " +
+        s"with a domain-size justification:\n${offending.mkString("\n")}")
+    // the allowlist must stay honest: prune entries whose key no longer
+    // plans a single-partition exchange at all
+    allow.keys.foreach { k =>
+      val has = singlePartExchanges(
+        physical(Registry.queries(k)(spark, sf))).nonEmpty
+      assert(has, s"$k is allowlisted but plans no single-partition " +
+        "exchange — remove the stale entry")
+    }
+  }
+
   test("vocab-ranked keys plan no single-partition exchange") {
     // r12 (VERDICT r11 task 1): vocabOf / text_vocab_coverage rank the
     // FULL vocabulary — a corpus-growing domain (Heaps' law) — so the
