@@ -161,6 +161,16 @@ object DistRank {
     * Ties break on `key`, which must be unique per row — the same strict-
     * total-order requirement every rank here has. Output is bit-identical
     * to axes.size separate unpartitioned `row_number` windows.
+    *
+    * The trade, stated honestly: vs axes.size CHAINED [[withRank]] calls
+    * this exchanges ~2× the bytes for this segment (the union carries
+    * axes copies of the row through the range exchange, and the pivot
+    * re-exchanges them) but halves the sequential barrier rounds and
+    * driver jobs, and materializes ONE checkpoint instead of axes. Right
+    * when the frame is a narrow aggregate (events_rfm's per-user rows)
+    * where latency, not bytes, dominates; for a wide frame, chain
+    * [[withRank]] instead. Non-key columns must be max-orderable types
+    * (the pivot takes max over identical copies).
     */
   def withRanksPivoted(df: DataFrame, key: String,
       axes: Seq[(Column, String)]): DataFrame = {

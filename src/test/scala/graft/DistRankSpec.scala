@@ -86,6 +86,23 @@ class DistRankSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p.take(3000))
   }
 
+  test("fused rank: single row, and null attributes survive the pivot") {
+    import spark.implicits._
+    // Edges the rfm caller can hit: n=1 (every rank is 1) and a NULL
+    // non-key attribute (the pivot's max over identical copies must
+    // return NULL, not drop the row or invent a value).
+    val df = Seq(("only", Some(3L), None: Option[Double]))
+      .toDF("u", "days", "money")
+    val out = DistRank.withRanksPivoted(df, "u", Seq(
+      ($"days".cast("double"), "r1"), ((-$"money").cast("double"), "r2")))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("r1") === 1L && r.getAs[Long]("r2") === 1L)
+    assert(r.isNullAt(r.fieldIndex("money")))
+    assert(r.getAs[Long]("days") === 3L)
+  }
+
   test("quartile-from-rank matches ntile(4) at awkward row counts") {
     import spark.implicits._
     // The events_rfm bucket formula: boundary(i) = i*(n/4) + min(i, n%4),
