@@ -25,7 +25,20 @@
 #    a hard failure; sibling-chunk passes cover crashes, not graded
 #    audit failures. Any AUDIT-FAIL line anywhere is also terminal.
 #
-# Usage: [ULP_TOL=0|1] scripts/chunked_preflight.sh SF_DIR VERIFY_DUMP [CHUNK=12]
+# Round-13 hardening (VERDICT r12 task 5 — r11's 100x run crashed chunk
+# processes in heavy text oracles; oracle capacity, not engine):
+#  - ADAPTIVE chunking. A key is scheduled SOLO (fresh DuckDB process,
+#    its own buffer pool) when its oracle is token-explosion-heavy
+#    (string_split/unnest/ngram over the corpus — the family that OOMed)
+#    or its dump exceeds SOLO_KB. Light keys are greedy-packed into
+#    chunks bounded by BOTH key count (CHUNK) and cumulative dump bytes
+#    (CHUNK_KB) — dump bytes proxy the oracle's result-frame footprint.
+#  - Planned solos skip the whole-table audits only when a light chunk
+#    exists to carry them; if every key schedules solo, the first solo
+#    keeps audits on, so the graded audit surface never silently drops.
+#
+# Usage: [ULP_TOL=0|1] [SOLO_KB=..] [CHUNK_KB=..] \
+#          scripts/chunked_preflight.sh SF_DIR VERIFY_DUMP [CHUNK=12]
 # Exit 0 == manifest clean, every registry key passed in some process,
 #           and no graded audit failure anywhere.
 set -uo pipefail
@@ -34,6 +47,8 @@ SF="${1:?scaled fixture dir}"
 SRC="${2:?verify dump dir}"
 CHUNK="${3:-12}"
 ULP_TOL="${ULP_TOL:-0}"
+SOLO_KB="${SOLO_KB:-16384}"     # dump ≥ this → solo process
+CHUNK_KB="${CHUNK_KB:-65536}"   # cumulative dump budget per light chunk
 WORK=$(mktemp -d /tmp/graft_chunks.XXXX)
 trap 'rm -rf "$WORK"' EXIT
 
@@ -43,9 +58,9 @@ trap 'rm -rf "$WORK"' EXIT
 # would grade a silent subset with exit 0.
 # (mapfile can't see a process substitution's exit status, so gate via a
 # temp file + explicit status check)
-if ! python3 - "$SRC" > "$WORK/keys.txt" <<'PY'
-import json, os, sys
-src = sys.argv[1]
+if ! python3 - "$SRC" "$SOLO_KB" > "$WORK/keys.txt" <<'PY'
+import glob, json, os, sys
+src, solo_kb = sys.argv[1], int(sys.argv[2])
 m = json.load(open(os.path.join(src, "keys.json")))
 if m.get("failed"):
     sys.stderr.write("MANIFEST-FAIL: source dump records engine-side "
@@ -63,11 +78,30 @@ if orphans:
     sys.stderr.write("MANIFEST-FAIL: dump dirs not in the manifest "
                      f"(stale dump?): {sorted(orphans)}\n")
     sys.exit(1)
-print("\n".join(sorted(expected)))
+# adaptive schedule: "<kb> <solo|pack> <key>" per line, sorted by key.
+# Heavy-text oracles (the token-explosion family that OOMed r11's 100x
+# chunks) and outsized dumps go solo; everything else packs.
+oracle = json.load(open(os.path.join(src, "oracle_sql.json")))
+HEAVY = ("string_split", "unnest", "ngram")
+for k in sorted(expected):
+    kb = sum(os.path.getsize(f) for f in
+             glob.glob(os.path.join(src, k, "*"))) // 1024
+    sql = oracle.get(k) or ""
+    solo = kb >= solo_kb or any(h in sql for h in HEAVY)
+    print(f"{kb} {'solo' if solo else 'pack'} {k}")
 PY
 then echo "source manifest check FAILED — refusing to chunk"; exit 1; fi
-mapfile -t KEYS < "$WORK/keys.txt"
-[ ${#KEYS[@]} -gt 0 ] || { echo "MANIFEST-FAIL: empty key set"; exit 1; }
+mapfile -t SCHED < "$WORK/keys.txt"
+[ ${#SCHED[@]} -gt 0 ] || { echo "MANIFEST-FAIL: empty key set"; exit 1; }
+declare -a KEYS=() SOLO_KEYS=() PACK_KEYS=() PACK_KB=()
+for line in "${SCHED[@]}"; do
+  kb=${line%% *}; rest=${line#* }; mode=${rest%% *}; k=${rest#* }
+  KEYS+=("$k")
+  if [ "$mode" = solo ]; then SOLO_KEYS+=("$k")
+  else PACK_KEYS+=("$k"); PACK_KB+=("$kb"); fi
+done
+echo "schedule: ${#PACK_KEYS[@]} packed + ${#SOLO_KEYS[@]} solo" \
+  "(SOLO_KB=$SOLO_KB CHUNK=$CHUNK CHUNK_KB=$CHUNK_KB)"
 
 mk_chunk() { # $1=dir, rest=keys — a filtered dump view over symlinks
   local d=$1; shift
@@ -87,31 +121,57 @@ PY
 declare -a cur=() retry=()
 c=0
 hard_fail=0
-for k in "${KEYS[@]}"; do
-  cur+=("$k")
-  if [ ${#cur[@]} -ge "$CHUNK" ] || [ "$k" = "${KEYS[-1]}" ]; then
-    d="$WORK/c$c"
-    mk_chunk "$d" "${cur[@]}"
-    if GRAFT_ULP_TOL="$ULP_TOL" python3 scripts/preflight.py "$SF" "$d" \
-        > "$WORK/c$c.log" 2>&1; then
-      echo "chunk $c OK (${#cur[@]} keys)"
-    else
-      # keys that printed "pass" before the crash are done; retry the rest.
-      # If NOTHING is left to retry, the failure was graded and non-key
-      # (audit/drift/manifest/selftest) — terminal, siblings can't cover it.
-      echo "chunk $c FAILED — scheduling unpassed keys for solo re-run"
-      before=${#retry[@]}
-      for kk in "${cur[@]}"; do
-        grep -qE "^pass $kk " "$WORK/c$c.log" || retry+=("$kk")
-      done
-      if [ ${#retry[@]} -eq "$before" ]; then
-        echo "chunk $c: graded non-key failure (all keys passed, exit != 0):"
-        grep -E "AUDIT-FAIL|^FAIL|DRIFT|MANIFEST|selftest" "$WORK/c$c.log" \
-          | head -5
-        hard_fail=1
-      fi
+cur_kb=0
+run_chunk() { # runs the accumulated $cur chunk, harvests retries
+  local d="$WORK/c$c"
+  mk_chunk "$d" "${cur[@]}"
+  if GRAFT_ULP_TOL="$ULP_TOL" python3 scripts/preflight.py "$SF" "$d" \
+      > "$WORK/c$c.log" 2>&1; then
+    echo "chunk $c OK (${#cur[@]} keys, ${cur_kb} KB)"
+  else
+    # keys that printed "pass" before the crash are done; retry the rest.
+    # If NOTHING is left to retry, the failure was graded and non-key
+    # (audit/drift/manifest/selftest) — terminal, siblings can't cover it.
+    echo "chunk $c FAILED — scheduling unpassed keys for solo re-run"
+    local before=${#retry[@]}
+    local kk; for kk in "${cur[@]}"; do
+      grep -qE "^pass $kk " "$WORK/c$c.log" || retry+=("$kk")
+    done
+    if [ ${#retry[@]} -eq "$before" ]; then
+      echo "chunk $c: graded non-key failure (all keys passed, exit != 0):"
+      grep -E "AUDIT-FAIL|^FAIL|DRIFT|MANIFEST|selftest" "$WORK/c$c.log" \
+        | head -5
+      hard_fail=1
     fi
-    cur=(); c=$((c+1))
+  fi
+  cur=(); cur_kb=0; c=$((c+1))
+}
+i=0
+for k in "${PACK_KEYS[@]+"${PACK_KEYS[@]}"}"; do
+  kb=${PACK_KB[$i]}; i=$((i+1))
+  # byte budget closes the chunk BEFORE adding a key that would bust it
+  if [ ${#cur[@]} -gt 0 ] && [ $((cur_kb + kb)) -gt "$CHUNK_KB" ]; then
+    run_chunk
+  fi
+  cur+=("$k"); cur_kb=$((cur_kb + kb))
+  [ ${#cur[@]} -ge "$CHUNK" ] && run_chunk
+done
+[ ${#cur[@]} -gt 0 ] && run_chunk
+# planned solos: fresh process each; audits skip only when a light chunk
+# already carried them (c > 0), else the first solo keeps them on
+first_solo_audits=$([ "$c" -eq 0 ] && echo 1 || echo 0)
+for k in "${SOLO_KEYS[@]+"${SOLO_KEYS[@]}"}"; do
+  d="$WORK/psolo_$k"
+  mk_chunk "$d" "$k"
+  skip=1
+  if [ "$first_solo_audits" = 1 ]; then skip=""; first_solo_audits=0; fi
+  if GRAFT_ULP_TOL="$ULP_TOL" GRAFT_SKIP_AUDITS="$skip" \
+      python3 scripts/preflight.py "$SF" "$d" > "$WORK/psolo_$k.log" 2>&1 \
+      && grep -qE "^pass $k " "$WORK/psolo_$k.log"; then
+    echo "solo(planned) $k OK"
+  else
+    echo "solo(planned) $k FAILED — scheduling re-run"
+    retry+=("$k")
   fi
 done
 

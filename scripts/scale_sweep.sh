@@ -38,13 +38,13 @@ rm -rf "$DST" "$OUT"
 python3 scripts/scale_up.py "$SRC" "$DST" "$REP" $GROWFLAG
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   sbt -batch "runMain graft.Verify $PWD/$DST $OUT"
-# GRAFT_ULP_TOL=1: at replicated/grown row counts, exact decimal sums can
-# exceed double's ~15 exact digits and Spark/DuckDB round the identical
-# decimal to ADJACENT doubles (the D9/dsum boundary — r10 emitted raw
-# decimals to dodge this and lost 9 driver keys). The sweep tolerates
-# exactly 1 ulp on float cells, loudly annotated per key; driver-graded
-# SFs (check.sh) never set this and stay strictly bit-exact.
-GRAFT_ULP_TOL=1 python3 scripts/preflight.py "$PWD/$DST" "$OUT"
+# STRICT by default (r13): the only cells that ever needed 1-ulp slack
+# were the two grown-corpus sum_charge sums (double's 15-exact-digit
+# boundary); those now emit as fixed-scale STRINGs (exact at any scale,
+# representation driver-proven by the r12 canary_string_sum probe), so
+# the sweep runs bit-exact. ULP_TOL=1 remains available as an escape
+# hatch for diagnosing a future boundary, never for grading.
+GRAFT_ULP_TOL="${ULP_TOL:-0}" python3 scripts/preflight.py "$PWD/$DST" "$OUT"
 # Full-suite bench at the scaled SF. env -u drops any inherited key
 # filter (a leftover GRAFT_BENCH_ONLY would silently bench a subset);
 # GRAFT_BENCH_DETAIL routes the detail to bench_detail_sfx.json so the

@@ -159,6 +159,30 @@ object Bench {
       String, Vector[(Double, (Long, Long, Long), Double, Double, Double)]]
     for (_ <- 1 to RUNS; (name, fn) <- keys)
       byKey(name) = byKey.getOrElse(name, Vector.empty) :+ sampleOnce(name, fn)
+    // Stall-retry passes (r13, VERDICT r12 task 3): the host's roaming
+    // multi-second stall window (BASELINE.md) can cover 2 of 3 interleaved
+    // samples of one key — join_asof_tolerance read 12.28 s median /
+    // 0.90 s min in BENCH_r12 while the isolated Explain re-pin showed
+    // exec 0.05 s. Rather than pay 2 more FULL suite passes, re-sample
+    // only the keys whose median reads like a stall (median > 3× min AND
+    // a >1 s absolute gap — plain jitter on sub-second keys stays
+    // untouched), up to twice, separated in time by each other. The
+    // median then reflects the key, not the stall; min_sec semantics are
+    // unchanged.
+    def stalled(samples: Vector[(Double, (Long, Long, Long),
+        Double, Double, Double)]): Boolean = {
+      val good = samples.map(_._1).filter(_ >= 0).sorted
+      good.nonEmpty && good.size == samples.size && {
+        val med = good(good.size / 2)
+        med > 3 * good.head && med - good.head > 1.0
+      }
+    }
+    for (_ <- 1 to 2) {
+      val suspects = keys.filter { case (n, _) => stalled(byKey(n)) }
+      suspects.foreach { case (name, fn) =>
+        byKey(name) = byKey(name) :+ sampleOnce(name, fn)
+      }
+    }
     val detail = Seq.newBuilder[String]
     val results = keys.map { case (name, _) =>
       val samples = byKey(name)
@@ -168,7 +192,8 @@ object Bench {
       // (ADVICE r7) — the explicit failed_runs count carries the failure
       // signal instead.
       val good = samples.sortBy(_._1).filter(_._1 >= 0)
-      val failed = RUNS - good.size
+      // count failures directly: stall-retry keys have > RUNS samples
+      val failed = samples.count(_._1 < 0)
       val med = if (good.nonEmpty) good(good.size / 2)
                 else (-1.0, (-1L, -1L, -1L), -1.0, -1.0, -1.0)
       val sec = if (failed > 0) -1.0 else med._1

@@ -32,13 +32,16 @@ object Aggs {
         // output columns provably fail the driver's hasher (r10 lost 9
         // keys including this flagship to dsumx emission, CORRECTNESS_r10).
         // Double emission is exact at every driver-graded SF (sf0.01 sums
-        // need ≤12 significant digits; the 17-digit adjacent-double hazard
-        // dsumx targeted starts at ~6M-row sums, which the gate never
-        // runs — boundary documented on Det.dsumx).
+        // need ≤12 significant digits). sum_charge is the one column whose
+        // grown-corpus sums cross double's 15 exact digits (the 1-ulp
+        // adjacent-double boundary at ≥~6M-row sums), so it emits as a
+        // fixed-scale STRING — exact at ANY scale. The representation is
+        // driver-PROVEN: the r12 canary_string_sum probe (below) came back
+        // hash-green (CORRECTNESS_r12), per the §7.3.1 protocol.
         dsum(col("l_quantity"), 2).as("sum_qty"),
         dsum(col("l_extendedprice"), 2).as("sum_base_price"),
         dsum(discPrice, 4).as("sum_disc_price"),
-        dsum(charge, 6).as("sum_charge"),
+        dsumx(charge, 6).cast("string").as("sum_charge"),
         davg(col("l_quantity"), 2).as("avg_qty"),
         davg(col("l_extendedprice"), 2).as("avg_price"),
         davg(col("l_discount"), 2).as("avg_disc"),
@@ -51,7 +54,7 @@ object Aggs {
     |  ${sqlDsum("l_quantity", 2)} AS sum_qty,
     |  ${sqlDsum("l_extendedprice", 2)} AS sum_base_price,
     |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
-    |  ${sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+    |  CAST(${sqlDsumx("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS VARCHAR) AS sum_charge,
     |  ${sqlDavg("l_quantity", 2)} AS avg_qty,
     |  ${sqlDavg("l_extendedprice", 2)} AS avg_price,
     |  ${sqlDavg("l_discount", 2)} AS avg_disc,
@@ -637,18 +640,12 @@ object Aggs {
         .orderBy(col("l_returnflag")),
       None),
 
-    // §7.3.1 CANARY (r12, VERDICT r11 task 4): fixed-scale STRING emission
-    // of an exact decimal sum, probed against the DRIVER's hasher on one
-    // low-stakes, NON-flagship key. D9's double emission is exact at every
-    // driver-graded SF but carries a documented 1-ulp boundary at
-    // ≥~6M-row sums (the 100× sweep's two sum_charge cells); a
-    // driver-green fixed-scale string would be exact at ANY scale and
-    // retire that boundary for good. Spark renders a decimal as
-    // BigDecimal.toPlainString and DuckDB as the plain scale-preserving
-    // form — identical "123456.78" text for a DECIMAL(38,2) — verified
-    // bit-exact by local preflight; only the driver round can prove its
-    // hasher canonicalizes strings the same way (R8: local-green ≠
-    // driver-green for new representations). Blast radius: this 1 key.
+    // §7.3.1 CANARY (r12, VERDICT r11 task 4) — came back DRIVER-HASH-GREEN
+    // in CORRECTNESS_r12, proving fixed-scale STRING emission of an exact
+    // decimal sum survives the driver's hasher. The proven representation
+    // was adopted in r13 for the two former 1-ulp boundary cells (flagship
+    // sum_charge + typed twin), and the grown sweeps run strict ULP_TOL=0.
+    // Kept one more round as the regression probe per VERDICT r12 task 1.
     Q("canary_string_sum",
       (s, dir) => Tables.table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))

@@ -160,7 +160,15 @@ object DistRank {
     * finite doubles and in-range longs) and the output rank column name.
     * Ties break on `key`, which must be unique per row — the same strict-
     * total-order requirement every rank here has. Output is bit-identical
-    * to axes.size separate unpartitioned `row_number` windows.
+    * to axes.size separate unpartitioned `row_number` windows **provided
+    * every axis sort key is NON-NULL** — enforced at runtime by a
+    * per-row raise_error guard, because one fused sort cannot honor
+    * per-axis null placement (`(-c).asc` puts NULLs FIRST while `c.desc`
+    * puts them LAST — the r12 ADVICE divergence). Callers with nullable
+    * keys encode the placement explicitly, e.g.
+    * `-coalesce(c, lit(Double.NegativeInfinity))` reproduces
+    * `c.desc_nulls_last` (all-NULL rows tie and fall to the `key`
+    * tie-break, same as both engines' window forms).
     *
     * The trade, stated honestly: vs axes.size CHAINED [[withRank]] calls
     * this exchanges ~2× the bytes for this segment (the union carries
@@ -174,17 +182,50 @@ object DistRank {
     */
   def withRanksPivoted(df: DataFrame, key: String,
       axes: Seq[(Column, String)]): DataFrame = {
+    // Guardrails (r12 ADVICE): the reserved working names must not collide
+    // with caller columns (the withColumn would silently overwrite them),
+    // and axis output names must be fresh too (the pivot agg would emit
+    // duplicate column names).
+    val reserved = Set("__axis", "__skey", "__g")
+    require(!df.columns.exists(reserved), s"withRanksPivoted: input must " +
+      s"not contain reserved columns ${reserved.mkString("/")}")
+    require(axes.map(_._2).distinct.size == axes.size &&
+      !axes.map(_._2).exists(df.columns.toSet),
+      "withRanksPivoted: axis output names must be fresh and distinct")
     val tagged = axes.zipWithIndex.map { case ((skey, _), i) =>
-      df.withColumn("__axis", lit(i)).withColumn("__skey", skey)
+      // NULL axis keys are a contract violation (see docstring) — fail
+      // loudly per row instead of silently mis-ranking. raise_error stays
+      // inside whole-stage codegen; the branch is never taken on valid
+      // data so the hot path cost is one null check.
+      val guarded = when(skey.isNull, raise_error(lit(
+        s"withRanksPivoted: NULL sort key in axis $i — axis keys must be " +
+        "non-null; encode null placement with coalesce (see docstring)")))
+        .otherwise(skey)
+      df.withColumn("__axis", lit(i)).withColumn("__skey", guarded)
     }.reduce(_ unionAll _)
     val r = withRankAndCum(tagged,
       Seq(col("__axis").asc, col("__skey").asc, col(key).asc), "__g", Nil)
+    // Each axis carries one copy of every row, so the grand count must be
+    // an exact multiple — anything else means the union/tagging broke.
+    require(r.rows % axes.size == 0, s"withRanksPivoted: ${r.rows} ranked " +
+      s"rows is not a multiple of ${axes.size} axes")
     val n = r.rows / axes.size
     val attrs = df.columns.filterNot(_ == key)
     val aggs = attrs.map(c => max(col(c)).as(c)) ++
       axes.zipWithIndex.map { case ((_, out), i) =>
         max(when(col("__axis") === i, col("__g") - lit(i * n))).as(out)
       }
-    r.df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    val out = r.df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    // `key` must be unique per input row or the pivot max-merges ranks
+    // into silently wrong output. A distinct-count proof costs a job, so
+    // it runs only under the debug flag; production callers rely on the
+    // documented contract (events_rfm's key is a groupBy(user_id) output,
+    // unique by construction).
+    if (sys.env.get("GRAFT_RANK_DEBUG").contains("1")) {
+      val distinct = out.count()
+      require(distinct == n, s"withRanksPivoted: key '$key' is not unique " +
+        s"per row ($distinct distinct keys vs $n rows per axis)")
+    }
+    out
   }
 }

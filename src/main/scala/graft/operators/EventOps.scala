@@ -594,9 +594,17 @@ object EventOps {
         // anchor that DEFINES the recency sort key). Both axes normalize
         // to ascending doubles: rec_days is a small long (exact under
         // cast) and monetary is a finite dsum double (negation exact).
+        // monetary is NULL for a user whose values are all NULL; both
+        // `monetary.desc` (Spark) and the oracle's `ORDER BY monetary
+        // DESC` (DuckDB default null order) put NULLs LAST, so the
+        // negated-ascending encoding coalesces to -∞ — negation sends
+        // such users to +∞ = worst rank, tie-broken by user_id, exactly
+        // matching both window forms (r12 ADVICE; withRanksPivoted now
+        // hard-rejects NULL axis keys).
         val ranked = DistRank.withRanksPivoted(scored, "user_id", Seq(
           (col("rec_days").cast("double"), "__r_rank"),
-          ((-col("monetary")).cast("double"), "__m_rank")))
+          ((-coalesce(col("monetary"), lit(Double.NegativeInfinity)))
+            .cast("double"), "__m_rank")))
         def boundary(i: Long): Long = i * (n / 4) + math.min(i, n % 4)
         def quart(rank: Column): Column =
           (lit(1L) + when(rank > boundary(1), 1L).otherwise(0L)

@@ -1265,16 +1265,15 @@ object PipelineOps {
     // vocabulary; this builds one). Classic word-frequency BPE: the
     // corpus collapses to a (word, freq) dictionary ONCE (the only
     // corpus-sized job — at 100 TB this is one shuffle and the dict is
-    // millions of rows, not billions), then each merge round counts
-    // adjacent symbol pairs weighted by word freq and merges the most
-    // frequent pair (ties to the lexicographically smallest), applied
-    // greedily left-to-right via regexp on the space-joined symbol
-    // string — symbols are [a-z]+ so the pattern never needs escaping.
-    // The driver loop collects ONE row per round (the argmax pair), the
-    // same superstep discipline as dedupClusterLabels. Iterative argmax
-    // has no SQL twin → rows-only; InvariantSpec pins round-1 against an
-    // independently computed char-bigram argmax, merged = left||right,
-    // and the applied-merge bookkeeping.
+    // millions of rows, not billions), the frequency head (top
+    // BPE_MAX_TYPES types) is TakeOrdered-collected, and ALL R merge
+    // rounds run driver-local over that bounded sample with an inverted
+    // pair index — two Spark jobs total, however many merges (r13,
+    // VERDICT r12 task 2; see bpeMerges for the full shape). Iterative
+    // argmax has no SQL twin → rows-only; gated by the pure-Python
+    // differential in scripts/preflight.py, and InvariantSpec pins
+    // round-1 against an independently computed char-bigram argmax,
+    // merged = left||right, and the applied-merge bookkeeping.
     Q("text_bpe_merges",
       (s, dir) => {
         import s.implicits._
@@ -1718,73 +1717,89 @@ object PipelineOps {
       java.util.concurrent.ConcurrentHashMap[String,
         Seq[(Long, String, String, String, Long)]]]())
 
-  /** The 8-round BPE training loop behind `text_bpe_merges`, memoized per
+  /** Word-type cap for BPE training — the frequency-weighted sample size
+    * (VERDICT r12 task 2). Training collects at most this many word TYPES,
+    * taken deterministically by (freq DESC, word ASC) — the head of the
+    * frequency distribution, which at any corpus size carries ~all the
+    * pair-count mass (Zipf: the tail types each contribute one count to
+    * pairs the head already dominates; merge quality converges long
+    * before the tail matters — the same truncation every production
+    * tokenizer trainer applies). Every fixture SF and grown sweep has
+    * vocabulary far below the cap, so the sample == the full dict there
+    * and the pure-Python differential replays identically; the cap is
+    * mirrored verbatim in scripts/preflight.py bpe_ref so both sides
+    * truncate the same way if a future corpus crosses it. Driver memory
+    * at the cap: ~1M short strings, tens of MB. */
+  private[graft] val BPE_MAX_TYPES: Int = 1 << 20
+
+  /** The 8-round BPE training behind `text_bpe_merges`, memoized per
     * (session, dir) so Verify/Bench/tests repeating the key pay training
     * once (the codebookCache discipline). The symbol alphabet is the
     * DOCUMENTED [a-z]+: words outside it are dropped before training
     * (inert on the fixtures — every token matches — but it makes the
     * lexicographic tie-break well-defined: Spark's orderBy compares UTF-8
     * bytes while the reference replay compares code points, and the two
-    * orders only agree on ASCII; ADVICE r6). The merge regex still quotes
-    * BOTH the pattern (`Pattern.quote`) and the replacement
-    * (`Matcher.quoteReplacement`) defensively — merged multi-char symbols
-    * must merge literally, not crash or mis-match.
+    * orders only agree on ASCII; ADVICE r6).
     *
     * Training is differentially tested: `scripts/preflight.py` replays
     * the same (word, freq) dict through an independent pure-Python BPE
     * and asserts all 8 merge rounds identical (VERDICT r6 task 5).
     *
-    * Checkpoint-storage scale note (VERDICT r7 task 8): each merge round
-    * `localCheckpoint`s the working frame to bound the R-round lineage.
-    * That storage is NOT corpus-sized — the `groupBy(word)` pre-
-    * aggregation above bounds the checkpointed frame to one row per
-    * DISTINCT alphabet word (vocabulary-sized, ~sublinear in corpus
-    * bytes by Heaps' law), so 8 rounds checkpoint 8 vocabulary copies,
-    * not 8 corpus copies. The same bound carries to [[bpeByteMerges]],
-    * whose working frame is one row per distinct word as a byte-symbol
-    * string.
-    *
-    * HONEST SCALE NOTE (VERDICT r11 task 6 — the events_rfm discipline):
-    * this is the textbook sequential BPE trainer, and its loop shape is a
-    * deliberate diagnostic ceiling, not a 100 TB shape. Each of the R
-    * merge rounds is one driver round-trip (a `limit(1).collect()` argmax
-    * of the pair counts) plus one full-vocabulary `regexp_replace` pass —
-    * R jobs and R vocabulary rewrites for R merges, so a production-sized
-    * merge table (R ~ 10⁴–10⁵ rules) would mean tens of thousands of
-    * sequential Spark jobs over a ~10⁸⁺-type vocabulary. The key is
-    * rows-only by design (iterative argmax has no SQL twin) and gated by
-    * the pure-Python differential in scripts/preflight.py. At corpus
-    * scale a trainer would (a) train on a frequency-weighted SAMPLE of
-    * the word dict — merge quality converges long before the tail types
-    * matter — and/or (b) batch rounds with a mergeable pair-count sketch
-    * so one job advances many merges; both preserve the greedy semantics
-    * this loop defines and the differential gate checks. */
+    * SCALE SHAPE (r13, VERDICT r12 task 2 — replaces the r11 "honest
+    * ceiling": R sequential `limit(1).collect()` argmax jobs + R
+    * full-vocabulary regexp passes): training is now exactly TWO Spark
+    * jobs regardless of R — (1) the corpus-proportional (word, freq)
+    * count (map-side-combined hash agg), (2) a distributed TakeOrdered
+    * top-[[BPE_MAX_TYPES]] collect of the dictionary head — followed by
+    * [[bpeTrainLocal]], a driver-local greedy loop over the bounded
+    * sample with an inverted pair→words index and an ordered pair-count
+    * set, O(affected-word-bytes · log #pairs) per merge and ZERO Spark
+    * jobs per round. A production merge table (R ~ 10⁴–10⁵) is minutes
+    * of driver CPU over the cap-bounded sample instead of tens of
+    * thousands of sequential cluster jobs. Greedy semantics (argmax by
+    * pair freq, ties to the lexicographically smallest (l, r), greedy
+    * leftmost non-overlapping rewrite) are unchanged — the differential
+    * gate and the round-1 argmax specs pin them. */
   private[graft] def bpeMerges(s: SparkSession,
       dir: String): Seq[(Long, String, String, String, Long)] = {
     val sessionCache = bpeCache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String,
         Seq[(Long, String, String, String, Long)]]())
     sessionCache.computeIfAbsent(dir, _ => TrainClock.timed {
-      // symbols as a space-joined string: ' h e l l o ' (split on ''
-      // keeps a trailing empty element — filter it).
       // \A..\z whole-input anchors (ADVICE r7): Java's `$` also matches
       // before a trailing newline, while the preflight differential's
       // DuckDB/RE2 `$` is end-of-text only — "abc\n" must be dropped by
       // BOTH filters or the differential gate mis-fires on future data.
-      bpeTrain(tokensOf(s, dir)
-        .filter(col("word").rlike("\\A[a-z]+\\z"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .select(concat(lit(" "), concat_ws(" ",
-          expr("filter(split(word, ''), x -> x <> '')")), lit(" "))
-          .as("syms"), col("freq")),
+      // Words are ASCII [a-z]+ here, so chars == code points == UTF-8
+      // bytes and the local split matches both the old split-on-'' and
+      // the Python replay's tuple(word).
+      bpeTrainLocal(
+        bpeDict(s, dir, azOnly = true)
+          .map { case (w, f) => (w.map(_.toString).toArray, f) },
         rounds = 8, mergeSym = _ + _)
     })
   }
 
+  /** The shared dictionary job for both trainers: one corpus-proportional
+    * (word, freq) hash agg, then the deterministic frequency-weighted
+    * head — TakeOrdered top-[[BPE_MAX_TYPES]] by (freq DESC, word ASC),
+    * a distributed per-partition top-K merge, never a full sort. */
+  private def bpeDict(s: SparkSession, dir: String,
+      azOnly: Boolean): Seq[(String, Long)] = {
+    val toks = tokensOf(s, dir)
+    val filtered = if (azOnly) toks.filter(col("word").rlike("\\A[a-z]+\\z"))
+      else toks
+    filtered.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(BPE_MAX_TYPES)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
   /** Byte-level BPE training behind `text_bpe_bytes` (VERDICT r7 task 5):
-    * the same greedy merge loop as [[bpeMerges]], but the initial symbol
-    * alphabet is each word's UTF-8 BYTES rendered as decimal strings
-    * ("hello" → ' 104 101 108 108 111 '), the production-tokenizer
+    * the same greedy merge semantics as [[bpeMerges]], but the initial
+    * symbol alphabet is each word's UTF-8 BYTES rendered as decimal
+    * strings ("hello" → 104 101 108 108 111), the production-tokenizer
     * alphabet — every word participates, no [a-z]+ filter needed, because
     * any input (emoji, CJK, mojibake) decomposes into the same 256
     * symbols. Merged symbols join their parts with '.' ("104.101"), so a
@@ -1794,23 +1809,21 @@ object PipelineOps {
     * word-level variant needs its alphabet filter at all).
     * `scripts/preflight.py` replays the same (word, freq) dict through an
     * independent pure-Python byte BPE and asserts all 8 merge rounds
-    * identical. Checkpoint storage is vocabulary-sized per round, exactly
-    * as documented on [[bpeMerges]]. */
+    * identical. Same two-job + driver-local scale shape as [[bpeMerges]]. */
   private[graft] def bpeByteMerges(s: SparkSession,
       dir: String): Seq[(Long, String, String, String, Long)] = {
     val sessionCache = bpeCache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String,
         Seq[(Long, String, String, String, Long)]]())
     sessionCache.computeIfAbsent(dir + "#bytes", _ => TrainClock.timed {
-      // hex(encode(w)) is 2 hex chars per UTF-8 byte; conv(_, 16, 10)
-      // renders each byte as its decimal string symbol
-      bpeTrain(tokensOf(s, dir)
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .select(concat(lit(" "), concat_ws(" ", expr(
-          """transform(sequence(1, octet_length(word)),
-            |  i -> conv(substring(hex(encode(word, 'UTF-8')),
-            |            2 * i - 1, 2), 16, 10))""".stripMargin)),
-          lit(" ")).as("syms"), col("freq")),
+      // (b & 0xff).toString == Python's str(b) for unsigned UTF-8 bytes
+      // == the old SQL conv(hex(...), 16, 10) decimal rendering.
+      bpeTrainLocal(
+        bpeDict(s, dir, azOnly = false)
+          .map { case (w, f) =>
+            (w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              .map(b => (b & 0xff).toString), f)
+          },
         rounds = 8, mergeSym = _ + "." + _)
     })
   }
@@ -1854,47 +1867,96 @@ object PipelineOps {
         s"'g'), ' $l  $r ', ' ${l + r} ', 'g'), ' +', ' ', 'g')"
     }
 
-  /** The shared greedy BPE merge loop: `cur0` is the (syms, freq)
-    * dictionary with symbols space-joined and space-padded; each round
-    * counts adjacent symbol pairs weighted by freq, merges the most
-    * frequent (ties to the lexicographically smallest (l, r)) greedily
-    * left-to-right non-overlapping, `mergeSym` names the merged symbol.
-    * Checkpointed so round 1's argmax and the first merge don't
-    * re-derive the dictionary, and each round's checkpoint bounds the
-    * R-round plan lineage. */
-  private def bpeTrain(cur0: DataFrame, rounds: Int,
-      mergeSym: (String, String) => String)
+  /** The shared greedy BPE merge loop, driver-local over the cap-bounded
+    * frequency sample (r13 scale shape — see [[bpeMerges]]): each round
+    * merges the most frequent adjacent symbol pair (ties to the
+    * lexicographically smallest (l, r)) greedily left-to-right
+    * non-overlapping, `mergeSym` names the merged symbol — bit-identical
+    * semantics to the old R-job Spark loop and to preflight's bpe_ref.
+    *
+    * Data structures make R large-able: `byPair` is an inverted
+    * pair → word-index set, so a merge touches only the words that
+    * contain its pair; `ordered` is a TreeSet over (freq, l, r) with the
+    * argmax comparator, so each round's winner is `head` in O(log n) and
+    * every pair-count change is a remove+insert. Cost per merge:
+    * O(Σ affected word lengths · log #pairs) — no full-dictionary rescan,
+    * no full pair-table rescan, zero Spark jobs. */
+  private[graft] def bpeTrainLocal(dict: Seq[(Array[String], Long)],
+      rounds: Int, mergeSym: (String, String) => String)
       : Seq[(Long, String, String, String, Long)] = {
-    var cur = cur0.localCheckpoint()
-    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (r <- 1 to rounds) {
-      val top = cur
-        .select(col("freq"), split(trim(col("syms")), " ").as("a"))
-        // fully-merged single-symbol words have no pairs (and
-        // sequence(1, 0) would be DESCENDING, not empty)
-        .filter(size(col("a")) >= 2)
-        .select(col("freq"), explode(expr(
-          """transform(sequence(1, size(a) - 1),
-            |  i -> struct(element_at(a, i) AS l,
-            |              element_at(a, i + 1) AS r))"""
-            .stripMargin)).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("pf"))
-        .orderBy(col("pf").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (top.nonEmpty) {
-        val (l, rr, pf) = (top(0).getString(0), top(0).getString(1),
-          top(0).getLong(2))
-        merges += ((r.toLong, l, rr, mergeSym(l, rr), pf))
-        // greedy left-to-right non-overlapping replace = BPE's merge
-        // order; (?= ) keeps the trailing space as the next boundary
-        val pat = "(?<= )" + java.util.regex.Pattern.quote(l + " " + rr) +
-          "(?= )"
-        val rep = java.util.regex.Matcher.quoteReplacement(mergeSym(l, rr))
-        cur = cur.select(regexp_replace(col("syms"), pat, rep).as("syms"),
-          col("freq"))
-          .localCheckpoint() // bound the R-round plan lineage
+    import scala.collection.mutable
+    val syms: Array[Array[String]] = dict.map(_._1).toArray
+    val freq: Array[Long] = dict.map(_._2).toArray
+    val pairFreq = mutable.HashMap.empty[(String, String), Long]
+    val byPair = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // argmax order: freq DESC, then (l, r) ASC — symbols are ASCII
+    // ([a-z]+ chars or decimal byte strings), so String.compareTo's
+    // UTF-16 order == UTF-8 byte order == code-point order.
+    val ordered = mutable.TreeSet.empty[(Long, String, String)](
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String),
+            b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) c
+          else {
+            val cl = a._2.compareTo(b._2)
+            if (cl != 0) cl else a._3.compareTo(b._3)
+          }
+        }
+      })
+    def bump(p: (String, String), delta: Long): Unit = {
+      val c0 = pairFreq.getOrElse(p, 0L)
+      val c1 = c0 + delta
+      if (c0 > 0) ordered.remove((c0, p._1, p._2))
+      if (c1 > 0) { pairFreq(p) = c1; ordered.add((c1, p._1, p._2)) }
+      else pairFreq.remove(p)
+    }
+    /** Per-word pair occurrence counts (a pair can repeat in one word). */
+    def occ(a: Array[String]): mutable.HashMap[(String, String), Int] = {
+      val m = mutable.HashMap.empty[(String, String), Int]
+      var j = 0
+      while (j < a.length - 1) {
+        val p = (a(j), a(j + 1))
+        m.update(p, m.getOrElse(p, 0) + 1)
+        j += 1
       }
+      m
+    }
+    def index(i: Int, sign: Int): Unit = occ(syms(i)).foreach {
+      case (p, n) =>
+        bump(p, sign.toLong * n * freq(i))
+        if (sign > 0) byPair.getOrElseUpdate(p, mutable.Set.empty) += i
+        else byPair.get(p).foreach { s =>
+          s -= i; if (s.isEmpty) byPair.remove(p)
+        }
+    }
+    syms.indices.foreach(index(_, 1))
+    /** Greedy leftmost non-overlapping single-rule rewrite — a merged
+      * symbol is a new token that cannot re-match its own rule. */
+    def rewrite(a: Array[String], l: String, r: String,
+        m: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var j = 0
+      while (j < a.length) {
+        if (j + 1 < a.length && a(j) == l && a(j + 1) == r) {
+          out += m; j += 2
+        } else { out += a(j); j += 1 }
+      }
+      out.result()
+    }
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    while (r <= rounds && ordered.nonEmpty) {
+      val (pf, l, rr) = ordered.head
+      val m = mergeSym(l, rr)
+      merges += ((r.toLong, l, rr, m, pf))
+      val affected = byPair.getOrElse((l, rr), mutable.Set.empty).toArray
+      affected.foreach { i =>
+        index(i, -1)
+        syms(i) = rewrite(syms(i), l, rr, m)
+        index(i, 1)
+      }
+      r += 1
     }
     merges.result()
   }

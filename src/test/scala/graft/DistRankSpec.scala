@@ -90,17 +90,76 @@ class DistRankSpec extends AnyFunSuite {
     import spark.implicits._
     // Edges the rfm caller can hit: n=1 (every rank is 1) and a NULL
     // non-key attribute (the pivot's max over identical copies must
-    // return NULL, not drop the row or invent a value).
+    // return NULL, not drop the row or invent a value). The axis key uses
+    // the documented coalesce encoding — raw NULL keys are rejected (next
+    // test).
     val df = Seq(("only", Some(3L), None: Option[Double]))
       .toDF("u", "days", "money")
     val out = DistRank.withRanksPivoted(df, "u", Seq(
-      ($"days".cast("double"), "r1"), ((-$"money").cast("double"), "r2")))
+      ($"days".cast("double"), "r1"),
+      ((-coalesce($"money", lit(Double.NegativeInfinity)))
+        .cast("double"), "r2")))
       .collect()
     assert(out.length === 1)
     val r = out.head
     assert(r.getAs[Long]("r1") === 1L && r.getAs[Long]("r2") === 1L)
     assert(r.isNullAt(r.fieldIndex("money")))
     assert(r.getAs[Long]("days") === 3L)
+  }
+
+  test("fused rank: NULL sort keys — guard throws raw, coalesce matches " +
+      "desc_nulls_last windows") {
+    import spark.implicits._
+    // r12 ADVICE: `(-c).asc` sorts NULLs FIRST while `c.desc` sorts them
+    // LAST, so a raw nullable axis key would silently flip all-NULL rows
+    // from worst rank to rank 1. The contract is now (a) raw NULL keys
+    // fail loudly, (b) the documented -coalesce(c, -∞) encoding is
+    // bit-identical to the c.desc (= desc_nulls_last) window — multiple
+    // NULL rows tie and break on the unique key, exactly like the window.
+    val df = Seq(
+      ("u1", 5L, Some(10.0)), ("u2", 1L, None), ("u3", 3L, Some(2.5)),
+      ("u4", 2L, None), ("u5", 4L, Some(10.0)), ("u6", 6L, None))
+      .toDF("u", "days", "money")
+    val ex = intercept[Exception] {
+      DistRank.withRanksPivoted(df, "u", Seq(
+        ($"days".cast("double"), "r1"), ((-$"money").cast("double"), "r2")))
+        .collect()
+    }
+    assert(ex.getMessage.contains("NULL sort key") ||
+      Option(ex.getCause).exists(_.getMessage.contains("NULL sort key")))
+    val expected = df
+      .withColumn("r1", row_number().over(
+        Window.orderBy($"days".asc, $"u".asc)).cast("long"))
+      .withColumn("r2", row_number().over(
+        Window.orderBy($"money".desc, $"u".asc)).cast("long"))
+      .select($"u", $"r1", $"r2").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // sanity: Spark's desc really does put the NULL class last here
+    assert(Set(expected("u2")._2, expected("u4")._2,
+      expected("u6")._2) === Set(4L, 5L, 6L))
+    val got = DistRank.withRanksPivoted(df, "u", Seq(
+      ($"days".cast("double"), "r1"),
+      ((-coalesce($"money", lit(Double.NegativeInfinity)))
+        .cast("double"), "r2")))
+      .select($"u", $"r1", $"r2").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+  }
+
+  test("fused rank: reserved-name and duplicate-output guardrails") {
+    import spark.implicits._
+    val clash = Seq(("a", 1L)).toDF("u", "__skey")
+    intercept[IllegalArgumentException] {
+      DistRank.withRanksPivoted(clash, "u", Seq(($"__skey".cast("double"), "r")))
+    }
+    val df = Seq(("a", 1L)).toDF("u", "v")
+    intercept[IllegalArgumentException] {
+      DistRank.withRanksPivoted(df, "u", Seq(
+        ($"v".cast("double"), "r"), ((-$"v").cast("double"), "r")))
+    }
+    intercept[IllegalArgumentException] {
+      DistRank.withRanksPivoted(df, "u", Seq(($"v".cast("double"), "v")))
+    }
   }
 
   test("quartile-from-rank matches ntile(4) at awkward row counts") {

@@ -562,7 +562,7 @@ class PlanSpec extends AnyFunSuite {
     // a local limit. Anything else must either lose the exchange or be
     // allowlisted here WITH a domain-size justification, so a future key
     // can never quietly reintroduce the anti-pattern.
-    import org.apache.spark.sql.execution.{SparkPlan, LocalLimitExec, CollectLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.{SparkPlan, LocalLimitExec, CollectLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec, ProjectExec, FilterExec, SortExec, WholeStageCodegenExec, InputAdapter}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
@@ -590,13 +590,26 @@ class PlanSpec extends AnyFunSuite {
         case a: AdaptiveSparkPlanExec => a.executedPlan
         case p => p
       }
-    def bounded(p: SparkPlan): Boolean = p.find {
-      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
-      case _: LocalLimitExec => true
-      case _: CollectLimitExec => true
-      case _: TakeOrderedAndProjectExec => true
+    // The bounding node must DOMINATE the exchange input (r12 ADVICE: a
+    // plain find() would accept a scalar agg or limit buried on one side
+    // of a row-expanding join/generate, leaving the exchange itself
+    // corpus-sized). So: walk down only through nodes that preserve or
+    // reduce row counts (project/filter/sort/exchange/grouped-agg and the
+    // codegen wrappers) and demand the scalar agg or limit on that spine;
+    // any row-expanding or unrecognized node ends the walk unbounded.
+    def bounded(p: SparkPlan): Boolean = p match {
+      case a: BaseAggregateExec =>
+        a.groupingExpressions.isEmpty || bounded(a.child)
+      case _: LocalLimitExec | _: GlobalLimitExec | _: CollectLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      case q: ProjectExec => bounded(q.child)
+      case q: FilterExec => bounded(q.child)
+      case q: SortExec => bounded(q.child)
+      case q: ShuffleExchangeExec => bounded(q.child)
+      case q: WholeStageCodegenExec => bounded(q.child)
+      case q: InputAdapter => bounded(q.child)
       case _ => false
-    }.isDefined
+    }
     def singlePartExchanges(p: SparkPlan): Seq[ShuffleExchangeExec] =
       p.collect {
         case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
