@@ -23,7 +23,13 @@ import sys
 # key -> max shuffle_write_bytes at sf0.1 (round-7 measured value in the
 # comment; regenerate deliberately when a key's plan legitimately changes)
 BUDGETS = {
-    "text_ngram_jaccard":    35_000_000,  # 23.0 MB
+    # 41.1 MB measured r13 after the carried-n reshape: each doc's
+    # shingle count rides the pair rows (one extra doc_id-window exchange
+    # of the shingle frame + 16 B/pair) so the pair aggregate needs NO
+    # post-joins — the old inter⋈sizes SMJ tail re-shuffled the whole
+    # pair-aggregate twice and was the 100× grown sweep's 4.7 GB sort
+    # spill. Bytes up at sf0.1, bounded and spill-free at every scale.
+    "text_ngram_jaccard":    60_000_000,
     "join_broadcast_hash":   27_000_000,  # 17.7 MB (result-sort exchange)
     "window_first_last":     22_000_000,  # 14.5 MB
     "join_sort_merge":       22_000_000,  # 14.4 MB

@@ -44,7 +44,14 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
 # representation driver-proven by the r12 canary_string_sum probe), so
 # the sweep runs bit-exact. ULP_TOL=1 remains available as an escape
 # hatch for diagnosing a future boundary, never for grading.
-GRAFT_ULP_TOL="${ULP_TOL:-0}" python3 scripts/preflight.py "$PWD/$DST" "$OUT"
+# CHUNKED=1 (r13, VERDICT r12 task 5): route the oracle through
+# scripts/chunked_preflight.sh — adaptive fresh-process scheduling so a
+# 100x-class corpus can't OOM one shared DuckDB buffer pool.
+if [ "${CHUNKED:-0}" = "1" ]; then
+  ULP_TOL="${ULP_TOL:-0}" bash scripts/chunked_preflight.sh "$PWD/$DST" "$OUT"
+else
+  GRAFT_ULP_TOL="${ULP_TOL:-0}" python3 scripts/preflight.py "$PWD/$DST" "$OUT"
+fi
 # Full-suite bench at the scaled SF. env -u drops any inherited key
 # filter (a leftover GRAFT_BENCH_ONLY would silently bench a subset);
 # GRAFT_BENCH_DETAIL routes the detail to bench_detail_sfx.json so the

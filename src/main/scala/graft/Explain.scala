@@ -37,6 +37,30 @@ object Explain {
       val fn = SparkEntry.queries(k)
       println(s"=== $k @ $sfDir")
       if (keys.size == 1) fn(spark, sfDir).explain("formatted")
+      // Per-STAGE spill/shuffle attribution (r13): the bench's per-query
+      // counters say THAT a query spilled, not WHERE — this listener
+      // names the stage, which is the difference between "agg state
+      // outgrew memory" (a plan bug) and "a big exchange streamed
+      // through the shuffle writer" (expected out-of-core behavior).
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val sl = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val si = sc.stageInfo
+          val m = si.taskMetrics
+          if (m != null && (m.diskBytesSpilled > 0 ||
+              m.memoryBytesSpilled > 0)) {
+            stages.add(
+              f"  stage ${si.stageId}%4d [${si.name.take(60)}] " +
+              f"tasks=${si.numTasks} " +
+              f"spillDisk=${m.diskBytesSpilled / 1048576.0}%.1f MB " +
+              f"spillMem=${m.memoryBytesSpilled / 1048576.0}%.1f MB " +
+              f"shufWrite=${m.shuffleWriteMetrics.bytesWritten / 1048576.0}%.1f MB")
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(sl)
       fn(spark, sfDir).queryExecution.toRdd.count() // warmup
       (1 to runs).foreach { i =>
         val t0 = System.nanoTime()
@@ -47,6 +71,11 @@ object Explain {
         val t2 = System.nanoTime()
         println(f"run $i: plan ${(t1 - t0) / 1e9}%.2f s + exec " +
           f"${(t2 - t1) / 1e9}%.2f s ($n rows)")
+      }
+      spark.sparkContext.removeSparkListener(sl)
+      if (!stages.isEmpty) {
+        println(s"--- stages with spill ($k, warmup + $runs runs):")
+        stages.forEach(println(_))
       }
     }
     spark.stop()

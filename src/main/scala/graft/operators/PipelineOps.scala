@@ -1057,26 +1057,57 @@ object PipelineOps {
         // candidate pairs — ubiquitous "stop-shingles" would be quadratic
         // hotspots at corpus scale and carry no dedup signal. (No-op on
         // the fixtures: max shingle df is 25 at sf0.1.)
+        // Each doc's shingle-set size rides ON the shingle rows (one
+        // doc_id-window count) instead of living in a separate `sizes`
+        // frame joined back after the pair aggregation. The joined-back
+        // shape was the 100× bench's REAL spill site: `inter` (hundreds
+        // of millions of distinct pairs) SMJ-joined sizes TWICE through
+        // 256-task ENSURE_REQUIREMENTS exchanges — 11.3 GB re-shuffled
+        // and 4.7 GB of sort spill per run, dwarfing the pair shuffle
+        // itself — because the jaccard>0.5 filter can only run once
+        // na/nb are attached. Carrying n costs ~16 bytes on each raw
+        // pair row (~+20% on the pair exchange, lz4-compressed) and
+        // deletes BOTH giant post-joins: the aggregate groups by
+        // (doc_a, doc_b, na, nb) — same cardinality, n is functional on
+        // doc_id — and the filter runs immediately on the agg output.
         val sh = shAll.distinct()
           .withColumn("sdf", count(lit(1)).over(
             Window.partitionBy(col("h64"), col("h32"))))
           .filter(col("sdf") <= 1000)
           .drop("sdf")
-        val sizes = sh.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n"))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("doc_id"))))
         val shp = sh.repartition(nParts, col("h64"), col("h32"))
-        val inter = shp.select(col("doc_id").as("doc_a"), col("h64"),
-            col("h32"))
-          .join(shp.select(col("doc_id").as("doc_b"), col("h64"),
-            col("h32")), Seq("h64", "h32"))
+        val rawPairs = shp.select(col("doc_id").as("doc_a"),
+            col("n").as("na"), col("h64"), col("h32"))
+          .join(shp.select(col("doc_id").as("doc_b"),
+            col("n").as("nb"), col("h64"), col("h32")), Seq("h64", "h32"))
           .filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
+        // The PAIR-AGGREGATION exchange must be corpus-sized too (r13 —
+        // found by the first full 100× grown BENCH): AQE can only split
+        // an agg exchange up to coalescePartitions.initialPartitionNum
+        // (8×cores = 256 here), so at 100× grown the 1.50 B candidate
+        // pairs (measured: Σ df·(df−1)/2, max df 1196, cap 1000) landed
+        // ~5.9 M rows per final-agg task and the hash agg fell back to
+        // sort + 17.15 GB disk spill — while the join stage, already
+        // nParts-sized, stayed in memory. When nParts exceeds what AQE
+        // can provide, repartition the pair stream on the group keys
+        // explicitly: the agg then reuses that exact partitioning (no
+        // extra exchange) at ~375 k pairs/task. Below that threshold the
+        // repartition would only ADD an exchange (map-side partial agg
+        // compresses pairs ~not at all — a pair repeats only when two
+        // docs share ≥2 shingles in ONE task's buckets — so bytes are
+        // unchanged either way); fixture SFs keep their exact r12 plan.
+        val initN = s.conf.getOption(
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+          .map(_.toInt)
+          .getOrElse(s.sessionState.conf.numShufflePartitions)
+        val pairs = if (nParts > initN)
+          rawPairs.repartition(nParts, col("doc_a"), col("doc_b"))
+        else rawPairs
+        pairs
+          .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
           .agg(count(lit(1)).as("inter_cnt"))
-        inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
-            "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
-            "doc_b")
           .withColumn("jaccard", col("inter_cnt").cast("double")
             / (col("na") + col("nb") - col("inter_cnt")))
           .filter(col("jaccard") > 0.5)
@@ -1311,6 +1342,13 @@ object PipelineOps {
     // groupBy at 100 TB: encoding is per-distinct-word, then a
     // broadcast-join maps documents to their encoded forms — this key
     // emits the vocabulary-level encoding, the reusable artifact.
+    // Merge-table-width note: the R-rule regexp fold builds an R-deep
+    // expression, right for the R=8 table here and oracle-shareable; a
+    // production table (R ~ 10⁴) would encode via mapPartitions with the
+    // rank-priority algorithm instead (repeatedly merge the
+    // lowest-ranked adjacent pair) — equivalent output, because each
+    // rule's constituents were merged before it during training, so
+    // rank-order replay and rank-priority merging coincide.
     Q("text_bpe_encode",
       (s, dir) => {
         val merges = bpeMerges(s, dir).map(m => (m._2, m._3))
