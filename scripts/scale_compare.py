@@ -119,6 +119,28 @@ GROWN_OK = {
                             "30x, measured at target-8) and the 1000 bucket cap "
                             "bounds it; the per-item keep-set keys it feeds "
                             "(pipeline_dedup_semantic*) stay linear",
+    # r13, from the first full 100x grown bench (the 30x gates never saw
+    # these because the flips/density sit between 30x and 100x):
+    "text_importance_score": "broadcast->SMJ phase change: the bigram "
+                            "dictionaries (cs/ct, Heaps-law vocab-sized) "
+                            "outgrew the 10 MB broadcast threshold between "
+                            "30x and 100x, so the bigram stream shuffles on b "
+                            "once (the correct cluster plan; plans diffed: "
+                            "2 BHJ at sf0.1 -> 2 SMJ at 100x). 293 KB -> "
+                            "315.6 MB absolute, zero spill, per-row after "
+                            "the flip",
+    "text_perplexity_proxy": "same broadcast->SMJ flip for the LM-stats "
+                            "dictionary join (plans diffed: 2 BHJ at sf0.1 "
+                            "-> SMJ at 100x); 1.8 MB -> 383.3 MB, 210.8x vs "
+                            "the 200x bound, zero spill",
+    "text_neardup_banded":  "pair-LIST diagnostic for the CW-hash banded "
+                            "family: similar-pair density is "
+                            "corpus-proportional (header), so the DISTINCT "
+                            "pair output grows faster than rows — 211.0x at "
+                            "100x vs the 200x bound, bucket cap 1000 bounds "
+                            "the worst case; its keep-set consumers "
+                            "(pipeline_dedup_keep_banded/_incremental_banded) "
+                            "stay linear and unflagged",
 }
 
 
