@@ -180,6 +180,113 @@ object DistRank {
     * [[withRank]] instead. Non-key columns must be max-orderable types
     * (the pivot takes max over identical copies).
     */
+  /** Per-group row_number (1-based within each `group` value over `order`)
+    * plus optionally the group's row count — the 100 TB replacement for
+    * `row_number().over(Window.partitionBy(group).orderBy(order))` when
+    * `group`'s DOMAIN is small (event_type: 5 values, lang: 4): the window
+    * form hashes EVERY fact row into #domain reducers, capping parallelism
+    * at the key domain (the r13 VERDICT's remaining `weak` family — 5
+    * tasks each sorting ~20 TB at target scale), while this runs ONE
+    * global range-partitioned sort on (group +: order) across all P
+    * partitions and recovers the per-group rank as
+    * `global rank − group's first global rank + 1`.
+    *
+    * The group-anchor frame (min global rank + row count per group) is
+    * domain-sized by the caller's own premise and rides a broadcast join
+    * back onto the ranked rows; computing it is one map-side-combined
+    * aggregate over the already-checkpointed blocks (G result rows). The
+    * output rank column is LONG (the window form's row_number is INT —
+    * callers that compared against `.cast("long")` are unchanged).
+    *
+    * Contract: (group +: order) must be a strict total order (tie-break to
+    * uniqueness — same requirement as [[withRank]]), and `group` must be
+    * non-null (enforced by a codegen-resident raise_error guard, same
+    * pattern as [[withRanksPivoted]]: the broadcast join would silently
+    * drop NULL-group rows instead of ranking them).
+    */
+  def withGroupRank(df: DataFrame, group: Column, order: Seq[Column],
+      rankCol: String, cntCol: Option[String] = None): DataFrame = {
+    val reserved = Set("__gr", "__ggrp", "__gmin", "__gcnt")
+    require(!df.columns.exists(reserved), s"withGroupRank: input must not " +
+      s"contain reserved columns ${reserved.mkString("/")}")
+    val guarded = when(group.isNull, raise_error(lit(
+      "withGroupRank: NULL group key — group must be non-null (a NULL " +
+      "group would be dropped by the anchor join, not ranked)")))
+      .otherwise(group)
+    val r = withRankAndCum(df, guarded.asc +: order, "__gr", Nil)
+    val anchors = r.df.groupBy(group.as("__ggrp"))
+      .agg(min(col("__gr")).as("__gmin"), count(lit(1)).as("__gcnt"))
+    val joined = r.df.join(broadcast(anchors), group === col("__ggrp"))
+      .withColumn(rankCol, col("__gr") - col("__gmin") + lit(1L))
+    val named = cntCol.fold(joined)(c => joined.withColumn(c, col("__gcnt")))
+    named.drop("__gr", "__ggrp", "__gmin", "__gcnt")
+  }
+
+  /** Per-group lag(1) of long column `lagSrc` over `order` — the 100 TB
+    * replacement for `lag(c).over(Window.partitionBy(group).orderBy(...))`
+    * on a domain-bounded `group` (see [[withGroupRank]] for why that window
+    * caps parallelism at the key domain). Rides the same range-partitioned
+    * global sort on (group +: order): within a physical partition the lag
+    * is a plain window over the partition id (P groups, parallel); the ≤P
+    * boundary rows (local ordinal 0) read their predecessor from a
+    * pid→(last group, last value) literal map collected per partition —
+    * the per-partition LAST row rides the same ≤P-row stats collect shape
+    * as [[withRankAndCum]] (max_by over the mono id). A lag is NULL when
+    * the predecessor row (in-partition or across the boundary) belongs to
+    * a different group, or the row is globally first — exactly the window
+    * form's semantics.
+    *
+    * Types are pinned by the literal maps: `group` must be STRING-typed
+    * and `lagSrc` LONG-typed (the two callers' shapes: event_type / epoch
+    * µs). Same strict-total-order + non-null-group contract as
+    * [[withGroupRank]]. The returned frame keeps the (group +: order)
+    * range-sorted partitioning, so a downstream re-sort on the same keys
+    * is a no-op exchange.
+    */
+  def withGroupLag(df: DataFrame, group: Column, order: Seq[Column],
+      lagSrc: String, lagDst: String): DataFrame = {
+    require(!df.columns.contains("__mono"),
+      "withGroupLag: input must not contain reserved column __mono")
+    val sess = df.sparkSession
+    val p = sess.sessionState.conf.numShufflePartitions
+    val pid = shiftright(col("__mono"), 33)
+    val guarded = when(group.isNull, raise_error(lit(
+      "withGroupLag: NULL group key — group must be non-null")))
+      .otherwise(group)
+    val sorted = df
+      .repartitionByRange(p, (guarded.asc +: order): _*)
+      .sortWithinPartitions((guarded.asc +: order): _*)
+      .withColumn("__mono", monotonically_increasing_id())
+      .localCheckpoint(eager = false)
+    // ≤P rows (task-count-sized): each nonempty partition's LAST
+    // (group, lagSrc) pair, keyed by pid — the boundary predecessors.
+    val stats = sorted.groupBy(pid.as("__pid"))
+      .agg(max_by(struct(group.cast("string").as("__g"),
+        col(lagSrc).as("__v")), col("__mono")).as("__last"))
+      .collect().sortBy(_.getLong(0))
+    val prevGrp = Map.newBuilder[Long, String]
+    val prevVal = Map.newBuilder[Long, Long]
+    stats.sliding(2).foreach {
+      case Array(prev, cur) =>
+        val last = prev.getStruct(1)
+        prevGrp += cur.getLong(0) -> last.getString(0)
+        if (!last.isNullAt(1)) prevVal += cur.getLong(0) -> last.getLong(1)
+      case _ => () // 0 or 1 nonempty partitions: no boundaries to patch
+    }
+    val w = Window.partitionBy(pid).orderBy(col("__mono"))
+    val local = col("__mono").bitwiseAND(lit(LOCAL_MASK))
+    // element_at on a map literal returns NULL for absent keys — the
+    // globally-first partition has no predecessor entry, so its boundary
+    // row lags NULL, same as the window form's first row per group.
+    val pg = element_at(typedLit(prevGrp.result()), pid)
+    val pv = element_at(typedLit(prevVal.result()), pid)
+    sorted.withColumn(lagDst,
+      when(local > lit(0L),
+        when(lag(group, 1).over(w) === group, lag(col(lagSrc), 1).over(w)))
+      .otherwise(when(pg === group.cast("string"), pv)))
+      .drop("__mono")
+  }
+
   def withRanksPivoted(df: DataFrame, key: String,
       axes: Seq[(Column, String)]): DataFrame = {
     // Guardrails (r12 ADVICE): the reserved working names must not collide

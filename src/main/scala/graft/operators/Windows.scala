@@ -292,14 +292,31 @@ object Windows {
     // event_type prefixes count/sum at both coordinates (probes add 0);
     // a per-event_id aggregate takes the difference. Exact: decimal
     // add/subtract is lossless, and RANGE cumulatives are tie-insensitive,
-    // so no tie-break column is needed. Single linear chain — one events
-    // scan, one event_type exchange, one pair-regroup exchange, D1 sort.
+    // so no tie-break column is needed.
+    //
+    // SCALE SHAPE (r14, VERDICT r13 task 1): the cumulative was a window
+    // `partitionBy(event_type)` over 2×fact probe rows — 5 reducers each
+    // sorting ~40 TB at target scale (34.6 s at 100× grown, the slowest
+    // non-diagnostic key). Now: (1) the probe rows pre-aggregate to
+    // DISTINCT (event_type, t) coordinates with per-coordinate deltas
+    // (tie-inclusion for free — a coordinate's cumulative includes all
+    // its ties by construction, exactly the old RANGE frame's semantics);
+    // (2) DistRank stamps GLOBAL running sums over the strict
+    // (event_type, t) order — range-partitioned across all P tasks;
+    // (3) per-type cumulatives = global − the type's anchor offset
+    // (cum − delta at the type's first coordinate: a min_by over the
+    // domain-sized anchor aggregate, broadcast back); (4) probe rows join
+    // their coordinate's cumulative on the high-cardinality (type, t)
+    // key and the per-event_id diff proceeds as before. Value arithmetic
+    // rides EXACT LONG CENTS through DistRank's long `cum` path:
+    // value.cast(decimal(28,2))·100 → long is exact, and cents stay under
+    // 2⁵³ through ~9e13 currency units of corpus total — double casts of
+    // the final diff are then correctly-rounded from the same rational in
+    // both engines (bit-identical; oracle unchanged).
     Q("window_time_range",
       (s, dir) => {
         val horizon = 7L * 86400L * 1000000L
-        val cum = Window.partitionBy(col("event_type")).orderBy(col("t"))
-          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.table(s, dir, "events")
+        val pairs = Tables.table(s, dir, "events")
           .select(col("event_id"), col("event_type"), col("ts_us"),
             col("value"),
             explode(array(
@@ -308,23 +325,41 @@ object Windows {
                 (col("ts_us") - horizon - 1L).as("t")))).as("e"))
           .select(col("event_id"), col("event_type"), col("ts_us"),
             col("e.is_probe").as("is_probe"), col("e.t").as("t"),
-            when(col("e.is_probe") === 0, col("value").cast("decimal(28,2)"))
-              .otherwise(lit(0).cast("decimal(28,2)")).as("v"),
+            when(col("e.is_probe") === 0,
+              (col("value").cast("decimal(28,2)") * 100).cast("long"))
+              .otherwise(0L).as("vc"),
             when(col("e.is_probe") === 0, 1L).otherwise(0L).as("one"))
-          .select(col("event_id"), col("event_type"), col("ts_us"),
-            col("is_probe"),
-            sum(col("one")).over(cum).as("ccnt"),
-            sum(col("v")).over(cum).as("csum"))
+        val pts = pairs.groupBy(col("event_type"), col("t"))
+          .agg(sum(col("one")).as("dn"), sum(col("vc")).as("dv"))
+        val r = DistRank.withRankAndCum(pts,
+          Seq(col("event_type").asc, col("t").asc), "__r",
+          Seq("dn" -> "gcn", "dv" -> "gcs")).df
+        // Per-type offset = global cumulative just BEFORE the type's first
+        // coordinate = (cum − delta) at the min-rank row of the type; the
+        // anchor aggregate is domain-sized (one row per event_type).
+        val anchors = r.groupBy(col("event_type").as("__t2"))
+          .agg(min_by(struct((col("gcn") - col("dn")).as("offn"),
+            (col("gcs") - col("dv")).as("offv")), col("__r")).as("__a"))
+          .select(col("__t2"), col("__a.offn").as("__offn"),
+            col("__a.offv").as("__offv"))
+        val cumTyped = r.join(broadcast(anchors),
+            col("event_type") === col("__t2"))
+          .select(col("event_type").as("ct"), col("t").as("tt"),
+            (col("gcn") - col("__offn")).as("ccnt"),
+            (col("gcs") - col("__offv")).as("ccents"))
+        pairs
+          .join(cumTyped, col("event_type") === col("ct") &&
+            col("t") === col("tt"))
           .groupBy(col("event_id"), col("event_type"), col("ts_us"))
           .agg(
             (max(when(col("is_probe") === 0, col("ccnt")))
               - max(when(col("is_probe") === 1, col("ccnt")))).as("cnt_7d"),
-            // Exact decimal difference, emitted as double (D9: raw
-            // decimal output fails the driver's hasher; trailing-7d sums
-            // stay far under double's 15 exact digits at graded SFs).
-            (max(when(col("is_probe") === 0, col("csum")))
-              - max(when(col("is_probe") === 1, col("csum"))))
-              .cast("double").as("sum_7d"))
+            // Exact long-cents difference, emitted as double (D9): cents
+            // < 2⁵³ make the /100.0 division correctly rounded from the
+            // exact rational — bit-equal to both engines' decimal→double.
+            ((max(when(col("is_probe") === 0, col("ccents")))
+              - max(when(col("is_probe") === 1, col("ccents"))))
+              / lit(100.0)).as("sum_7d"))
           .orderBy(col("event_id"))
       },
       Some(sql(s"""SELECT event_id, event_type,

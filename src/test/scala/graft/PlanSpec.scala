@@ -632,6 +632,152 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("registry sweep: no fact-sized exchange partitioned on a " +
+      "domain-bounded key") {
+    // r14 structural fence (VERDICT r13 task 2): the single-partition
+    // audit above caught ONE-reducer shapes but missed the FEW-reducer
+    // family — a shuffle whose partition keys all come from a
+    // domain-bounded column (event_type: 5 values, lang: 4, returnflag: 3
+    // …) while its input is fact-proportional. Correct everywhere, but
+    // parallelism is capped at the key domain: at 100 TB that is ~5 tasks
+    // each sorting ~20 TB (r13's events_inter_arrival 19.0 s /
+    // window_time_range 34.6 s / sample_stratified at 100× grown — all
+    // rewired onto DistRank this round; this audit is red on their old
+    // shapes and keeps them from coming back). An exchange on such keys
+    // is legitimate ONLY when its input is itself domain-bounded — a
+    // grouped aggregate whose grouping keys are all domain-bounded (≤
+    // domain rows per task), a scalar aggregate, or a limit, anywhere on
+    // the row-preserving spine below.
+    import org.apache.spark.sql.execution.{SparkPlan, LocalLimitExec, CollectLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec, ProjectExec, FilterExec, SortExec, WholeStageCodegenExec, InputAdapter, UnionExec, CoalesceExec, FileSourceScanExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, BroadcastExchangeExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
+    // The session registers graft's native rewrites in Bench/Verify before
+    // any plan is built; register here too so the audited plans match the
+    // production ones regardless of test ordering (an unregistered run
+    // plans WindowExec where production plans TopKPartial/TopKFinal).
+    plans.GraftFunctions.register(spark)
+    // Every fixture column whose value domain is a small constant set —
+    // grows with NOTHING (not corpus volume, not calendar time). Keep in
+    // sync with TESTDATA.md; names are unambiguous across tables.
+    val domain = Set("event_type", "lang", "source", "split",
+      "l_returnflag", "l_linestatus", "o_orderstatus", "o_orderpriority",
+      "label", "p_brand", "r_regionkey", "r_name", "n_nationkey", "n_name",
+      // FKs INTO the fixed dimensions carry the same ≤25-value domain
+      "s_nationkey", "c_nationkey", "n_regionkey")
+    val allow: Map[String, String] = Map(
+      "source_csv_roundtrip" -> ("the roundtripped table is the fixed " +
+        "25-row nation dimension re-read from csv; the final orderBy " +
+        "range exchange is dimension-sized (the walker cannot see through " +
+        "a write-then-read temp path)"),
+      "source_json_roundtrip" -> "same fixed-dimension roundtrip, json",
+      "source_orc_roundtrip" -> "same fixed-dimension roundtrip, orc",
+      "join_full_outer" -> ("FULL OUTER JOIN keyed on the 25-value " +
+        "nation key is the operator under demonstration — Spark has no " +
+        "broadcast full-outer, so the shuffle join key IS the semantic " +
+        "key; the supplier side is corpus-proportional but splitting " +
+        "into left-outer ∪ anti would stop exercising the operator"))
+    def physical(df: org.apache.spark.sql.DataFrame): SparkPlan =
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    def domainOnly(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
+      exprs.nonEmpty && exprs.forall { e =>
+        val names = e.references.map(_.name).toSet
+        names.nonEmpty && names.forall(domain)
+      }
+    def dbounded(p: SparkPlan): Boolean = p match {
+      case a: BaseAggregateExec =>
+        a.groupingExpressions.isEmpty ||
+          a.groupingExpressions.forall(
+            _.references.map(_.name).forall(domain)) ||
+          dbounded(a.child)
+      case _: LocalLimitExec | _: GlobalLimitExec | _: CollectLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      case q: WindowGroupLimitExec => dbounded(q.child)
+      // graft's map-side top-k heap: ≤ limit rows per group per flush
+      // chunk — bounded whenever its groups are domain-bounded
+      case t: graft.plans.TopKPartialExec =>
+        domainOnly(t.partitionSpec) || dbounded(t.child)
+      // reduce-side twin: exactly ≤ limit rows per group
+      case t: graft.plans.TopKFinalExec =>
+        domainOnly(t.partitionSpec) || dbounded(t.child)
+      // a window adds columns, never rows
+      case w: WindowExec => dbounded(w.child)
+      // broadcast joins: output ≤ streamed × build matches — bounded when
+      // BOTH inputs are (the registry's uses are scalar-agg cross joins
+      // and dimension enrichments; a bounded×bounded product stays
+      // domain-sized)
+      case j: BroadcastHashJoinExec => j.children.forall(dbounded)
+      case j: BroadcastNestedLoopJoinExec => j.children.forall(dbounded)
+      case b: BroadcastExchangeExec => dbounded(b.child)
+      // region/nation are FIXED dimensions (5/25 rows at every SF)
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists { p =>
+          val s = p.toString
+          s.endsWith("region.parquet") || s.endsWith("nation.parquet")
+        }
+      case q: ProjectExec => dbounded(q.child)
+      case q: FilterExec => dbounded(q.child)
+      case q: SortExec => dbounded(q.child)
+      case q: ShuffleExchangeExec => dbounded(q.child)
+      case q: WholeStageCodegenExec => dbounded(q.child)
+      case q: InputAdapter => dbounded(q.child)
+      case q: CoalesceExec => dbounded(q.child)
+      case u: UnionExec => u.children.forall(dbounded)
+      case _ => false
+    }
+    val offending = Registry.all.flatMap { q =>
+      val bad = physical(q.build(spark, sf)).collect {
+        case e: ShuffleExchangeExec => e.outputPartitioning match {
+          case h: HashPartitioning if domainOnly(h.expressions) => Some(e)
+          case r: RangePartitioning
+              if domainOnly(r.ordering.map(_.child)) => Some(e)
+          case _ => None
+        }
+      }.flatten.filterNot(e => dbounded(e.child))
+        .map(_.child.treeString.take(600))
+      if (bad.nonEmpty && !allow.contains(q.key)) Some(q.key -> bad) else None
+    }
+    assert(offending.isEmpty,
+      "fact-sized exchange(s) partitioned only on domain-bounded keys — " +
+        "parallelism capped at the key domain at 100 TB; fix the plan " +
+        "(DistRank withGroupRank/withGroupLag) or allowlist with a " +
+        s"justification:\n${offending.mkString("\n")}")
+    // self-pruning allowlist, same discipline as the single-partition sweep
+    allow.keys.foreach { k =>
+      val has = physical(Registry.queries(k)(spark, sf)).collect {
+        case e: ShuffleExchangeExec => e.outputPartitioning match {
+          case h: HashPartitioning if domainOnly(h.expressions) => Some(e)
+          case r: RangePartitioning
+              if domainOnly(r.ordering.map(_.child)) => Some(e)
+          case _ => None
+        }
+      }.flatten.exists(e => !dbounded(e.child))
+      assert(has, s"$k is allowlisted but plans no unbounded " +
+        "domain-keyed exchange — remove the stale entry")
+    }
+    // Detector self-test: the exact r13 weak shape this audit exists to
+    // catch — row_number over partitionBy(lang) on the fact-sized
+    // documents table (sample_stratified's pre-fix form) — must flag.
+    val oldShape = Tables.table(spark, sf, "documents")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("doc_id"))))
+    val oldBad = physical(oldShape).collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning match {
+        case h: HashPartitioning if domainOnly(h.expressions) => Some(e)
+        case _ => None
+      }
+    }.flatten.filterNot(e => dbounded(e.child))
+    assert(oldBad.nonEmpty, "detector self-test failed: the old " +
+      "partitionBy(lang) fact window shape did not flag")
+  }
+
   test("vocab-ranked keys plan no single-partition exchange") {
     // r12 (VERDICT r11 task 1): vocabOf / text_vocab_coverage rank the
     // FULL vocabulary — a corpus-growing domain (Heaps' law) — so the
