@@ -194,9 +194,14 @@ done
 # failure, no graded non-key failure, and no AUDIT-FAIL anywhere at all
 cat "$WORK"/*.log | grep -E "^note " | sort -u
 audit_fails=$(cat "$WORK"/*.log | grep -cE "^AUDIT-FAIL" || true)
+# ADVICE r13: the audits must have RUN TO COMPLETION in >=1 process —
+# pass-lines don't prove it (a packed chunk can crash after its keys but
+# before the audit phase, and every retry runs GRAFT_SKIP_AUDITS=1).
+audits_done=$(cat "$WORK"/*.log | grep -cE "^AUDITS-COMPLETED" || true)
 passed=$(cat "$WORK"/*.log | grep -E "^pass " | awk '{print $2}' | sort -u \
   | grep -cxF -f <(printf '%s\n' "${KEYS[@]}") || true)
 echo "---- ${passed}/${#KEYS[@]} registry keys passed; $fails solo" \
-  "failure(s); $audit_fails audit failure(s); hard_fail=$hard_fail ----"
+  "failure(s); $audit_fails audit failure(s); audits_done=$audits_done;" \
+  "hard_fail=$hard_fail ----"
 [ "$fails" -eq 0 ] && [ "$hard_fail" -eq 0 ] && [ "$audit_fails" -eq 0 ] \
-  && [ "$passed" -eq "${#KEYS[@]}" ]
+  && [ "$audits_done" -ge 1 ] && [ "$passed" -eq "${#KEYS[@]}" ]

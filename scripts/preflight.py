@@ -714,6 +714,12 @@ def main():
     else:
         n_fail += audit(con, oracle)
         n_fail += bpe_differential(con, out)
+        # Explicit completion marker (ADVICE r13): chunked_preflight's
+        # roll-up requires this line in >=1 log — a packed chunk that
+        # crashed BEFORE its audit phase can no longer count as having
+        # carried the audits (pass-lines alone don't prove the audit
+        # phase ran to completion in any process).
+        print("AUDITS-COMPLETED boundary+bpe")
     n_fail += d9_selftest()
     print(f"\n{n_pass} pass / {n_fail} fail (sf={sf})")
     sys.exit(1 if n_fail else 0)

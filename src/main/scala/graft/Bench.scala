@@ -6,6 +6,25 @@ import org.apache.spark.sql.SparkSession
   * "What's wrong" #2), so a crash is always distinguishable from a fast
   * pass in BENCH_r*.json. */
 object Bench {
+  /** Detail-file routing (VERDICT r13 task 3), exposed for ScaleGuardSpec:
+    * GRAFT_BENCH_DETAIL overrides outright; a key-filtered run parks in
+    * bench_detail_partial.json; otherwise the path is routed by SF so an
+    * unfiltered run at any non-anchor SF can never clobber the tracked
+    * sf0.1 anchor bench_detail.json that scripts/bench_budgets.py and
+    * scale_compare.py gate on (r13 incident: an sf0.001 run silently
+    * overwrote the anchor, restored from git). */
+  def detailPathFor(envDetail: Option[String], filtered: Boolean,
+      sfDir: String): String =
+    envDetail.getOrElse {
+      if (filtered) "bench_detail_partial.json"
+      else if (sfDir == "/root/testdata/sf0.1") "bench_detail.json"
+      else {
+        val sfName = new java.io.File(sfDir).getName
+          .replaceAll("[^A-Za-z0-9._-]", "_")
+        s"bench_detail_$sfName.json"
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -117,13 +136,8 @@ object Bench {
     // therefore a min ACROSS passes: a key whose min_sec is normal but
     // whose median is inflated was stalled, not regressed.
     val RUNS = 3
-    // Detail-file routing: GRAFT_BENCH_DETAIL overrides outright (the
-    // scale sweep parks its run in bench_detail_sfx.json); otherwise a
-    // key-filtered run goes to bench_detail_partial.json so a partial
-    // run can never clobber the checked-in full-suite bench_detail.json
-    // that scripts/bench_budgets.py gates on.
-    val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL",
-      if (only.isEmpty) "bench_detail.json" else "bench_detail_partial.json")
+    val detailPath = detailPathFor(
+      sys.env.get("GRAFT_BENCH_DETAIL"), only.nonEmpty, sfDir)
     def sampleOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, (Long, Long, Long), Double, Double, Double) = {
@@ -205,13 +219,24 @@ object Bench {
       // missed in the timed region (cache regression) and `sec` includes
       // training the production steady state would amortize away.
       val trainS = if (sec < 0) -1.0 else med._5
+      // r14 (ADVICE r13 medium): stall retries are now visible per key —
+      // a nonzero count says the median was re-sampled because the first
+      // passes looked like a host stall, so a genuinely intermittent
+      // regression can be told apart from stall smoothing. Spill is gated
+      // on the MAX across samples for the same reason: a retry that
+      // happened to not spill must not average away a sample that did
+      // (shuffle bytes stay median-sample: they are plan properties and
+      // identical across samples).
+      val retries = samples.size - RUNS
+      val spillMax = if (good.isEmpty) -1L else good.map(_._2._3).max
       detail += s"""  "$name": {"sec": $sec, """ +
         s""""min_sec": $minS, "max_sec": $maxS, "failed_runs": $failed, """ +
+        s""""stall_retries": $retries, """ +
         s""""plan_sec": $planS, "exec_sec": $execS, """ +
         s""""train_sec": $trainS, """ +
         s""""shuffle_write_bytes": ${med._2._1}, """ +
         s""""shuffle_read_bytes": ${med._2._2}, """ +
-        s""""disk_spill_bytes": ${med._2._3}}"""
+        s""""disk_spill_bytes": $spillMax}"""
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -1099,8 +1099,16 @@ object PipelineOps {
         // compresses pairs ~not at all — a pair repeats only when two
         // docs share ≥2 shingles in ONE task's buckets — so bytes are
         // unchanged either way); fixture SFs keep their exact r12 plan.
-        val initN = s.conf.getOption(
-          "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        // ADVICE r13: initialPartitionNum only takes effect when AQE AND
+        // partition coalescing are both on — with either off, the agg
+        // exchange gets plain numShufflePartitions, so comparing against
+        // a dormant conf value could skip the explicit repartition in
+        // exactly the configuration that needs it most.
+        val aqeOn = s.sessionState.conf.adaptiveExecutionEnabled &&
+          s.sessionState.conf.coalesceShufflePartitionsEnabled
+        val initN = (if (aqeOn) s.conf.getOption(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+          else None)
           .map(_.toInt)
           .getOrElse(s.sessionState.conf.numShufflePartitions)
         val pairs = if (nParts > initN)

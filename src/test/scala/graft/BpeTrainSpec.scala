@@ -124,18 +124,46 @@ class BpeTrainSpec extends AnyFunSuite {
     val src = new java.io.File(s"${TestSpark.sf}/documents.parquet")
     val dst = new java.io.File(tmp, "documents.parquet")
     java.nio.file.Files.copy(src.toPath, dst.toPath)
+    // The listener bus is async: deterministically DRAIN it instead of a
+    // fixed sleep (ADVICE r13 — a loaded host could undercount the first
+    // read or leak late first-call events into the memoization check).
+    // waitUntilEmpty is private[spark], reached reflectively like
+    // Bench.drainListeners; the fallback polls the counter until it has
+    // been stable for 500 ms (bounded), which is the same guarantee.
+    def drain(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          val deadline = System.nanoTime() + 10_000_000_000L
+          var last = counter.get()
+          var stableSince = System.nanoTime()
+          while (System.nanoTime() - stableSince < 500_000_000L &&
+              System.nanoTime() < deadline) {
+            Thread.sleep(50)
+            val cur = counter.get()
+            if (cur != last) { last = cur; stableSince = System.nanoTime() }
+          }
+      }
     spark.sparkContext.addSparkListener(listener)
     try {
       bpeMerges(spark, tmp.getAbsolutePath)
-      Thread.sleep(1000) // listener bus is async; drain before reading
+      drain()
       val afterFirst = counter.get()
       // memoized per (session, dir): a second call must add ZERO jobs
       bpeMerges(spark, tmp.getAbsolutePath)
-      Thread.sleep(1000) // listener bus is async; drain before reading
+      drain()
       assert(counter.get() === afterFirst,
         "memoized second training launched Spark jobs")
-      // ≤6 allows AQE stage jobs for the agg + TakeOrdered; the old loop
-      // shape was ≥17 (1 checkpoint + 8 argmax + 8 rewrites).
+      // Why 6 is safe under AQE: the trainer submits exactly TWO actions
+      // (dict hash-agg collect + TakeOrdered), and an AQE-wrapped action
+      // can launch one job per materialized exchange stage plus the
+      // final-stage job — the dict agg has one exchange (≤2 jobs + a
+      // possible empty-stage job), TakeOrdered at most the same — so ≤6
+      // covers every AQE staging variant while the old R-loop shape was
+      // ≥17 (1 checkpoint + 8 argmax + 8 rewrites) and scales with R.
       assert(afterFirst >= 1 && afterFirst <= 6,
         s"training launched $afterFirst jobs — scales with R?")
     } finally spark.sparkContext.removeSparkListener(listener)

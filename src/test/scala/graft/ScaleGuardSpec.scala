@@ -271,4 +271,25 @@ class ScaleGuardSpec extends AnyFunSuite {
       assert(declined.length === 9)
     } finally spark.conf.unset("graft.topk.maxFinalBytesPerPartition")
   }
+
+  test("bench detail-path routing: a wrong-SF run cannot overwrite the " +
+      "anchor") {
+    // r14 (VERDICT r13 task 3): the tracked sf0.1 anchor bench_detail.json
+    // gates scripts/bench_budgets.py and scale_compare.py; in r13 an
+    // unfiltered sf0.001 run silently clobbered it. Only the anchor SF may
+    // route there; everything else must land in its own file.
+    import graft.Bench.detailPathFor
+    assert(detailPathFor(None, filtered = false, "/root/testdata/sf0.1")
+      === "bench_detail.json")
+    assert(detailPathFor(None, filtered = false, "/root/testdata/sf0.001")
+      === "bench_detail_sf0.001.json")
+    assert(detailPathFor(None, filtered = false, "/tmp/grown 100x/data")
+      === "bench_detail_data.json")
+    // a key-filtered run never touches the anchor, even at the anchor SF
+    assert(detailPathFor(None, filtered = true, "/root/testdata/sf0.1")
+      === "bench_detail_partial.json")
+    // explicit override always wins
+    assert(detailPathFor(Some("x.json"), filtered = false,
+      "/root/testdata/sf0.1") === "x.json")
+  }
 }
