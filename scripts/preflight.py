@@ -657,8 +657,8 @@ def main():
             n_fail += (not ok)
             continue
         # D9 hard gate: an oracle-declared key must not emit decimal
-        # columns (oracle-less diagnostics like diag_decimal_repr are
-        # exempt by the `key not in oracle` branch above).
+        # columns (oracle-less diagnostics are exempt by the
+        # `key not in oracle` branch above).
         dec = decimal_columns(files)
         if dec:
             print(f"FAIL {key:28s} D9: decimal-typed output column(s) "

@@ -622,40 +622,17 @@ object Aggs {
         |min(event_id) AS first_event
         |FROM events GROUP BY event_type ORDER BY event_type"""))),
 
-    // DIAGNOSTIC probe for the driver's hasher (VERDICT r10 task 4):
-    // the SAME exact per-flag sum emitted simultaneously as raw
-    // DECIMAL(38,s), as double, and as fixed-scale string. Deliberately
-    // ORACLE-LESS (rows-only in the gate — D9 bans decimal columns only
-    // at the hash-graded interface), so if a future round needs to know
-    // which representations the driver's hasher canonicalizes, this key's
-    // dump is a 3-row diff instead of a 9-key surprise. The string column
-    // uses BigDecimal.toPlainString semantics via format: cast(dec as
-    // string) in Spark prints the plain scale-2 form.
-    Q("diag_decimal_repr",
-      (s, dir) => Tables.table(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(dsumx(col("l_extendedprice"), 2).as("sum_dec"),
-          dsum(col("l_extendedprice"), 2).as("sum_dbl"),
-          dsumx(col("l_extendedprice"), 2).cast("string").as("sum_str"))
-        .orderBy(col("l_returnflag")),
-      None),
-
-    // §7.3.1 CANARY (r12, VERDICT r11 task 4) — came back DRIVER-HASH-GREEN
-    // in CORRECTNESS_r12, proving fixed-scale STRING emission of an exact
-    // decimal sum survives the driver's hasher. The proven representation
-    // was adopted in r13 for the two former 1-ulp boundary cells (flagship
-    // sum_charge + typed twin), and the grown sweeps run strict ULP_TOL=0.
-    // Kept one more round as the regression probe per VERDICT r12 task 1.
-    Q("canary_string_sum",
-      (s, dir) => Tables.table(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(dsumx(col("l_extendedprice"), 2).cast("string").as("sum_str"),
-          count(lit(1)).as("cnt"))
-        .orderBy(col("l_returnflag")),
-      Some(sql("""SELECT l_returnflag,
-        |CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS VARCHAR)
-        |  AS sum_str,
-        |count(*)::BIGINT AS cnt
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
+    // D9 probe history (r14, VERDICT r13 task 4 — the registry's first
+    // deliberate shrink, 189→187): `diag_decimal_repr` (the three-
+    // representation hasher-localization probe, r10) and
+    // `canary_string_sum` (the fixed-scale-STRING emission canary, r12)
+    // are RETIRED. The canary came back driver-hash-green in
+    // CORRECTNESS_r12 AND r13 — two consecutive driver proofs — and the
+    // adopted STRING emission itself (flagship sum_charge + typed twin)
+    // was driver-green in r13. The rule they established lives in D9
+    // (SURVEY §2.0) and Det.dsumx's scaladoc: accumulate in DECIMAL,
+    // emit double/BIGINT/fixed-scale STRING, never a raw decimal column
+    // at the graded interface. Restore from git history if a future
+    // hasher change needs re-localization.
   )
 }

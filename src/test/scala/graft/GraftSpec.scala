@@ -55,12 +55,10 @@ class RegistrySpec extends AnyFunSuite {
           "decimals at the hash-graded interface (accumulate in decimal, " +
           "emit double/BIGINT/STRING)")
     }
-    // ...and the oracle-less probe must keep all three representations,
-    // or it stops being the hasher-localization instrument D9 relies on.
-    val probe = Registry.all.find(_.key == "diag_decimal_repr").get
-    assert(probe.oracle.isEmpty, "diag_decimal_repr must stay oracle-less")
-    assert(decimals(probe) === Seq("sum_dec"),
-      "the probe must emit exactly one decimal leg next to double/string")
+    // (the diag_decimal_repr / canary_string_sum probes were retired in
+    // r14 after two consecutive driver proofs — see Aggs.scala's D9
+    // history note; this guard over every oracle-declared key is the
+    // permanent enforcement)
   }
 
   test("Tables.events reads the legacy INT64 TIMESTAMP(NANOS) variant") {
