@@ -45,6 +45,16 @@ BUDGETS = {
     # jump long before fixture-scale timing notices. ScaleGuardSpec proves
     # the caps FIRE on adversarial data; these bounds pin the capped plans
     # at sf0.1 (round-9 measured values in comments).
+    # r14 DistRank group-rank/lag rewires (VERDICT r13 task 1): the
+    # range-partitioned shape pays more bytes than the old domain-keyed
+    # window (which was one exchange onto 4-5 reducers) in exchange for
+    # data-proportional parallelism. These bounds pin the new shape's
+    # byte cost from above; the PlanSpec domain-bounded-exchange audit is
+    # the fence against regressing back to the cheap-but-capped window.
+    # Measured r14: 26.4 MB / 4.1 MB / 0.24 MB.
+    "window_time_range":     40_000_000,
+    "events_inter_arrival":   7_000_000,
+    "sample_stratified":      1_000_000,
     "text_neardup_banded":        3_000_000,  # 1.6 MB
     "vec_neardup_srp_fixed":      6_000_000,  # 3.4 MB
     "pipeline_dedup_semantic":    5_000_000,  # 2.6 MB

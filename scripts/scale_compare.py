@@ -106,11 +106,8 @@ GROWN_OK = {
     "events_anomaly_mad":   "per-user median frame outgrew broadcast between 10x "
                             "and 30x; post-flip the four user_id stages share one "
                             "events exchange (132 MB ~= events once + result sort)",
-    "text_ngram_jaccard":   "common-shingle df grows with the corpus (real text "
-                            "property): bucket pairs ~df^2 until the 1000-df cap "
-                            "binds (df ~120 of 1000 at 30x); candidate-join "
-                            "exchange is corpus-sized so the pair aggregation "
-                            "never spills",
+    # text_ngram_jaccard: graded by EXACTNESS_TIER below (r14, VERDICT r13
+    # task 5), not by the generic REP^2 allowance.
     "vec_neardup_srp_fixed": "the pair-LIST diagnostic for the SRP family: "
                             "similar-pair density is corpus-proportional (see "
                             "header), so true pairs/vector grow 25.6 -> 67.6 at "
@@ -141,6 +138,27 @@ GROWN_OK = {
                             "the worst case; its keep-set consumers "
                             "(pipeline_dedup_keep_banded/_incremental_banded) "
                             "stay linear and unflagged",
+}
+
+
+# Exactness-tier budget (r14, VERDICT r13 task 5 — decision (b), recorded
+# in PLANS.md): text_ngram_jaccard is the exact pairwise diagnostic whose
+# GRADED scale path is the banded MinHash family; it stays in the registry
+# for exactness, with an explicit growth budget instead of an open-ended
+# allowance. Measured grown-corpus shuffle-write points (bench_detail
+# sf0.1 / grown30_r13 / grown100_r13): 41.1 MB -> 3.96 GB -> 31.4 GB,
+# i.e. growth exponent e = ln(31.4G/3.96G)/ln(100/30) = 1.72 (common-
+# shingle df grows with the corpus; pairs ~ df^2 until the 1000-df cap
+# binds — df ~1200 of 1000 first bound at 100x). Budget: bytes <=
+# base * REP^1.8 (measured exponent + margin; a regression to a worse
+# shape, e.g. the cap silently not binding, fails the gate) AND an
+# absolute 64 GiB tier ceiling — the 300x projection under e=1.72 is
+# ~193 GB of concurrent shuffle files, beyond this host's disk, so grown
+# sweeps above ~100x must EXCLUDE the key (GRAFT_BENCH_ONLY / solo
+# chunking) rather than buy the diagnostic more disk. The exactness tier
+# is bounded; the banded family carries the 100 TB story.
+EXACTNESS_TIER = {
+    "text_ngram_jaccard": (1.8, 64 * 1024**3),
 }
 
 
@@ -177,7 +195,18 @@ def main():
         if s.get("disk_spill_bytes", 0):
             bad.append((key, f"disk spill {fmt_b(s['disk_spill_bytes'])} at {rep}x"))
         bw, sw = b["shuffle_write_bytes"], s["shuffle_write_bytes"]
-        if key in ok_list:
+        if grown and key in EXACTNESS_TIER:
+            exp, ceil = EXACTNESS_TIER[key]
+            bound = max(bw, 1024 * 1024) * rep**exp
+            if sw > bound:
+                bad.append((key, f"shuffle bytes {fmt_b(bw)} -> {fmt_b(sw)} "
+                                 f"exceed the exactness-tier growth budget "
+                                 f"base*REP^{exp} = {fmt_b(bound)}"))
+            if sw > ceil:
+                bad.append((key, f"shuffle bytes {fmt_b(sw)} exceed the "
+                                 f"{fmt_b(ceil)} exactness-tier host ceiling "
+                                 f"— exclude the key from sweeps this large"))
+        elif key in ok_list:
             bound = max(bw, 1024 * 1024) * rep * rep * 2
             if sw > bound:
                 bad.append((key, f"shuffle bytes {fmt_b(bw)} -> {fmt_b(sw)} "
