@@ -43,6 +43,12 @@ object Explain {
       // outgrew memory" (a plan bug) and "a big exchange streamed
       // through the shuffle writer" (expected out-of-core behavior).
       val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      // Per-stage TIME attribution (r14, VERDICT r13 task 7): sum of task
+      // executorRunTime per stage — the direct answer to "which stage is
+      // this query's wall", e.g. whether vec_ann_ivfpq's grown-SF cost is
+      // the one-pass corpus scan (expected, linear) or something else.
+      val stageTimes =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]
       val sl = new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
@@ -58,6 +64,11 @@ object Explain {
               f"spillMem=${m.memoryBytesSpilled / 1048576.0}%.1f MB " +
               f"shufWrite=${m.shuffleWriteMetrics.bytesWritten / 1048576.0}%.1f MB")
           }
+          if (m != null) stageTimes.add((m.executorRunTime,
+            f"  stage ${si.stageId}%4d [${si.name.take(70)}] " +
+            f"tasks=${si.numTasks} runTime=${m.executorRunTime / 1000.0}%.2f s " +
+            f"cpuTime=${m.executorCpuTime / 1e9}%.2f s " +
+            f"input=${m.inputMetrics.bytesRead / 1048576.0}%.1f MB"))
         }
       }
       spark.sparkContext.addSparkListener(sl)
@@ -76,6 +87,12 @@ object Explain {
       if (!stages.isEmpty) {
         println(s"--- stages with spill ($k, warmup + $runs runs):")
         stages.forEach(println(_))
+      }
+      if (!stageTimes.isEmpty) {
+        println(s"--- top stages by executor run time ($k, warmup + $runs runs):")
+        import scala.jdk.CollectionConverters._
+        stageTimes.asScala.toSeq.sortBy(-_._1).take(10)
+          .foreach(t => println(t._2))
       }
     }
     spark.stop()
