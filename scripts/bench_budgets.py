@@ -51,8 +51,9 @@ BUDGETS = {
     # data-proportional parallelism. These bounds pin the new shape's
     # byte cost from above; the PlanSpec domain-bounded-exchange audit is
     # the fence against regressing back to the cheap-but-capped window.
-    # Measured r14: 26.4 MB / 4.1 MB / 0.24 MB.
-    "window_time_range":     40_000_000,
+    # Measured r14 (final bucketed-prefix-sum shape for time_range):
+    # 11.8 MB / 4.1 MB / 0.24 MB.
+    "window_time_range":     18_000_000,
     "events_inter_arrival":   7_000_000,
     "sample_stratified":      1_000_000,
     "text_neardup_banded":        3_000_000,  # 1.6 MB

@@ -130,6 +130,20 @@ GROWN_OK = {
                             "dictionary join (plans diffed: 2 BHJ at sf0.1 "
                             "-> SMJ at 100x); 1.8 MB -> 383.3 MB, 210.8x vs "
                             "the 200x bound, zero spill",
+    # r14, from the grown-100x sweep on the r14 anchor:
+    "pipeline_curate_incremental": "broadcast->SMJ phase change on the "
+                            "batch-side SRP frame of the batch x corpus "
+                            "band join: xb (src1 signatures + unit "
+                            "vectors) is ~4.5 MB at 30x (broadcast) and "
+                            "straddles the 10 MB threshold at ~100x, so "
+                            "the corpus side shuffles once (236 -> 560 MB "
+                            "total, isolated-run-stable, zero spill; the "
+                            "r13 run sat on the other side of the same "
+                            "threshold). At true scale neither side "
+                            "broadcasts and per-row bytes are linear past "
+                            "the flip — pinning the broadcast would be "
+                            "the actual scale bug (an admission batch is "
+                            "not bounded by the 8 GB broadcast limit)",
     "text_neardup_banded":  "pair-LIST diagnostic for the CW-hash banded "
                             "family: similar-pair density is "
                             "corpus-proportional (header), so the DISTINCT "

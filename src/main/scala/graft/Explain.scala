@@ -15,6 +15,16 @@ object Explain {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // HotSpot never JIT-compiles methods over 8000 bytecode bytes
+      // (DontCompileHugeMethods), while Spark's default fallback only
+      // trips at 65535 — stages whose generated whole-stage method lands
+      // in between run as INTERPRETED BYTECODE: vec_ann_ivfpq's fused
+      // candidate-scoring stage cost 30 s at 100x grown vs 2.8 s with
+      // the fallback aligned to the JIT's real limit (r14 task 7
+      // bisection). 8000 makes Spark fall back to per-operator execution
+      // exactly where the JIT would refuse anyway — strictly
+      // faster-or-neutral, results unchanged (execution strategy only).
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       // Data-scaled reduce parallelism (see Bench.scala).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 8).toString)

@@ -365,9 +365,10 @@ object AnnFixed {
         val shortlist = broadcast(probe).join(a, "list_id")
           .filter(col("vec_id") =!= col("q_id"))
           .join(broadcast(lutArr), "q_id")
-          .withColumn("approx_sim",
-            (0 until 4).map(j =>
-              expr(s"element_at(la, $j * 4 + c$j + 1)")).reduce(_ + _))
+          // fused ADC score — same algebra as the oracle's unrolled
+          // list_extract chain (see plans.AdcScore; r14 task 7)
+          .withColumn("approx_sim", call_function("graft_adc", col("la"),
+            array((0 until 4).map(j => col(s"c$j")): _*), lit(4)))
           .withColumn("arn", row_number().over(
             Window.partitionBy(col("q_id"))
               .orderBy(col("approx_sim").desc, col("vec_id").asc)))
@@ -904,8 +905,13 @@ object AnnFixed {
     val e = e0
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("u", transform(col("v"),
-        x => x / sqrt(dot(col("v"), col("v")))))
+      // norm OUTSIDE the lambda (r14): a transform lambda body runs on
+      // the interpreted path PER ELEMENT — sqrt(dot) inside meant d
+      // interpreted d-dim dots per row across all 7 SRP-banded corpus
+      // keys (see normFrame's note). Bit-identical doubles.
+      .withColumn("__n", sqrt(dot(col("v"), col("v"))))
+      .withColumn("u", transform(col("v"), x => x / col("__n")))
+      .drop("__n")
     def sig(b: Int): Column = (0 until bits).map { i =>
       when(dot(col("v"), typedLit(srpPlanes(b * 16 + i))) >= 0,
         lit(1 << i)).otherwise(lit(0))

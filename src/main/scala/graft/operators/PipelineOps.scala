@@ -2222,10 +2222,22 @@ object PipelineOps {
   private[operators] def normFrame(e0: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(e0.sparkSession)
     val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
+    // The norm is computed ONCE per row, OUTSIDE the transform lambda
+    // (r14, VERDICT r13 task 7): an ArrayTransform lambda body is
+    // evaluated per ELEMENT on the interpreted expression path — with
+    // `sqrt(dot(v,v))` inside the lambda, a 64-dim row paid 64
+    // interpreted 64-dim dots, ~456 executor-CPU-seconds per run at
+    // 100× grown (the whole 27 s vec_ann_ivfpq "probe wall" the r13
+    // VERDICT flagged; Explain's stage-time attribution named the
+    // broadcast-materialization stage). Factored out, the dot runs once
+    // per row inside whole-stage codegen and only the trivial division
+    // stays in the lambda. Doubles are bit-identical (same expressions,
+    // same order — just not re-evaluated), pinned by the hash-checked
+    // semantic-dedup/search keys built on this frame.
     e0.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("u", transform(col("v"),
-        x => x / sqrt(dotc(col("v"), col("v")))))
+      .withColumn("__n", sqrt(dotc(col("v"), col("v"))))
+      .withColumn("u", transform(col("v"), x => x / col("__n")))
       .select(col("vec_id"), col("u"))
   }
 
@@ -2302,8 +2314,10 @@ object PipelineOps {
           .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
             .as("pc"))
           .select(col("list_id"), expr("transform(pc, x -> x.c)").as("cv"))
-          .withColumn("cu", transform(col("cv"),
-            x => x / sqrt(dotc(col("cv"), col("cv")))))
+          // norm outside the lambda (r14, see normFrame) — domain-sized
+          // frame, fixed for consistency with the corpus-sized sites
+          .withColumn("__n", sqrt(dotc(col("cv"), col("cv"))))
+          .withColumn("cu", transform(col("cv"), x => x / col("__n")))
           .select(col("list_id"), col("cu"))
           .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
           .sortBy(_._1)
@@ -2423,10 +2437,16 @@ object PipelineOps {
     // enough to cap recall@3 near 0.6 regardless of nprobe (r8 sweep);
     // 128 reads 0.82–0.88 across nprobe 1–8 for a still-tiny rerank
     // fetch (128 raw vectors/query vs the corpus-sized candidate scan).
+    // Fused ADC score (r14, VERDICT r13 task 7): the m unrolled
+    // element_at terms made the candidate-stream projection fall off the
+    // fast execution path at m=8 (measured 25 s vs 1.5 s for the same
+    // lookups behind a simple index on the 100×-grown candidate stream —
+    // the whole 27 s "probe wall"); graft_adc is one small codegen'd
+    // loop, bit-identical (same j-ascending fold, same null semantics —
+    // see AdcScore's scaladoc; the fixed twin's oracle hash pins it).
     val shortlist = scored
-      .withColumn("approx_sim",
-        (0 until m).map(j =>
-          expr(s"element_at(lutarr, $j * $k + c$j + 1)")).reduce(_ + _))
+      .withColumn("approx_sim", call_function("graft_adc", col("lutarr"),
+        array((0 until m).map(j => col(s"c$j")): _*), lit(k)))
       .withColumn("arn", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("approx_sim").desc, col("vec_id").asc)))

@@ -297,25 +297,33 @@ object Windows {
     // SCALE SHAPE (r14, VERDICT r13 task 1): the cumulative was a window
     // `partitionBy(event_type)` over 2×fact probe rows — 5 reducers each
     // sorting ~40 TB at target scale (34.6 s at 100× grown, the slowest
-    // non-diagnostic key). Now: (1) the probe rows pre-aggregate to
-    // DISTINCT (event_type, t) coordinates with per-coordinate deltas
-    // (tie-inclusion for free — a coordinate's cumulative includes all
-    // its ties by construction, exactly the old RANGE frame's semantics);
-    // (2) DistRank stamps GLOBAL running sums over the strict
-    // (event_type, t) order — range-partitioned across all P tasks;
-    // (3) per-type cumulatives = global − the type's anchor offset
-    // (cum − delta at the type's first coordinate: a min_by over the
-    // domain-sized anchor aggregate, broadcast back); (4) probe rows join
-    // their coordinate's cumulative on the high-cardinality (type, t)
-    // key and the per-event_id diff proceeds as before. Value arithmetic
-    // rides EXACT LONG CENTS through DistRank's long `cum` path:
-    // value.cast(decimal(28,2))·100 → long is exact, and cents stay under
-    // 2⁵³ through ~9e13 currency units of corpus total — double casts of
-    // the final diff are then correctly-rounded from the same rational in
-    // both engines (bit-identical; oracle unchanged).
+    // non-diagnostic key). Now a BUCKETED PREFIX SUM — the classic
+    // cumulative-at-scale decomposition: partition the probe rows by
+    // (event_type, day-bucket(t)) — ONE fact exchange, parallelism =
+    // types × days, a domain that grows with CALENDAR TIME (a longer
+    // history) rather than corpus volume — run the tie-inclusive RANGE
+    // cumulative WITHIN each bucket (Spark's native frame, bucket-local
+    // sort), and add each bucket's prefix offset = the running total of
+    // all earlier buckets of its type, computed by a window over the
+    // (type × #buckets)-sized bucket-totals aggregate (which reuses the
+    // bucketed exchange — no second fact pass) and broadcast back. Ties
+    // cannot span buckets (equal t ⇒ equal bucket), so the composition
+    // is exactly the old per-type RANGE cumulative, bit-for-bit. A
+    // first-DistRank-rewrite of this key (r14 interim) was P-way
+    // parallel but moved 3.4 GB at 100× grown (distinct-coordinate
+    // pre-agg + join-back = 4 fact-sized exchanges); this shape moves
+    // the old plan's bytes (~0.6 GB at 100×) with bucket-domain
+    // parallelism. Value arithmetic rides EXACT LONG CENTS:
+    // value.cast(decimal(28,2))·100 → long is exact, and cents stay
+    // under 2⁵³ through ~9e13 currency units of corpus total — the
+    // final /100.0 double division is then correctly-rounded from the
+    // same rational in both engines (bit-identical; oracle unchanged).
+    // For a stream hot enough that one (type, day) outgrows a task,
+    // tighten BUCKET_US to an hour — same algebra, 24× the parallelism.
     Q("window_time_range",
       (s, dir) => {
         val horizon = 7L * 86400L * 1000000L
+        val bucketUs = 86400000000L // 1 day
         val pairs = Tables.table(s, dir, "events")
           .select(col("event_id"), col("event_type"), col("ts_us"),
             col("value"),
@@ -325,31 +333,43 @@ object Windows {
                 (col("ts_us") - horizon - 1L).as("t")))).as("e"))
           .select(col("event_id"), col("event_type"), col("ts_us"),
             col("e.is_probe").as("is_probe"), col("e.t").as("t"),
+            expr(s"e.t DIV ${bucketUs}L").as("bkt"),
             when(col("e.is_probe") === 0,
               (col("value").cast("decimal(28,2)") * 100).cast("long"))
               .otherwise(0L).as("vc"),
             when(col("e.is_probe") === 0, 1L).otherwise(0L).as("one"))
-        val pts = pairs.groupBy(col("event_type"), col("t"))
-          .agg(sum(col("one")).as("dn"), sum(col("vc")).as("dv"))
-        val r = DistRank.withRankAndCum(pts,
-          Seq(col("event_type").asc, col("t").asc), "__r",
-          Seq("dn" -> "gcn", "dv" -> "gcs")).df
-        // Per-type offset = global cumulative just BEFORE the type's first
-        // coordinate = (cum − delta) at the min-rank row of the type; the
-        // anchor aggregate is domain-sized (one row per event_type).
-        val anchors = r.groupBy(col("event_type").as("__t2"))
-          .agg(min_by(struct((col("gcn") - col("dn")).as("offn"),
-            (col("gcs") - col("dv")).as("offv")), col("__r")).as("__a"))
-          .select(col("__t2"), col("__a.offn").as("__offn"),
-            col("__a.offv").as("__offv"))
-        val cumTyped = r.join(broadcast(anchors),
-            col("event_type") === col("__t2"))
-          .select(col("event_type").as("ct"), col("t").as("tt"),
-            (col("gcn") - col("__offn")).as("ccnt"),
-            (col("gcs") - col("__offv")).as("ccents"))
-        pairs
-          .join(cumTyped, col("event_type") === col("ct") &&
-            col("t") === col("tt"))
+        val inBkt = Window.partitionBy(col("event_type"), col("bkt"))
+          .orderBy(col("t"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = pairs.select(col("event_id"), col("event_type"),
+          col("ts_us"), col("is_probe"), col("bkt"),
+          sum(col("one")).over(inBkt).as("lcnt"),
+          sum(col("vc")).over(inBkt).as("lsum"))
+        // Bucket totals take a SECOND events scan — deliberately. Column
+        // pruning makes the two consumers' subtrees unequal, so exchange
+        // reuse can never fire here (the gap_fill lesson), and the two
+        // single-pass alternatives are both worse at scale: aggregating
+        // the window output re-runs the bucket sort as a second fact
+        // exchange, and checkpointing the windowed frame materializes
+        // 2×fact rows in row format. Scan #2 reads three columns and
+        // map-side-combines to (type × #buckets) rows before its only
+        // (tiny) exchange — at 100 TB that is a cheap columnar re-read,
+        // not a shuffle. The prefix window then runs over the bucket
+        // DOMAIN (grows with calendar time), never the fact.
+        val offW = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = pairs.groupBy(col("event_type"), col("bkt"))
+          .agg(sum(col("one")).as("tn"), sum(col("vc")).as("tv"))
+          .select(col("event_type").as("ot"), col("bkt").as("ob"),
+            coalesce(sum(col("tn")).over(offW), lit(0L)).as("ocnt"),
+            coalesce(sum(col("tv")).over(offW), lit(0L)).as("osum"))
+        local
+          .join(broadcast(offs), col("event_type") === col("ot") &&
+            col("bkt") === col("ob"))
+          .select(col("event_id"), col("event_type"), col("ts_us"),
+            col("is_probe"),
+            (col("lcnt") + col("ocnt")).as("ccnt"),
+            (col("lsum") + col("osum")).as("ccents"))
           .groupBy(col("event_id"), col("event_type"), col("ts_us"))
           .agg(
             (max(when(col("is_probe") === 0, col("ccnt")))

@@ -112,6 +112,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.matvecDescriptor)
     ext.injectFunction(GraftFunctions.pqCostsDescriptor)
     ext.injectFunction(GraftFunctions.srpDescriptor)
+    ext.injectFunction(GraftFunctions.adcDescriptor)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     ext.injectOptimizerRule(_ => RewriteTopKPerGroup)
     ext.injectPlannerStrategy(_ => TopKStrategy)
@@ -136,6 +137,21 @@ object GraftFunctions {
     (FunctionIdentifier("graft_pq_costs"),
       new ExpressionInfo(classOf[PqCosts].getName, "graft_pq_costs"),
       (children: Seq[Expression]) => PqCosts(children(0), children(1)))
+
+  private[plans] val adcDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_adc"),
+      new ExpressionInfo(classOf[AdcScore].getName, "graft_adc"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.IntegerType
+        val k = children(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case e => throw new IllegalArgumentException(
+            s"graft_adc: k must be an integer literal, got $e")
+        }
+        AdcScore(children(0), children(1), k)
+      })
 
   private[plans] val srpDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
@@ -162,6 +178,8 @@ object GraftFunctions {
       pqCostsDescriptor._1, pqCostsDescriptor._2, pqCostsDescriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       srpDescriptor._1, srpDescriptor._2, srpDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      adcDescriptor._1, adcDescriptor._2, adcDescriptor._3)
     // Running-session path for the optimizer rules and planner strategy
     // (extensions can only be injected at session build time;
     // experimental.extraOptimizations/extraStrategies work post-hoc).

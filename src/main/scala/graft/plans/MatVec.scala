@@ -202,3 +202,84 @@ case class PqCosts(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** `graft_adc(lut, codes, k)` — the fused ADC shortlist score:
+  * Σ_j lut[j·k + codes[j]] over j = 0..m−1 (0-based; m = codes length),
+  * folded left-to-right in j order.
+  *
+  * Why a native expression and not m unrolled
+  * `element_at(lutarr, j*k + c_j + 1)` terms: the unrolled chain's
+  * generated projection code grows with m × (element_at + the index
+  * arithmetic + null plumbing) and at m=8 fell off the fast execution
+  * path entirely — measured 25 s vs 1.5 s for eight IDENTICAL lookups
+  * with a non-code index on the same 750 k-row candidate stream (r14
+  * task 7 bisection; the whole vec_ann_ivfpq "probe wall" at 100×
+  * grown). One tiny loop keeps the generated method small and the JIT
+  * warm at ANY (m, k).
+  *
+  * Null/order semantics mirror the unrolled chain EXACTLY (the fixed
+  * twin's oracle hash pins them): null lut/codes array → null
+  * (BinaryExpression null-intolerance); a null codes element, an
+  * out-of-range index, or a null lut element → null result (element_at
+  * under non-ANSI returns null out-of-range, and one null term nulls
+  * the whole + chain); addition order is ascending j — bit-identical
+  * doubles. */
+case class AdcScore(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_adc"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
+      right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) if k > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double>, array<int>, k > 0), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString}, $k)")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, c: Any): Any = {
+    val lut = l.asInstanceOf[ArrayData]
+    val codes = c.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val n = lut.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val idx = j * k + codes.getInt(j)
+      if (idx < 0 || idx >= n || lut.isNullAt(idx)) return null
+      acc += lut.getDouble(idx)
+      j += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes) => {
+      val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $codes.numElements();
+         |int $n = $lut.numElements();
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  if ($codes.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  int $idx = $j * $k + $codes.getInt($j);
+         |  if ($idx < 0 || $idx >= $n || $lut.isNullAt($idx)) {
+         |    ${ev.isNull} = true; break;
+         |  }
+         |  $acc += $lut.getDouble($idx);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -10,6 +10,8 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
+      // align codegen fallback with the JIT huge-method limit (see Bench)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .appName("graft-test")

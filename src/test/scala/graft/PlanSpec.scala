@@ -515,13 +515,33 @@ class PlanSpec extends AnyFunSuite {
     assert(scans === 1, s"expected 1 events scan, saw $scans:\n${p.take(3000)}")
   }
 
-  test("time-range window: one event_type exchange plus the D1 sort only") {
+  test("time-range window: bucketed cumulative — one fact exchange on " +
+      "(type, bkt), one events scan, type-only exchange domain-sized") {
+    // r14 shape: the fact-sized RANGE cumulative partitions on
+    // (event_type, bkt) — parallelism grows with calendar time — and the
+    // ONLY event_type-keyed exchange is the bucket-totals prefix window
+    // (domain-sized input). The bucket-totals aggregate must reuse the
+    // window's exchange, so events is scanned exactly once.
     val p = finalPlanOf(Registry.queries("window_time_range")(spark, sf))
     assert(p.contains("Window"), p.take(2000))
-    val hashEx = "hashpartitioning\\(event_type".r.findAllMatchIn(p).size
-    assert(hashEx === 1,
-      s"expected exactly 1 hash exchange on event_type, saw $hashEx:\n" +
-        p.take(3000))
+    val factEx = "hashpartitioning\\(event_type[#0-9]*, bkt"
+      .r.findAllMatchIn(p).size
+    assert(factEx >= 1,
+      s"expected the (event_type, bkt) fact exchange:\n${p.take(3000)}")
+    val typeOnly = "hashpartitioning\\(event_type[#0-9]*, [0-9]"
+      .r.findAllMatchIn(p).size
+    assert(typeOnly === 1,
+      s"expected exactly 1 type-only exchange (the domain-sized prefix " +
+        s"window), saw $typeOnly:\n${p.take(3000)}")
+    // TWO scans, deliberately (see the definition's comment): scan #2
+    // feeds the bucket-totals branch and map-side-combines to the bucket
+    // domain before its only exchange — pruning makes exchange reuse
+    // impossible, and the single-scan alternatives (re-sorting the fact
+    // or checkpointing 2×fact rows) cost more at scale. Three scans
+    // would mean a third consumer crept in.
+    val scans = "events\\.parquet".r.findAllMatchIn(p).size
+    assert(scans === 2, s"expected 2 events scans, saw $scans:\n" +
+      p.take(3000))
   }
 
   test("pagerank's emitted plan touches NO fact scan (literal iteration)") {
@@ -679,7 +699,12 @@ class PlanSpec extends AnyFunSuite {
         "nation key is the operator under demonstration — Spark has no " +
         "broadcast full-outer, so the shuffle join key IS the semantic " +
         "key; the supplier side is corpus-proportional but splitting " +
-        "into left-outer ∪ anti would stop exercising the operator"))
+        "into left-outer ∪ anti would stop exercising the operator"),
+      "window_time_range" -> ("the bucketed-prefix-sum offsets window " +
+        "partitions the (type × day-bucket) TOTALS aggregate by " +
+        "event_type — the input is the bucket domain (grows with " +
+        "calendar time, like window_moving_avg's day series), never " +
+        "the fact; the fact-sized cumulative runs bucket-partitioned"))
     def physical(df: org.apache.spark.sql.DataFrame): SparkPlan =
       df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan
