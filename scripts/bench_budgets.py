@@ -136,6 +136,30 @@ def main():
     else:
         print(f"budgets: suite-total tripwire skipped "
               f"({len(detail)} keys < 100 — partial run)")
+    # Training-time budget (r15, VERDICT r14 task 6): the pre-warm's
+    # train-once work (coarse k-means, PQ codebooks, BPE merge loops) runs
+    # outside the timed samples but is real wall at scale — the grown
+    # sweeps read 60 s -> 96 s at 100x with no code change, and without a
+    # pinned anchor + per-phase split that drift is unfalsifiable. Anchor:
+    # 5.66 s measured r14 at sf0.1/32cpu; bound 3x for host noise. The
+    # per-phase train_warm_<phase>_sec fields in _meta attribute any trip.
+    # Self-tested in selftest_guards.sh (guard 7: inflated train goes red).
+    TRAIN_WARM_TRAIN_SEC_MAX = 17.0
+    train = meta.get("train_warm_train_sec")
+    phases = {k[len("train_warm_"):-len("_sec")]: v for k, v in meta.items()
+              if k.startswith("train_warm_") and k.endswith("_sec")
+              and k not in ("train_warm_sec", "train_warm_train_sec")}
+    if train is None:
+        print("budgets: train_warm_train_sec missing from _meta (old-format "
+              "detail file?) — training budget skipped")
+    elif train > TRAIN_WARM_TRAIN_SEC_MAX:
+        print(f"BUDGET-FAIL train_warm_train_sec {train:.1f}s > "
+              f"{TRAIN_WARM_TRAIN_SEC_MAX}s — training regression; phase "
+              f"split: {phases or 'n/a'}")
+        fails += 1
+    else:
+        print(f"budgets: train_warm_train_sec {train:.1f}s <= "
+              f"{TRAIN_WARM_TRAIN_SEC_MAX}s (phases: {phases or 'n/a'})")
     for key, budget in sorted(BUDGETS.items()):
         if key not in detail:
             print(f"BUDGET-FAIL {key:28s} missing from {path} "

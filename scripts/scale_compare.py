@@ -242,6 +242,29 @@ def main():
         print(f"  {key:32s} sec {b_s:6.2f}->{s_s:6.2f}  "
               f"bytes {fmt_b(bw):>9s}->{fmt_b(sw):>9s} ({r:5.1f}x)")
 
+    # Training-time scaling tripwire (r15, VERDICT r14 task 6): train-once
+    # work (k-means over the corpus, BPE pair counting) must scale ~linearly
+    # in rows. The bound is deliberately loose (3x the linear projection —
+    # host-floor shifts of ~1.3x are documented, and training wall includes
+    # fixed per-job dispatch) because its target is the QUADRATIC failure
+    # mode: a training loop that re-scans the corpus per iteration-step
+    # would read ~REP^2 and sail past any linear bound. Per-phase
+    # train_warm_<phase>_sec fields in _meta attribute a trip.
+    tb, ts = (bmeta.get("train_warm_train_sec"),
+              smeta.get("train_warm_train_sec"))
+    if tb is not None and ts is not None:
+        tbound = max(tb, 1.0) * rep * 3
+        sphases = {k: v for k, v in smeta.items()
+                   if k.startswith("train_warm_") and
+                   k not in ("train_warm_sec", "train_warm_train_sec")}
+        if ts > tbound:
+            bad.append(("_meta", f"train_warm_train_sec {tb:.1f}s -> "
+                                 f"{ts:.1f}s exceeds the linear-x3 budget "
+                                 f"{tbound:.0f}s (phases: {sphases})"))
+        else:
+            print(f"train_warm_train_sec {tb:.1f}s -> {ts:.1f}s "
+                  f"(<= {tbound:.0f}s linear-x3 budget; phases: "
+                  f"{sphases or 'n/a'})")
     t_b = sum(r[1] for r in rows)
     t_s = sum(r[2] for r in rows)
     e_b = sum(base[k].get("exec_sec", 0.0) for k, *_ in rows)

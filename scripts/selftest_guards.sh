@@ -218,4 +218,49 @@ grep -q "MANIFEST-FAIL" "$TMP/out5b.log" || {
   tail -5 "$TMP/out5b.log"; exit 1; }
 echo "guard 5 OK: chunked manifest gate rejects dump holes and recorded failures"
 
+# ---- guard 6: sf0.1 training-time budget (r15, VERDICT r14 task 6) ------
+# bench_budgets.py pins train_warm_train_sec at the anchor SF; an inflated
+# value (a training loop regressing, a memo cache silently dropped) must
+# go red even when every per-key budget still passes.
+python3 - <<'EOF'
+import json
+d = json.load(open("bench_detail.json"))
+d["_meta"]["train_warm_train_sec"] = 99.0
+json.dump(d, open("/tmp/selftest_bench_train.json", "w"))
+EOF
+if python3 scripts/bench_budgets.py /tmp/selftest_bench_train.json \
+    > "$TMP/out6.log" 2>&1; then
+  echo "SELFTEST FAIL: bench_budgets exited 0 on 99s train_warm_train_sec"
+  exit 1
+fi
+grep -q "train_warm_train_sec 99.0s" "$TMP/out6.log" || {
+  echo "SELFTEST FAIL: inflated training not attributed to the train budget:"
+  tail -5 "$TMP/out6.log"; exit 1; }
+rm -f /tmp/selftest_bench_train.json
+echo "guard 6 OK: inflated train_warm_train_sec tripped the training budget"
+
+# ---- guard 7: scaled training linear-x3 tripwire (r15) -------------------
+# scale_compare.py bounds scaled-sweep training at base*REP*3 — the target
+# is a quadratic training regression (an iteration loop re-scanning the
+# corpus per step). A scaled detail whose _meta training exceeds the bound
+# must fail the gate.
+python3 - <<'EOF'
+import json
+d = json.load(open("bench_detail.json"))
+base_train = d["_meta"].get("train_warm_train_sec", 5.0)
+d["_meta"]["sf"] = "/tmp/sfx"
+d["_meta"]["train_warm_train_sec"] = base_train * 10 * 3 + 100
+json.dump(d, open("/tmp/selftest_scaled_train.json", "w"))
+EOF
+if python3 scripts/scale_compare.py bench_detail.json \
+    /tmp/selftest_scaled_train.json 10 > "$TMP/out7.log" 2>&1; then
+  echo "SELFTEST FAIL: scale_compare exited 0 on super-linear training"
+  exit 1
+fi
+grep -q "train_warm_train_sec" "$TMP/out7.log" || {
+  echo "SELFTEST FAIL: training blowup not attributed to the train tripwire:"
+  tail -5 "$TMP/out7.log"; exit 1; }
+rm -f /tmp/selftest_scaled_train.json
+echo "guard 7 OK: super-linear scaled training tripped the linear-x3 bound"
+
 echo "selftest: all guards fire correctly"

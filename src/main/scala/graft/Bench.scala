@@ -16,14 +16,38 @@ object Bench {
   def detailPathFor(envDetail: Option[String], filtered: Boolean,
       sfDir: String): String =
     envDetail.getOrElse {
+      // Canonicalize before the anchor compare (ADVICE r14): a trailing
+      // slash, relative path, or symlink to the anchor SF must still route
+      // to the tracked bench_detail.json — a literal string compare would
+      // silently park an anchor run in bench_detail_sf0.1.json and leave
+      // the tracked file stale (fail-safe direction, but easy to miss).
+      val canon = try new java.io.File(sfDir).getCanonicalPath
+                  catch { case _: java.io.IOException => sfDir }
       if (filtered) "bench_detail_partial.json"
-      else if (sfDir == "/root/testdata/sf0.1") "bench_detail.json"
+      else if (canon == "/root/testdata/sf0.1") "bench_detail.json"
       else {
         val sfName = new java.io.File(sfDir).getName
           .replaceAll("[^A-Za-z0-9._-]", "_")
         s"bench_detail_$sfName.json"
       }
     }
+
+  /** Key selection shared by main() and ScaleGuardSpec: apply the ONLY
+    * include filter, then the EXCLUDE set. Unknown names in EITHER fail
+    * loudly — a typo that silently benched zero keys (or silently failed
+    * to exclude the exactness-tier diagnostic) would exit 0. */
+  def selectKeys(all: Set[String], only: Option[Set[String]],
+      exclude: Set[String]): Set[String] = {
+    only.foreach { o =>
+      val unknown = o -- all
+      require(unknown.isEmpty,
+        s"GRAFT_BENCH_ONLY names unknown keys: ${unknown.mkString(", ")}")
+    }
+    val unknownEx = exclude -- all
+    require(unknownEx.isEmpty,
+      s"GRAFT_BENCH_EXCLUDE names unknown keys: ${unknownEx.mkString(", ")}")
+    all.filter(n => only.forall(_.contains(n)) && !exclude(n))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,13 +89,19 @@ object Bench {
     // other 170+ queries it will never time.
     val only = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { o =>
-      val unknown = o -- SparkEntry.queries.keySet
-      require(unknown.isEmpty,
-        s"GRAFT_BENCH_ONLY names unknown keys: ${unknown.mkString(", ")}")
-    }
+    // GRAFT_BENCH_EXCLUDE=k1,k2 drops named keys from the run (r15,
+    // VERDICT r14 task 5): the exactness-tier decision — grown sweeps at
+    // >=100x exclude text_ngram_jaccard (28% of suite wall x RUNS passes;
+    // its exactness role is served at <=30x) — is enforced by
+    // scale_sweep.sh through this hook. Typos fail loudly, same as ONLY,
+    // and an excluded run counts as filtered for detail-path routing (a
+    // partial suite must never be mistaken for the tracked anchor).
+    val exclude = sys.env.get("GRAFT_BENCH_EXCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val selected = selectKeys(SparkEntry.queries.keySet, only, exclude)
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => selected(n) }
     // Warm every selected query's codegen/JIT at the smallest SF outside
     // the timed region: first-touch codegen costs seconds for the
     // lambda-heavy queries and would otherwise be billed to whichever SF
@@ -91,12 +121,16 @@ object Bench {
     // only (no execute): untrained keys just build a logical plan here.
     val twarm0 = System.nanoTime()
     val trainNanos0 = operators.PipelineOps.TrainClock.nanos
+    val trainPhases0 = operators.PipelineOps.TrainClock.phaseNanos
     keys.foreach { case (_, fn) =>
       try { fn(spark, sfDir) } catch { case _: Throwable => () }
     }
     val trainWarmSec = (System.nanoTime() - twarm0) / 1e9
     val trainWarmTrainSec =
       (operators.PipelineOps.TrainClock.nanos - trainNanos0) / 1e9
+    val trainWarmPhases = operators.PipelineOps.TrainClock.phaseNanos
+      .map { case (k, n) => k -> (n - trainPhases0.getOrElse(k, 0L)) / 1e9 }
+      .filter(_._2 > 0.0005)
     // Per-query shuffle/spill accounting (written to bench_detail.json,
     // NOT the driver's stdout line): the scale story is shuffle bytes as
     // much as seconds.
@@ -147,7 +181,34 @@ object Bench {
     // whose median is inflated was stalled, not regressed.
     val RUNS = 3
     val detailPath = detailPathFor(
-      sys.env.get("GRAFT_BENCH_DETAIL"), only.nonEmpty, sfDir)
+      sys.env.get("GRAFT_BENCH_DETAIL"), only.nonEmpty || exclude.nonEmpty,
+      sfDir)
+    // Dispatch-floor calibration probes (r15, VERDICT r14 task 4): this
+    // host's task-dispatch floor has moved three times across reboots
+    // (BASELINE.md discontinuities #1-#3), each time invalidating
+    // cross-run comparisons of absolute seconds. Stamping the BASELINE.md
+    // probes — 256 empty tasks, a trivial 1-stage SQL, a trivial 2-stage
+    // (one shuffle) SQL — into every detail file's _meta lets a later
+    // reader normalize seconds to the floor the run actually paid instead
+    // of guessing which boot epoch produced the file. Median of 5, run
+    // AFTER the warmups (the floor is a host property, not JIT state;
+    // measuring before warmup would add one-time codegen to probe #2/#3).
+    def median5(f: Int => Unit): Double = {
+      val xs = (1 to 5).map { i =>
+        val t0 = System.nanoTime(); f(i); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      xs(2)
+    }
+    val probeTasks = median5(_ =>
+      spark.sparkContext.parallelize(1 to 256, 256).count())
+    // vary the literal per run so each probe pays a FRESH plan, matching
+    // the BASELINE.md measurement (and the per-query plan_sec floor)
+    val probe1Stage = median5(i =>
+      spark.sql(s"SELECT count(*) FROM range(1000000) WHERE id % ${i + 1} = 0")
+        .queryExecution.toRdd.count())
+    val probe2Stage = median5(i =>
+      spark.sql(s"SELECT id % ${i + 1} AS k, count(*) FROM range(1000000) " +
+          "GROUP BY k").queryExecution.toRdd.count())
     def sampleOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, (Long, Long, Long), Double, Double, Double) = {
@@ -261,8 +322,20 @@ object Bench {
       (Seq(s"""  "_meta": {"sf": "$sfDir", "cpus": $cpus, "runs": $RUNS, """ +
         "\"train_warm_sec\": %.3f, ".formatLocal(
           java.util.Locale.ROOT, trainWarmSec) +
-        "\"train_warm_train_sec\": %.3f}".formatLocal(
-          java.util.Locale.ROOT, trainWarmTrainSec))
+        "\"train_warm_train_sec\": %.3f, ".formatLocal(
+          java.util.Locale.ROOT, trainWarmTrainSec) +
+        // per-phase training split: misses during THIS bench's pre-warm
+        // (cumulative counters diffed over the warm window above)
+        trainWarmPhases.toSeq.sorted.map { case (k, s) =>
+          "\"train_warm_%s_sec\": %.3f, ".formatLocal(
+            java.util.Locale.ROOT, k, s)
+        }.mkString +
+        "\"probe_empty_tasks_sec\": %.3f, ".formatLocal(
+          java.util.Locale.ROOT, probeTasks) +
+        "\"probe_sql_1stage_sec\": %.3f, ".formatLocal(
+          java.util.Locale.ROOT, probe1Stage) +
+        "\"probe_sql_2stage_sec\": %.3f}".formatLocal(
+          java.util.Locale.ROOT, probe2Stage))
         ++ detail.result()).mkString("{\n", ",\n", "\n}\n"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

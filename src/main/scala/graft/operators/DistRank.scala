@@ -247,6 +247,22 @@ object DistRank {
       lagSrc: String, lagDst: String): DataFrame = {
     require(!df.columns.contains("__mono"),
       "withGroupLag: input must not contain reserved column __mono")
+    // Type contract enforced at the call site (ADVICE r14): the boundary
+    // maps are Map[Long, String] / Map[Long, Long] literals, so an INT
+    // lagSrc or a non-string-castable group used to surface as an opaque
+    // ClassCastException deep in the driver-side stats collect — fail
+    // with a named error here instead.
+    import org.apache.spark.sql.types.{LongType, ArrayType, MapType, StructType}
+    val lagType = df.schema.fields.find(_.name == lagSrc).map(_.dataType)
+    require(lagType.contains(LongType),
+      s"withGroupLag: lagSrc '$lagSrc' must be LONG-typed (the boundary " +
+        s"map literal is Map[Long, Long]); found ${lagType.orNull}")
+    val groupType = df.select(group).schema.head.dataType
+    require(!groupType.isInstanceOf[ArrayType] &&
+        !groupType.isInstanceOf[MapType] &&
+        !groupType.isInstanceOf[StructType],
+      s"withGroupLag: group must be a string-castable atomic type (the " +
+        s"boundary map literal is Map[Long, String]); found $groupType")
     val sess = df.sparkSession
     val p = sess.sessionState.conf.numShufflePartitions
     val pid = shiftright(col("__mono"), 33)

@@ -1812,7 +1812,7 @@ object PipelineOps {
     val sessionCache = bpeCache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String,
         Seq[(Long, String, String, String, Long)]]())
-    sessionCache.computeIfAbsent(dir, _ => TrainClock.timed {
+    sessionCache.computeIfAbsent(dir, _ => TrainClock.timed("bpe_word") {
       // \A..\z whole-input anchors (ADVICE r7): Java's `$` also matches
       // before a trailing newline, while the preflight differential's
       // DuckDB/RE2 `$` is end-of-text only — "abc\n" must be dropped by
@@ -1862,7 +1862,8 @@ object PipelineOps {
     val sessionCache = bpeCache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String,
         Seq[(Long, String, String, String, Long)]]())
-    sessionCache.computeIfAbsent(dir + "#bytes", _ => TrainClock.timed {
+    sessionCache.computeIfAbsent(dir + "#bytes",
+        _ => TrainClock.timed("bpe_byte") {
       // (b & 0xff).toString == Python's str(b) for unsigned UTF-8 bytes
       // == the old SQL conv(hex(...), 16, 10) decimal rendering.
       bpeTrainLocal(
@@ -2022,10 +2023,27 @@ object PipelineOps {
     * state. Cache HITS add zero — only the miss lambdas are timed. */
   private[graft] object TrainClock {
     private val acc = new java.util.concurrent.atomic.AtomicLong
+    // Per-phase attribution (r15, VERDICT r14 task 6): the grown sweeps
+    // showed train_warm_sec moving 60->96 s at 100x with no code change —
+    // without a per-phase split there is no way to tell "k-means got
+    // slower" from "the host dispatch floor moved". Keys are the training
+    // family (kmeans_coarse / pq_codebook / bpe_word / bpe_byte), summed
+    // across cache misses; Bench snapshots the map into `_meta`.
+    private val phases = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]
     def nanos: Long = acc.get
-    def timed[T](f: => T): T = {
+    def phaseNanos: Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      phases.asScala.map { case (k, v) => k -> v.get }.toMap
+    }
+    def timed[T](phase: String)(f: => T): T = {
       val t0 = System.nanoTime()
-      try f finally acc.addAndGet(System.nanoTime() - t0)
+      try f finally {
+        val dt = System.nanoTime() - t0
+        acc.addAndGet(dt)
+        phases.computeIfAbsent(phase,
+          _ => new java.util.concurrent.atomic.AtomicLong).addAndGet(dt)
+      }
     }
   }
 
@@ -2070,7 +2088,8 @@ object PipelineOps {
       _ => new java.util.concurrent.ConcurrentHashMap[
         (String, Int, Int, Int), Seq[(Int, Int, Seq[Double])]]())
     val cacheKey = (planKey(e0), m, k, iters)
-    sessionCache.computeIfAbsent(cacheKey, _ => TrainClock.timed {
+    sessionCache.computeIfAbsent(cacheKey,
+        _ => TrainClock.timed("pq_codebook") {
       // Dense 0-based init: the first k vectors BY ORDER of vec_id seed
       // codes 0..k-1 in every subspace. The id value is never used as the
       // code (ids may be sparse, offset, or filtered upstream — the
@@ -2297,7 +2316,8 @@ object PipelineOps {
       _ => new java.util.concurrent.ConcurrentHashMap[
         (String, Int, Int), Seq[(Long, Seq[Double])]]())
     val cacheKey = (planKey(e0), nlists, lloydIters)
-    sessionCache.computeIfAbsent(cacheKey, _ => TrainClock.timed {
+    sessionCache.computeIfAbsent(cacheKey,
+        _ => TrainClock.timed("kmeans_coarse") {
       var c: Seq[(Long, Seq[Double])] =
         e.orderBy(col("vec_id")).limit(nlists).collect()
           .zipWithIndex

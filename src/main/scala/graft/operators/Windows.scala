@@ -369,7 +369,18 @@ object Windows {
           .select(col("event_id"), col("event_type"), col("ts_us"),
             col("is_probe"),
             (col("lcnt") + col("ocnt")).as("ccnt"),
-            (col("lsum") + col("osum")).as("ccents"))
+            // 2^53 guard (ADVICE r14): the correctly-rounded /100.0 double
+            // emission holds only while every cumulative stays an exact
+            // double, i.e. |cents| < 2^53 (~9e13 currency units of per-type
+            // corpus total). Rather than silently losing the bit-identical
+            // property on a far-larger corpus, trip loudly on the exact
+            // cumulative each probe row actually uses — one abs+compare
+            // per row inside codegen, no extra exchange or action.
+            when(abs(col("lsum") + col("osum")) >= lit(9007199254740992L),
+              raise_error(lit("window_time_range: cumulative cents " +
+                "reached 2^53 — the exact-double emission contract is " +
+                "void at this corpus total; rescale or emit STRING cents")))
+              .otherwise(col("lsum") + col("osum")).as("ccents"))
           .groupBy(col("event_id"), col("event_type"), col("ts_us"))
           .agg(
             (max(when(col("is_probe") === 0, col("ccnt")))

@@ -217,13 +217,18 @@ case class PqCosts(left: Expression, right: Expression)
   * grown). One tiny loop keeps the generated method small and the JIT
   * warm at ANY (m, k).
   *
-  * Null/order semantics mirror the unrolled chain EXACTLY (the fixed
-  * twin's oracle hash pins them): null lut/codes array → null
-  * (BinaryExpression null-intolerance); a null codes element, an
-  * out-of-range index, or a null lut element → null result (element_at
-  * under non-ANSI returns null out-of-range, and one null term nulls
-  * the whole + chain); addition order is ascending j — bit-identical
-  * doubles. */
+  * Null/order semantics mirror the unrolled chain on the valid code
+  * domain (the fixed twin's oracle hash pins them): null lut/codes
+  * array → null (BinaryExpression null-intolerance); a null codes
+  * element, an out-of-range index, or a null lut element → null result
+  * (element_at under non-ANSI returns null out-of-range, and one null
+  * term nulls the whole + chain); addition order is ascending j —
+  * bit-identical doubles. OFF-domain divergence (ADVICE r14): for a
+  * NEGATIVE code element, element_at indexes from the array END (and
+  * throws at 0) while this expression returns null — unreachable in
+  * practice because PQ codes are contractually in [0, k) (pqAssign
+  * emits argmin codes over 0..k-1), but the twins are NOT equivalent
+  * for arbitrary ill-formed inputs. */
 case class AdcScore(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
   import org.apache.spark.sql.types.IntegerType

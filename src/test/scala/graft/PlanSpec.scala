@@ -803,6 +803,77 @@ class PlanSpec extends AnyFunSuite {
       "partitionBy(lang) fact window shape did not flag")
   }
 
+  test("registry sweep: no whole-stage method exceeds the JIT compile " +
+      "limit (codegen fallback audit)") {
+    // r15 structural fence (VERDICT r14 task 3), the ivfpq lesson
+    // generalized: HotSpot never JIT-compiles methods over 8000 bytecode
+    // bytes (-XX:-DontCompileHugeMethods is off by default), so a
+    // whole-stage method in (8000, 65535] either runs as INTERPRETED
+    // bytecode (Spark's default fallback at 65535) or — with our
+    // hugeMethodLimit=8000 alignment — silently falls back to
+    // per-operator execution, which is slower than true fused codegen
+    // either way. vec_ann_ivfpq paid 30 s (vs 2.8 s fixed) at 100× grown
+    // for exactly this, invisible in every plan string. This audit
+    // compiles every registry key's whole-stage methods the way the
+    // executor would and flags any over the JIT limit, so the next
+    // too-wide fused stage is caught at `sbt test` time with a named
+    // stage, not at the next scale decade. Method SIZE is a property of
+    // the generated code, not the data, so auditing at sf0.001 covers
+    // every SF (AQE caveat: this reads the initial physical plan;
+    // runtime join flips can change stage composition, but each flipped
+    // stage is built from the same operators audited here).
+    import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    plans.GraftFunctions.register(spark)
+    val LIMIT = 8000
+    def physical(df: org.apache.spark.sql.DataFrame): SparkPlan =
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    def overLimit(p: SparkPlan): Seq[(String, Int)] = p.collect {
+      case w: WholeStageCodegenExec =>
+        val (_, code) = w.doCodeGen()
+        val (_, stats) = CodeGenerator.compile(code)
+        (w.child.nodeName, stats.maxMethodCodeSize)
+    }.filter(_._2 > LIMIT)
+    // Allowlist-or-split decision per hit (empty = every stage fits):
+    // an entry needs a justification for why the stage cannot or should
+    // not be narrowed (and therefore deliberately runs per-operator).
+    val allow: Map[String, String] = Map.empty
+    val offending = Registry.all.flatMap { q =>
+      val bad = overLimit(physical(q.build(spark, sf)))
+      if (bad.nonEmpty && !allow.contains(q.key)) Some(q.key -> bad)
+      else None
+    }
+    assert(offending.isEmpty,
+      s"whole-stage method(s) over the $LIMIT-byte JIT limit — these " +
+        "stages run per-operator (or interpreted on stock confs); split " +
+        "the stage (narrower projections, a native fused Expression like " +
+        "graft_adc) or allowlist with a justification:\n" +
+        offending.map { case (k, hits) =>
+          s"  $k: ${hits.map { case (n, sz) => s"$n=$sz" }.mkString(", ")}"
+        }.mkString("\n"))
+    // self-pruning allowlist, same discipline as the exchange sweeps
+    allow.keys.foreach { k =>
+      assert(overLimit(physical(Registry.queries(k)(spark, sf))).nonEmpty,
+        s"$k is allowlisted but compiles under the limit — remove the " +
+          "stale entry")
+    }
+    // Detector self-test: a single wide fused projection — the ivfpq
+    // shape, a long chain of distinct arithmetic terms that nothing
+    // splits into sub-methods — must flag. (CaseWhen/concat self-split
+    // their branches; a flat +-chain over distinct subterms is the shape
+    // that genuinely outgrows one method.)
+    val wide = (1 to 400).foldLeft(col("id")) { (acc, i) =>
+      acc + (col("id") % lit(i.toLong)) }
+    val synth = spark.range(10).select(wide.as("x"))
+    assert(overLimit(physical(synth)).nonEmpty,
+      "detector self-test failed: the 400-term fused projection did not " +
+        "flag — is the audit actually measuring method bytecode size?")
+  }
+
   test("vocab-ranked keys plan no single-partition exchange") {
     // r12 (VERDICT r11 task 1): vocabOf / text_vocab_coverage rank the
     // FULL vocabulary — a corpus-growing domain (Heaps' law) — so the

@@ -291,5 +291,31 @@ class ScaleGuardSpec extends AnyFunSuite {
     // explicit override always wins
     assert(detailPathFor(Some("x.json"), filtered = false,
       "/root/testdata/sf0.1") === "x.json")
+    // r15 (ADVICE r14): the anchor compare canonicalizes, so a trailing
+    // slash or dot-segment spelling of the anchor SF still routes to the
+    // tracked file instead of silently leaving it stale
+    assert(detailPathFor(None, filtered = false, "/root/testdata/sf0.1/")
+      === "bench_detail.json")
+    assert(detailPathFor(None, filtered = false,
+      "/root/testdata/../testdata/sf0.1") === "bench_detail.json")
+  }
+
+  test("bench key selection: EXCLUDE drops keys, typos in ONLY/EXCLUDE " +
+      "fail loudly") {
+    // r15 (VERDICT r14 task 5): scale_sweep.sh enforces the exactness-tier
+    // decision through GRAFT_BENCH_EXCLUDE — prove the hook actually drops
+    // the key and that a misspelled exclusion cannot silently no-op (which
+    // would quietly put the 31 GB diagnostic back into a 100x sweep).
+    import graft.Bench.selectKeys
+    val all = Set("a", "b", "text_ngram_jaccard")
+    assert(selectKeys(all, None, Set.empty) === all)
+    assert(selectKeys(all, None, Set("text_ngram_jaccard")) === Set("a", "b"))
+    assert(selectKeys(all, Some(Set("a", "b")), Set("b")) === Set("a"))
+    intercept[IllegalArgumentException] {
+      selectKeys(all, None, Set("text_ngram_jacard")) // typo
+    }
+    intercept[IllegalArgumentException] {
+      selectKeys(all, Some(Set("nope")), Set.empty)
+    }
   }
 }
