@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // showed isolated-fast queries reading 13s mid-suite). The box has
   // 128 GiB — give the forked driver real headroom.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // PlanSpec's codegen-fallback self-test builds a deliberately deep
+  // (~400-node) expression tree; Column->Expression conversion and
+  // Catalyst tree walks recurse per node and overflow the 1 MiB default
+  // thread stack intermittently. Spark itself documents raising -Xss for
+  // deep plans (spark.driver.extraJavaOptions); 16m is still tiny.
+  "-Xss16m",
 )

@@ -47,6 +47,61 @@ object Explain {
       val fn = SparkEntry.queries(k)
       println(s"=== $k @ $sfDir")
       if (keys.size == 1) fn(spark, sfDir).explain("formatted")
+      // Whole-stage method sizes (r15, the ivfpq lesson's diagnostic
+      // half): a stage whose generated method lands over HotSpot's
+      // 8000-byte JIT refusal runs per-operator (or interpreted on stock
+      // confs) — invisible in plan strings, 10x visible on the CPU.
+      // PlanSpec's registry audit gates this; Explain prints the sizes so
+      // a bisection can see WHICH stage is near/over the line.
+      locally {
+        import org.apache.spark.sql.execution.WholeStageCodegenExec
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+        // CollapseCodegenStages runs per query stage at MATERIALIZATION —
+        // the initial adaptive plan has no WholeStageCodegenExec nodes,
+        // so execute first and walk the FINAL plan (PlanSpec discipline).
+        val dfx = fn(spark, sfDir)
+        dfx.queryExecution.toRdd.count()
+        // collect() does not descend into materialized QueryStageExec
+        // leaves (subtree on .plan, not .children) — walk explicitly
+        def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+          val kids = p match {
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              Seq(q.plan)
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case other => other.children
+          }
+          p +: kids.flatMap(allNodes)
+        }
+        val sizes = allNodes(dfx.queryExecution.executedPlan).collect {
+          case w: WholeStageCodegenExec =>
+            val (_, code) = w.doCodeGen()
+            val (_, stats) = CodeGenerator.compile(code)
+            (w.codegenStageId, w.child.nodeName, stats.maxMethodCodeSize)
+        }
+        if (sizes.nonEmpty) {
+          println(s"--- whole-stage max method bytecode sizes ($k, " +
+            "JIT limit 8000):")
+          sizes.foreach { case (id, n, sz) =>
+            val mark = if (sz > 8000)
+              "  <-- OVER: runs per-operator/interpreted" else ""
+            println(f"  stage *($id%d) $n%-28s $sz%6d$mark")
+          }
+          // name the offending subtree so a bisection needn't guess
+          // which projection outgrew the method
+          allNodes(dfx.queryExecution.executedPlan).collect {
+            case w: WholeStageCodegenExec =>
+              val (_, code) = w.doCodeGen()
+              val (_, stats) = CodeGenerator.compile(code)
+              if (stats.maxMethodCodeSize > 8000) {
+                println(s"--- OVER-limit stage *(${w.codegenStageId}) subtree:")
+                println(w.child.treeString.linesIterator.take(14)
+                  .map("  " + _).mkString("\n"))
+              }
+          }
+        }
+      }
       // Per-STAGE spill/shuffle attribution (r13): the bench's per-query
       // counters say THAT a query spilled, not WHERE — this listener
       // names the stage, which is the difference between "agg state

@@ -2411,10 +2411,27 @@ object PipelineOps {
     // flow scan → broadcast-probe join → LUT lookups → map-side-pruned
     // shortlist window.
     val eNorm = e.select(col("vec_id"), col("u").as("embedding"))
+    // Codes pack into ONE array column at assignment (r15): relaying one
+    // array through the scoring joins instead of m int columns — same
+    // values, marginally less consume plumbing on the fallback path.
+    // NOTE this does NOT bring the scoring stage's whole-stage method
+    // under the 8000-byte JIT limit (it reads 8339 either way), because
+    // the assign expressions themselves — graft_matvec coarse assignment
+    // + m graft_pq_costs kernels + 2m argmin builtins — are FUSED into
+    // the same zero-shuffle stage as the two broadcast joins and
+    // graft_adc. That stage is deliberately allowlisted in PlanSpec's
+    // codegen-fallback audit: with hugeMethodLimit=8000 it runs
+    // per-operator (each operator still drives codegen'd, JIT-able
+    // UnsafeProjections — the r14 bisection measured 2.84 s at 100×
+    // grown for this shape vs 30 s interpreted), and every split
+    // alternative is worse at scale — an exchange would shuffle the
+    // corpus the design exists to never shuffle, and caching the assign
+    // frame materializes corpus-sized state.
     val assign = pqCodeCols(nearestListMap(e, cent)
         .select(col("vec_id"), col("list_id"), col("u").as("embedding")),
       pqCodebook(eNorm, m, k, iters), m, k)
-      .drop("embedding" +: (0 until m).map(j => s"cost$j"): _*)
+      .select(col("vec_id"), col("list_id"),
+        array((0 until m).map(j => col(s"c$j")): _*).as("codes"))
 
     val qs = e.orderBy(col("vec_id")).limit(nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
@@ -2466,7 +2483,7 @@ object PipelineOps {
     // see AdcScore's scaladoc; the fixed twin's oracle hash pins it).
     val shortlist = scored
       .withColumn("approx_sim", call_function("graft_adc", col("lutarr"),
-        array((0 until m).map(j => col(s"c$j")): _*), lit(k)))
+        col("codes"), lit(k)))
       .withColumn("arn", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("approx_sim").desc, col("vec_id").asc)))
