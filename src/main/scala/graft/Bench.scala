@@ -75,6 +75,25 @@ object Bench {
       // local[32] stand-in for a cluster's data-sized reducer count.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 8).toString)
+      // AQE coalesces to this much COMPRESSED shuffle per reducer, but
+      // the reduce-side SORT holds 4-10x that in unsafe-row form
+      // (compressible wide rows like events props inflate most): at the
+      // default 64 MB the 300x grown probe coalesced the SMJ/as-of
+      // exchanges to 37 reducers whose in-memory sort footprint
+      // (~330-440 MB/task) exceeded the CONTENDED per-task share of
+      // unified memory — 19.2 GB pool / 32 active tasks fair-floors at
+      // ~300 MB — and join_sort_merge/join_asof paid the first sort
+      // spills since r10 (1.5 GB + 5.5 GB disk; results stayed exact —
+      // out-of-core sort degrades, never corrupts). 16 MB keeps the
+      // worst measured inflation under the contention floor through
+      // >=300x (re-measured: both keys spill-free, join_asof 26->17 s),
+      // and models a real cluster's per-slot memory better than the
+      // default sized for beefier executors. Fixture-SF plans are
+      // unchanged (their shuffles coalesce to 1-2 partitions either
+      // way). Above ~1000x the initialPartitionNum cap (8x cpus) binds
+      // before this does — raise both together on a real cluster.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("GRAFT_ADVISORY_MB", "16") + "m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -49,6 +49,12 @@ object Verify {
       // reducers to stay spill-free.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 8).toString)
+      // 16 MB advisory reducer size (r15): the reduce-side sort holds
+      // 4-10x the compressed bytes in unsafe-row form; the default 64 MB
+      // spilled the 300x SMJ/as-of sorts under 32-way concurrency (see
+      // Bench for the full account).
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("GRAFT_ADVISORY_MB", "16") + "m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.ts physical-type handling (µs timestamp vs legacy INT64
