@@ -55,6 +55,13 @@ object Verify {
       // Bench for the full account).
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("GRAFT_ADVISORY_MB", "16") + "m")
+      // Storage-pool floor 0.25 (r15): the probe bench runs 14 keys in one
+      // session; earlier keys' not-yet-GC'd broadcasts sit in the storage
+      // pool, and the default storageFraction=0.5 protects up to half of
+      // unified memory from execution eviction — join_asof's 300x sort
+      // spilled in-suite (1.1 GB) while running spill-free solo. 0.25
+      // caps the unevictable litter; broadcasts evict to disk harmlessly.
+      .config("spark.memory.storageFraction", "0.25")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.ts physical-type handling (µs timestamp vs legacy INT64
