@@ -25,3 +25,12 @@ if [[ "${RUN_BENCH:-0}" == "1" ]]; then
     sbt -batch "runMain graft.Bench"
 fi
 python3 scripts/bench_budgets.py bench_detail.json
+# Probe-normalized regression gate (r16, VERDICT r15 task 5): its selftest
+# always runs (a guard that has never fired is a guard you can't trust);
+# the real compare runs when a fresh bench was taken against a base
+# (GRAFT_BENCH_BASE, e.g. the previous round's tracked bench_detail.json
+# restored via `git show`).
+python3 scripts/bench_compare.py --selftest bench_detail.json
+if [[ -n "${GRAFT_BENCH_BASE:-}" ]]; then
+  python3 scripts/bench_compare.py "$GRAFT_BENCH_BASE" bench_detail.json
+fi

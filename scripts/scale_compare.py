@@ -49,7 +49,9 @@ SMALL_BASE = 64 * 1024  # below this, ratios are noise; bound absolutely
 # zero for every key — quadratic candidates are an output property, but
 # spill would mean the per-task memory footprint also grew with data.
 QUADRATIC_OK = {
-    "text_ngram_jaccard":        "shingle-bucket pairs ~REP^2 (verbatim replicas)",
+    "text_ngram_jaccard":        "per-shingle candidates saturate at the rank-64 cap "
+                                 "(r16): verbatim replicas deepen every shingle, pairs "
+                                 "grow ~REP^2 only until df crosses 64, cap^2-bounded after",
     "text_neardup_banded":       "LSH band buckets REP-times deeper -> ~REP^2 pairs",
     "text_minhash_neardup":      "same sketch-band candidate growth",
     "vec_neardup_srp_fixed":     "SRP buckets REP-times deeper -> ~REP^2 pairs",
@@ -106,8 +108,18 @@ GROWN_OK = {
     "events_anomaly_mad":   "per-user median frame outgrew broadcast between 10x "
                             "and 30x; post-flip the four user_id stages share one "
                             "events exchange (132 MB ~= events once + result sort)",
-    # text_ngram_jaccard: graded by EXACTNESS_TIER below (r14, VERDICT r13
-    # task 5), not by the generic REP^2 allowance.
+    # r16 (VERDICT r15 task 6): the per-shingle rank-64 candidate cap
+    # re-scoped text_ngram_jaccard from the exactness-tier fence to a
+    # documented cap-onset key — shingle df grows with the grown corpus
+    # (common phrases are corpus-proportional), so pairs grow ~REP^1.7
+    # only inside the transitional window where typical df sits below 64
+    # (df crosses the cap around ~30x grown); past saturation per-shingle
+    # work is C(64,2)-bounded and total bytes are linear in distinct
+    # shingles. The REP^2*2 GROWN_OK bound covers the window; the hard
+    # per-shingle bound is what makes the key shippable at 100 TB.
+    "text_ngram_jaccard":   "cap-onset: pairs ~df^2 until the rank-64 cap "
+                            "saturates (~30x grown), C(64,2)-bounded per "
+                            "shingle after — linear in distinct shingles",
     "vec_neardup_srp_fixed": "the pair-LIST diagnostic for the SRP family: "
                             "similar-pair density is corpus-proportional (see "
                             "header), so true pairs/vector grow 25.6 -> 67.6 at "
@@ -155,25 +167,15 @@ GROWN_OK = {
 }
 
 
-# Exactness-tier budget (r14, VERDICT r13 task 5 — decision (b), recorded
-# in PLANS.md): text_ngram_jaccard is the exact pairwise diagnostic whose
-# GRADED scale path is the banded MinHash family; it stays in the registry
-# for exactness, with an explicit growth budget instead of an open-ended
-# allowance. Measured grown-corpus shuffle-write points (bench_detail
-# sf0.1 / grown30_r13 / grown100_r13): 41.1 MB -> 3.96 GB -> 31.4 GB,
-# i.e. growth exponent e = ln(31.4G/3.96G)/ln(100/30) = 1.72 (common-
-# shingle df grows with the corpus; pairs ~ df^2 until the 1000-df cap
-# binds — df ~1200 of 1000 first bound at 100x). Budget: bytes <=
-# base * REP^1.8 (measured exponent + margin; a regression to a worse
-# shape, e.g. the cap silently not binding, fails the gate) AND an
-# absolute 64 GiB tier ceiling — the 300x projection under e=1.72 is
-# ~193 GB of concurrent shuffle files, beyond this host's disk, so grown
-# sweeps above ~100x must EXCLUDE the key (GRAFT_BENCH_ONLY / solo
-# chunking) rather than buy the diagnostic more disk. The exactness tier
-# is bounded; the banded family carries the 100 TB story.
-EXACTNESS_TIER = {
-    "text_ngram_jaccard": (1.8, 64 * 1024**3),
-}
+# Exactness-tier budget — RETIRED in r16 (VERDICT r15 task 6). Its only
+# member, text_ngram_jaccard, was re-scoped with a per-shingle rank-64
+# candidate cap (PipelineOps.scala, oracle-mirrored): candidates are now
+# C(64,2)-bounded per shingle and linear in distinct shingles, so the key
+# rejoined the generic gate (GROWN_OK cap-onset entry above) at every SF
+# and the >=100x sweep exclusions in scale_sweep.sh were removed. The
+# mechanism stays as an empty dict so a future intrinsically-bounded
+# diagnostic can reuse it (budget tuple: (growth exponent, byte ceiling)).
+EXACTNESS_TIER = {}
 
 
 def fmt_b(n):

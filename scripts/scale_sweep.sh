@@ -34,22 +34,13 @@ if [ "$DETAIL" = "bench_detail.json" ]; then
   exit 2
 fi
 
-# Exactness-tier enforcement (r15, VERDICT r14 task 5): scale_compare.py's
-# EXACTNESS_TIER records the decision — text_ngram_jaccard is the bounded
-# exact-pairwise diagnostic whose graded scale path is the banded MinHash
-# family — and this is where the decision ACTS. At >=100x grown the key is
-# excluded from the bench (3 timed passes of a ~273 s / 31 GB diagnostic,
-# 28% of suite wall, with its exactness role already served at <=30x);
-# above 100x its projected shuffle footprint exceeds the host disk, so it
-# leaves the Verify dump too. selftest_guards.sh guard 6 proves both hooks.
-if [ "${GROW:-0}" = "1" ] && [ "$REP" -ge 100 ]; then
-  export GRAFT_BENCH_EXCLUDE="${GRAFT_BENCH_EXCLUDE:-text_ngram_jaccard}"
-  echo "exactness tier: GRAFT_BENCH_EXCLUDE=$GRAFT_BENCH_EXCLUDE at ${REP}x grown"
-fi
-if [ "${GROW:-0}" = "1" ] && [ "$REP" -gt 100 ]; then
-  export GRAFT_VERIFY_EXCLUDE="${GRAFT_VERIFY_EXCLUDE:-text_ngram_jaccard}"
-  echo "exactness tier: GRAFT_VERIFY_EXCLUDE=$GRAFT_VERIFY_EXCLUDE at ${REP}x grown"
-fi
+# Exactness-tier enforcement — RETIRED in r16 (VERDICT r15 task 6): the
+# per-shingle rank-64 candidate cap (PipelineOps text_ngram_jaccard,
+# oracle-mirrored) bounds the diagnostic's pairs at C(64,2) per shingle,
+# so the key is gate-includable at every SF and the >=100x auto-excludes
+# that used to live here are gone. The GRAFT_BENCH_EXCLUDE /
+# GRAFT_VERIFY_EXCLUDE hooks themselves remain (env-driven, validated,
+# spec-covered in ScaleGuardSpec) for ad-hoc sweep filtering.
 
 rm -rf "$DST" "$OUT"
 python3 scripts/scale_up.py "$SRC" "$DST" "$REP" $GROWFLAG

@@ -21,10 +21,16 @@ object Bench {
       // to the tracked bench_detail.json — a literal string compare would
       // silently park an anchor run in bench_detail_sf0.1.json and leave
       // the tracked file stale (fail-safe direction, but easy to miss).
-      val canon = try new java.io.File(sfDir).getCanonicalPath
-                  catch { case _: java.io.IOException => sfDir }
+      // Canonicalize BOTH sides (ADVICE r15): if a component of the anchor
+      // path is itself a symlink, getCanonicalPath resolves it on the left
+      // and a raw-literal right side would fail the compare — the exact
+      // staleness the canonicalization was meant to fix.
+      def canonOf(p: String): String =
+        try new java.io.File(p).getCanonicalPath
+        catch { case _: java.io.IOException => p }
       if (filtered) "bench_detail_partial.json"
-      else if (canon == "/root/testdata/sf0.1") "bench_detail.json"
+      else if (canonOf(sfDir) == canonOf("/root/testdata/sf0.1"))
+        "bench_detail.json"
       else {
         val sfName = new java.io.File(sfDir).getName
           .replaceAll("[^A-Za-z0-9._-]", "_")
@@ -46,7 +52,13 @@ object Bench {
     val unknownEx = exclude -- all
     require(unknownEx.isEmpty,
       s"GRAFT_BENCH_EXCLUDE names unknown keys: ${unknownEx.mkString(", ")}")
-    all.filter(n => only.forall(_.contains(n)) && !exclude(n))
+    val selected = all.filter(n => only.forall(_.contains(n)) && !exclude(n))
+    // ONLY ∩ EXCLUDE can legally empty the selection with both sets valid
+    // (ADVICE r15) — a zero-key bench exiting 0 with a near-empty detail
+    // file contradicts the fail-loudly contract above.
+    require(selected.nonEmpty,
+      "GRAFT_BENCH_ONLY/GRAFT_BENCH_EXCLUDE select zero keys")
+    selected
   }
 
   def main(args: Array[String]): Unit = {
@@ -66,15 +78,20 @@ object Bench {
       // faster-or-neutral, results unchanged (execution strategy only).
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       // Reduce-side parallelism must scale with DATA, not stay pinned at
-      // the core count: with AQE on, every shuffle starts at 8×cpus
-      // partitions and coalesces down to the advisory size from map
-      // output stats, so fixture-SF runs keep the same effective task
-      // counts as shuffle.partitions=cpus while a 10×+ sweep gets enough
-      // reducers that per-task sort/agg memory stays bounded (the 10×
-      // sweep's text_ngram_jaccard 133 MB sort spill disappears). The
-      // local[32] stand-in for a cluster's data-sized reducer count.
+      // the core count: with AQE on, every shuffle starts at
+      // initialPartitionNum partitions and coalesces down to the advisory
+      // size from map output stats, so fixture-SF runs keep the same
+      // effective task counts as shuffle.partitions=cpus while a 10×+
+      // sweep gets enough reducers that per-task sort/agg memory stays
+      // bounded (the 10× sweep's text_ngram_jaccard 133 MB sort spill
+      // disappears). r16 (VERDICT r15 task 3): the ceiling is now DERIVED
+      // from the input parquet footprint / advisory (floor 8×cpus keeps
+      // every fixture-SF plan identical; cap 4096) instead of a fixed
+      // 8×cpus, which would have re-bound per-reducer bytes to data above
+      // ~1000× — see Sessions.initialPartitions.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
+        Sessions.initialPartitions(sfDir, cpus.toInt,
+          sys.env.getOrElse("GRAFT_ADVISORY_MB", "16").toLong << 20).toString)
       // AQE coalesces to this much COMPRESSED shuffle per reducer, but
       // the reduce-side SORT holds 4-10x that in unsafe-row form
       // (compressible wide rows like events props inflate most): at the
@@ -238,6 +255,12 @@ object Bench {
     def sampleOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, (Long, Long, Long), Double, Double, Double) = {
+      // Drop the previous key's block-manager litter (dead
+      // localCheckpoints, GC-pending broadcasts) OUTSIDE the timed
+      // region (r16, VERDICT r15 task 2): at 100× grown the litter made
+      // vec_ann_ivfpq pay 9.5 s suite-context vs 1.7 s isolated — every
+      // new broadcast put had to disk-evict dead blocks first.
+      Sessions.releaseKeyState(spark)
       drainListeners()
       val before = metrics.snapshot()
       val trainBefore = operators.PipelineOps.TrainClock.nanos
@@ -345,7 +368,16 @@ object Bench {
       java.nio.file.Paths.get(detailPath),
       // Locale.ROOT: a default-locale %.3f writes "0,123" on comma-decimal
       // hosts — invalid JSON (code-review r10)
+      // advisory_mb / initial_partitions: the two data-sizing confs this
+      // run actually used (r16, VERDICT r15 tasks 3+7) — read back from
+      // the LIVE session, not re-derived, so a stale artifact can never
+      // claim a conf the run didn't have.
       (Seq(s"""  "_meta": {"sf": "$sfDir", "cpus": $cpus, "runs": $RUNS, """ +
+        s""""advisory_mb": ${spark.conf
+          .get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+          .stripSuffix("m")}, """ +
+        s""""initial_partitions": ${spark.conf
+          .get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")}, """ +
         "\"train_warm_sec\": %.3f, ".formatLocal(
           java.util.Locale.ROOT, trainWarmSec) +
         "\"train_warm_train_sec\": %.3f, ".formatLocal(

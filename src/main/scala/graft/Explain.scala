@@ -25,9 +25,11 @@ object Explain {
       // exactly where the JIT would refuse anyway — strictly
       // faster-or-neutral, results unchanged (execution strategy only).
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
-      // Data-scaled reduce parallelism (see Bench.scala).
+      // Data-scaled reduce parallelism (see Bench.scala; r16 footprint-
+      // derived ceiling so Explain reproduces the bench's exact plans).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
+        Sessions.initialPartitions(sfDir, cpus.toInt,
+          sys.env.getOrElse("GRAFT_ADVISORY_MB", "16").toLong << 20).toString)
       // 16 MB advisory reducer size (r15): the reduce-side sort holds
       // 4-10x the compressed bytes in unsafe-row form; the default 64 MB
       // spilled the 300x SMJ/as-of sorts under 32-way concurrency (see
@@ -60,66 +62,13 @@ object Explain {
       val fn = SparkEntry.queries(k)
       println(s"=== $k @ $sfDir")
       if (keys.size == 1) fn(spark, sfDir).explain("formatted")
-      // Whole-stage method sizes (r15, the ivfpq lesson's diagnostic
-      // half): a stage whose generated method lands over HotSpot's
-      // 8000-byte JIT refusal runs per-operator (or interpreted on stock
-      // confs) — invisible in plan strings, 10x visible on the CPU.
-      // PlanSpec's registry audit gates this; Explain prints the sizes so
-      // a bisection can see WHICH stage is near/over the line.
-      locally {
-        import org.apache.spark.sql.execution.WholeStageCodegenExec
-        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-        import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
-        // CollapseCodegenStages runs per query stage at MATERIALIZATION —
-        // the initial adaptive plan has no WholeStageCodegenExec nodes,
-        // so execute first and walk the FINAL plan (PlanSpec discipline).
-        val dfx = fn(spark, sfDir)
-        dfx.queryExecution.toRdd.count()
-        // collect() does not descend into materialized QueryStageExec
-        // leaves (subtree on .plan, not .children) — walk explicitly
-        def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
-            : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-          val kids = p match {
-            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-              Seq(q.plan)
-            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-            case other => other.children
-          }
-          p +: kids.flatMap(allNodes)
-        }
-        val sizes = allNodes(dfx.queryExecution.executedPlan).collect {
-          case w: WholeStageCodegenExec =>
-            val (_, code) = w.doCodeGen()
-            val (_, stats) = CodeGenerator.compile(code)
-            (w.codegenStageId, w.child.nodeName, stats.maxMethodCodeSize)
-        }
-        if (sizes.nonEmpty) {
-          println(s"--- whole-stage max method bytecode sizes ($k, " +
-            "JIT limit 8000):")
-          sizes.foreach { case (id, n, sz) =>
-            val mark = if (sz > 8000)
-              "  <-- OVER: runs per-operator/interpreted" else ""
-            println(f"  stage *($id%d) $n%-28s $sz%6d$mark")
-          }
-          // name the offending subtree so a bisection needn't guess
-          // which projection outgrew the method
-          allNodes(dfx.queryExecution.executedPlan).collect {
-            case w: WholeStageCodegenExec =>
-              val (_, code) = w.doCodeGen()
-              val (_, stats) = CodeGenerator.compile(code)
-              if (stats.maxMethodCodeSize > 8000) {
-                println(s"--- OVER-limit stage *(${w.codegenStageId}) subtree:")
-                println(w.child.treeString.linesIterator.take(14)
-                  .map("  " + _).mkString("\n"))
-              }
-          }
-        }
-      }
       // Per-STAGE spill/shuffle attribution (r13): the bench's per-query
       // counters say THAT a query spilled, not WHERE — this listener
       // names the stage, which is the difference between "agg state
       // outgrew memory" (a plan bug) and "a big exchange streamed
       // through the shuffle writer" (expected out-of-core behavior).
+      // Registered BEFORE the method-size block so that block's single
+      // execution doubles as the listener-scoped warmup (ADVICE r15).
       val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]
       // Per-stage TIME attribution (r14, VERDICT r13 task 7): sum of task
       // executorRunTime per stage — the direct answer to "which stage is
@@ -150,7 +99,63 @@ object Explain {
         }
       }
       spark.sparkContext.addSparkListener(sl)
-      fn(spark, sfDir).queryExecution.toRdd.count() // warmup
+      // Whole-stage method sizes (r15, the ivfpq lesson's diagnostic
+      // half): a stage whose generated method lands over HotSpot's
+      // 8000-byte JIT refusal runs per-operator (or interpreted on stock
+      // confs) — invisible in plan strings, 10x visible on the CPU.
+      // PlanSpec's registry audit gates this; Explain prints the sizes so
+      // a bisection can see WHICH stage is near/over the line.
+      locally {
+        import org.apache.spark.sql.execution.WholeStageCodegenExec
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+        // CollapseCodegenStages runs per query stage at MATERIALIZATION —
+        // the initial adaptive plan has no WholeStageCodegenExec nodes,
+        // so execute first and walk the FINAL plan (PlanSpec discipline).
+        // This execution doubles as the listener-scope warmup below; the
+        // sizes are computed ONCE into a val and both the table and the
+        // OVER-limit subtree report derive from it (ADVICE r15: the old
+        // shape re-ran the full query and re-compiled every stage twice).
+        val dfx = fn(spark, sfDir)
+        dfx.queryExecution.toRdd.count()
+        // collect() does not descend into materialized QueryStageExec
+        // leaves (subtree on .plan, not .children) — walk explicitly
+        def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+          val kids = p match {
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              Seq(q.plan)
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case other => other.children
+          }
+          p +: kids.flatMap(allNodes)
+        }
+        val sizes = allNodes(dfx.queryExecution.executedPlan).collect {
+          case w: WholeStageCodegenExec =>
+            val (_, code) = w.doCodeGen()
+            val (_, stats) = CodeGenerator.compile(code)
+            (w.codegenStageId, w.child.nodeName, stats.maxMethodCodeSize,
+              w.child.treeString)
+        }
+        if (sizes.nonEmpty) {
+          println(s"--- whole-stage max method bytecode sizes ($k, " +
+            "JIT limit 8000):")
+          sizes.foreach { case (id, n, sz, _) =>
+            val mark = if (sz > 8000)
+              "  <-- OVER: runs per-operator/interpreted" else ""
+            println(f"  stage *($id%d) $n%-28s $sz%6d$mark")
+          }
+          // name the offending subtree so a bisection needn't guess
+          // which projection outgrew the method
+          sizes.foreach { case (id, _, sz, tree) =>
+            if (sz > 8000) {
+              println(s"--- OVER-limit stage *($id) subtree:")
+              println(tree.linesIterator.take(14)
+                .map("  " + _).mkString("\n"))
+            }
+          }
+        }
+      }
       (1 to runs).foreach { i =>
         val t0 = System.nanoTime()
         val qe = fn(spark, sfDir).queryExecution

@@ -46,9 +46,12 @@ object Verify {
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       // Data-scaled reduce parallelism (see Bench.scala): AQE coalesces
       // back to small task counts at fixture SF; big sweeps get enough
-      // reducers to stay spill-free.
+      // reducers to stay spill-free. r16: ceiling derived from the input
+      // footprint (Sessions.initialPartitions) — the fixed 8×cpus cap
+      // would re-bind per-reducer bytes to data above ~1000×.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
+        Sessions.initialPartitions(sfDir, cpus.toInt,
+          sys.env.getOrElse("GRAFT_ADVISORY_MB", "16").toLong << 20).toString)
       // 16 MB advisory reducer size (r15): the reduce-side sort holds
       // 4-10x the compressed bytes in unsafe-row form; the default 64 MB
       // spilled the 300x SMJ/as-of sorts under 32-way concurrency (see
@@ -93,6 +96,11 @@ object Verify {
     val attempted = SparkEntry.queries.keys.toSeq
       .filter(name => only.forall(_.contains(name)) && !exclude(name))
       .sorted
+    // A filter and an exclude that are both individually valid can still
+    // intersect to zero keys (ADVICE r15) — a dump of nothing exiting 0
+    // would read downstream as a (vacuously) clean run.
+    require(attempted.nonEmpty,
+      "key filter + GRAFT_VERIFY_EXCLUDE select zero keys")
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     attempted.foreach { name =>
       val fn = SparkEntry.queries(name)
@@ -102,6 +110,10 @@ object Verify {
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Dead localCheckpoints + GC-pending broadcasts from the finished
+      // key must not squat in the storage pool while the NEXT key builds
+      // its broadcasts (r16, VERDICT r15 task 2 — see Sessions).
+      Sessions.releaseKeyState(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

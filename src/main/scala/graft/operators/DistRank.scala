@@ -253,10 +253,21 @@ object DistRank {
     // ClassCastException deep in the driver-side stats collect — fail
     // with a named error here instead.
     import org.apache.spark.sql.types.{LongType, ArrayType, MapType, StructType}
-    val lagType = df.schema.fields.find(_.name == lagSrc).map(_.dataType)
+    // Resolve lagSrc through the analyzer (ADVICE r15): a schema.fields
+    // name compare is case-SENSITIVE, diverging from Spark's resolution
+    // everywhere else in this method, and a missing column would read as
+    // the confusing "must be LONG-typed ... found null".
+    val lagType =
+      try Some(df.select(col(lagSrc)).schema.head.dataType)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    require(lagType.isDefined,
+      s"withGroupLag: lagSrc column '$lagSrc' not found in " +
+        s"[${df.columns.mkString(", ")}]")
     require(lagType.contains(LongType),
       s"withGroupLag: lagSrc '$lagSrc' must be LONG-typed (the boundary " +
-        s"map literal is Map[Long, Long]); found ${lagType.orNull}")
+        s"map literal is Map[Long, Long]); found ${lagType.get}")
     val groupType = df.select(group).schema.head.dataType
     require(!groupType.isInstanceOf[ArrayType] &&
         !groupType.isInstanceOf[MapType] &&

@@ -1058,6 +1058,21 @@ object PipelineOps {
         // candidate pairs — ubiquitous "stop-shingles" would be quadratic
         // hotspots at corpus scale and carry no dedup signal. (No-op on
         // the fixtures: max shingle df is 25 at sf0.1.)
+        // Candidate rank cap (r16, VERDICT r15 task 6 — the re-scope that
+        // retires this key's `weak` grade): below the df cap, a shingle
+        // with df in [65, 1000] still contributed O(df²) pairs, which is
+        // why the TOTAL pair count grew ~REP^1.7 on grown corpora (1.5 B
+        // pairs / 31 GB shuffle at 100×) — exact-but-unshippable. Keep
+        // only the FIRST 64 docs per shingle (row_number by doc_id —
+        // deterministic, oracle-mirrorable); per-shingle candidates are
+        // then ≤ C(64,2) = 2016 and the total is LINEAR in distinct
+        // shingles at any scale. Jaccard is computed over the SAME capped
+        // shingle inventory on both engines (n counts a doc's surviving
+        // rows), so every emitted value stays exact and hash-checked; the
+        // sampling only bounds WHICH candidates are enumerated — the
+        // banded/minhash family remains the recall-graded dedup path,
+        // while this key is now gate-includable at every SF instead of
+        // exactness-tier-fenced. No-op at sf0.1 (max df 25 < 64).
         // Each doc's shingle-set size rides ON the shingle rows (one
         // doc_id-window count) instead of living in a separate `sizes`
         // frame joined back after the pair aggregation. The joined-back
@@ -1071,11 +1086,15 @@ object PipelineOps {
         // deletes BOTH giant post-joins: the aggregate groups by
         // (doc_a, doc_b, na, nb) — same cardinality, n is functional on
         // doc_id — and the filter runs immediately on the agg output.
+        val wSh = Window.partitionBy(col("h64"), col("h32"))
         val sh = shAll.distinct()
-          .withColumn("sdf", count(lit(1)).over(
-            Window.partitionBy(col("h64"), col("h32"))))
+          .withColumn("sdf", count(lit(1)).over(wSh))
           .filter(col("sdf") <= 1000)
           .drop("sdf")
+          .withColumn("rnk", row_number().over(
+            wSh.orderBy(col("doc_id"))))
+          .filter(col("rnk") <= 64)
+          .drop("rnk")
           .withColumn("n", count(lit(1)).over(
             Window.partitionBy(col("doc_id"))))
         val shp = sh.repartition(nParts, col("h64"), col("h32"))
@@ -1134,9 +1153,10 @@ object PipelineOps {
         |       )),
         |sh AS (
         |  SELECT doc_id, s FROM (
-        |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS sdf
+        |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS sdf,
+        |      row_number() OVER (PARTITION BY s ORDER BY doc_id) AS rnk
         |    FROM sh_all)
-        |  WHERE sdf <= 1000),
+        |  WHERE sdf <= 1000 AND rnk <= 64),
         |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2083,19 +2103,22 @@ object PipelineOps {
     val s = e0.sparkSession
     graft.plans.GraftFunctions.register(s)
     val P53 = 9007199254740992.0 // 2^53
-    val sub = subFrame(e0, m)
     val sessionCache = pqCache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[
         (String, Int, Int, Int), Seq[(Int, Int, Seq[Double])]]())
     val cacheKey = (planKey(e0), m, k, iters)
     sessionCache.computeIfAbsent(cacheKey,
         _ => TrainClock.timed("pq_codebook") {
+      // Cap-bounded training subset (r16 — see [[trainSample]]): identity
+      // at fixture SF; sizing count stays inside the memo+clock.
+      val eS = trainSample(e0)
+      val sub = subFrame(eS, m)
       // Dense 0-based init: the first k vectors BY ORDER of vec_id seed
       // codes 0..k-1 in every subspace. The id value is never used as the
       // code (ids may be sparse, offset, or filtered upstream — the
       // trainCoarse lesson); fewer than k vectors cycle so the codebook
       // is dense in (sub, code) from the start.
-      val firstK = subFrame(e0.orderBy(col("vec_id")).limit(k), m)
+      val firstK = subFrame(eS.orderBy(col("vec_id")).limit(k), m)
         .orderBy(col("sub"), col("vec_id")).collect()
         .map(r => (r.getAs[Int]("sub"), r.getSeq[Double](2)))
         .groupBy(_._1)
@@ -2299,25 +2322,57 @@ object PipelineOps {
       element_at(ids, array_position(sims, array_max(sims)).cast("int")))
   }
 
+  /** Codebook-training sample cap (r16, VERDICT r15 task 4): Lloyd/PQ
+    * training cost grew linearly with the corpus (41 s over 2 M vectors
+    * at 100× grown — the wall at 1000×), while codebook QUALITY saturates
+    * long before: k-means needs O(k) samples per centroid, and 2^18 ≈
+    * 256 k vectors is ~16 k samples per centroid at nlists=16 — the
+    * standard IVF practice (FAISS trains IVF/PQ on a bounded sample for
+    * exactly this reason). 100 TB story: training cost is now O(cap),
+    * flat in corpus size; only assignment (one map-side pass) scales. */
+  private[operators] val TRAIN_SAMPLE_CAP = 262144L
+
+  /** Deterministic hash-sampled training subset: keep vec_ids whose
+    * xxhash64 lands on a 1-in-d residue, d = ceil(n / cap) — no RNG, no
+    * sampleBy seed drift; the same corpus always trains on the same
+    * subset (replays/resumes bit-match), and a grown corpus changes the
+    * subset only because the DATA changed. n ≤ cap returns the frame
+    * UNCHANGED (no filter node), so every fixture-SF plan and result —
+    * including the hash-checked fixed twins — is byte-identical to r15.
+    * Trained-codebook keys are rows-only by design (D3), so the grown-SF
+    * result drift from sampling is graded where it belongs: AnnRecallSpec
+    * gates recall@3 ≥ 0.85 and monotone nprobe recall. */
+  private def trainSample(e0: DataFrame): DataFrame = {
+    val n = AnnFixed.countOf(e0)
+    if (n <= TRAIN_SAMPLE_CAP) e0
+    else {
+      val d = (n + TRAIN_SAMPLE_CAP - 1) / TRAIN_SAMPLE_CAP
+      e0.filter(pmod(xxhash64(col("vec_id")), lit(d)) === 0)
+    }
+  }
+
   /** Deterministic coarse k-means codebook over [[normFrame]] vectors —
     * first-nlists init by vec_id, `lloydIters` rounds of exact-decimal
     * means, memoized per (session, input plan, nlists, iters) so repeated
     * searches — the production train-once/search-many pattern, and
     * Bench's repeated runs — pay for Lloyd training exactly once. The
     * cached value is nlists × dim doubles; vectors never leave the
-    * executors. Shared by [[ivfSearch]] and [[ivfpqSearch]]. */
+    * executors. Trains on [[trainSample]] (cap-bounded; identity at
+    * fixture SF). Shared by [[ivfSearch]] and [[ivfpqSearch]]. */
   private[graft] def trainCoarse(e0: DataFrame, nlists: Int,
       lloydIters: Int): Seq[(Long, Seq[Double])] = {
     val s = e0.sparkSession
     val dotc = (a: Column, b: Column) => call_function("graft_dot", a, b)
     val P53 = 9007199254740992.0 // 2^53
-    val e = normFrame(e0)
     val sessionCache = codebookCache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[
         (String, Int, Int), Seq[(Long, Seq[Double])]]())
     val cacheKey = (planKey(e0), nlists, lloydIters)
     sessionCache.computeIfAbsent(cacheKey,
         _ => TrainClock.timed("kmeans_coarse") {
+      // inside the memo+clock: trainSample's sizing count() is training
+      // work and must neither run on cache hits nor escape attribution
+      val e = normFrame(trainSample(e0))
       var c: Seq[(Long, Seq[Double])] =
         e.orderBy(col("vec_id")).limit(nlists).collect()
           .zipWithIndex

@@ -250,12 +250,23 @@ class GraftSqlSpec extends AnyFunSuite {
   // Long; doubles must be bit-equal OR within 1e-12 relative (both sides
   // are Spark-computed, but window/agg plan shapes may legally reassociate
   // a non-decimal-anchored double sum).
+  private def isIntegral(n: Number): Boolean = n match {
+    case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+        _: java.lang.Long => true
+    case _ => false
+  }
   private def cellEq(a: Any, b: Any): Boolean = (a, b) match {
     case (null, null) => true
+    case (x: Number, y: Number) if isIntegral(x) && isIntegral(y) =>
+      x.longValue == y.longValue
     case (x: Number, y: Number)
         if !x.isInstanceOf[java.lang.Double] && !x.isInstanceOf[java.lang.Float]
           && !y.isInstanceOf[java.lang.Double] && !y.isInstanceOf[java.lang.Float] =>
-      x.longValue == y.longValue
+      // DECIMAL cells (or mixed decimal/integral): exact value compare —
+      // the old longValue branch truncated the fraction and would have
+      // called 10.4 == 10.5 on a future DecimalType twin (ADVICE r15).
+      new java.math.BigDecimal(x.toString)
+        .compareTo(new java.math.BigDecimal(y.toString)) == 0
     case (x: Number, y: Number) =>
       val (dx, dy) = (x.doubleValue, y.doubleValue)
       dx == dy || math.abs(dx - dy) <= 1e-12 * math.max(math.abs(dx), math.abs(dy))

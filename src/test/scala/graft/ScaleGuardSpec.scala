@@ -317,5 +317,153 @@ class ScaleGuardSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       selectKeys(all, Some(Set("nope")), Set.empty)
     }
+    // ONLY ∩ EXCLUDE = ∅ with both sets individually valid (ADVICE r15):
+    // a zero-key bench must fail loudly, not exit 0 with an empty detail
+    intercept[IllegalArgumentException] {
+      selectKeys(all, Some(Set("a")), Set("a"))
+    }
+  }
+
+  test("data-driven initialPartitionNum: 8*cpus floor at every fixture " +
+      "SF, footprint/advisory above it, 4096 cap") {
+    // r16 (VERDICT r15 task 3): the reduce-parallelism CEILING is derived
+    // from the input parquet footprint so no SF needs a manual conf. Pin
+    // the derivation at the three shipped SFs (all below the floor ->
+    // plans identical to r15) and at synthetic footprints that exercise
+    // the data-derived region and the cap.
+    val adv = 16L << 20
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"))
+      assert(Sessions.initialPartitions(s"/root/testdata/$sf", 32, adv)
+        === 256, s"$sf must sit at the 8*cpus floor")
+    // an absent dir must fall back to the floor, never throw — the read
+    // itself surfaces the real error with a better message
+    assert(Sessions.initialPartitions("/nonexistent_graft_dir", 32, adv)
+      === 256)
+    // synthetic footprints (sparse files: length() reports logical size)
+    val dir = java.nio.file.Files.createTempDirectory("graft_footprint")
+    def sized(gib: Long): String = {
+      val f = new java.io.RandomAccessFile(
+        dir.resolve("t.parquet").toFile, "rw")
+      try f.setLength(gib << 30) finally f.close()
+      dir.toString
+    }
+    // 8 GiB / 16 MiB = 512 (+1) initial partitions — above the floor,
+    // so per-reducer bytes stay advisory-sized instead of data-sized
+    assert(Sessions.initialPartitions(sized(8), 32, adv) === 513)
+    // 128 GiB would derive 8193 — the 4096 cap binds
+    assert(Sessions.initialPartitions(sized(128), 32, adv) === 4096)
+  }
+
+  test("bench env surface end-to-end: non-default advisory + validated " +
+      "exclude route to the filtered path and stamp _meta") {
+    // r16 (VERDICT r15 task 7): GRAFT_ADVISORY_MB and the exclude hooks
+    // were spec-covered only piecewise (selectKeys above, detailPathFor
+    // above), which is exactly how the r14 stale-artifact confusion
+    // slipped through — nothing ever ran the REAL main under the env and
+    // looked at the artifact it wrote. Run graft.Bench in a subprocess
+    // (fresh JVM: SparkSession.builder confs must actually take) with a
+    // non-default advisory, an ONLY list, and a validated EXCLUDE, in a
+    // temp cwd; assert the detail routes to bench_detail_partial.json
+    // (filtered, never the tracked anchor) and _meta records the confs
+    // the session really used.
+    val cwd = java.nio.file.Files.createTempDirectory("graft_benchenv")
+    val mx = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments
+    import scala.jdk.CollectionConverters._
+    val opens = mx.asScala.filter(a =>
+      a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+        a.startsWith("--enable-native-access"))
+    val cmd = (Seq("java", "-Xmx4g") ++ opens ++ Seq(
+      "-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
+    val pb = new ProcessBuilder(cmd)
+    pb.directory(cwd.toFile)
+    pb.redirectErrorStream(true)
+    val env = pb.environment()
+    env.put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    env.put("SPARK_GRAFT_CPUS", "4")
+    env.put("GRAFT_ADVISORY_MB", "24")
+    env.put("GRAFT_BENCH_ONLY", "scan_parquet_count,project_arithmetic")
+    env.put("GRAFT_BENCH_EXCLUDE", "project_arithmetic")
+    env.remove("GRAFT_BENCH_DETAIL") // routing itself is under test
+    val p = pb.start()
+    val outLog = new String(p.getInputStream.readAllBytes, "UTF-8")
+    assert(p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS),
+      "subprocess bench did not finish in 10 min")
+    assert(p.exitValue == 0, s"bench exited ${p.exitValue}:\n" +
+      outLog.linesIterator.toSeq.takeRight(30).mkString("\n"))
+    val detail = cwd.resolve("bench_detail_partial.json")
+    assert(java.nio.file.Files.exists(detail),
+      s"filtered run must write bench_detail_partial.json; cwd has: " +
+        cwd.toFile.list().mkString(", "))
+    val text = java.nio.file.Files.readString(detail)
+    // _meta must record the conf the SESSION used (read back, not echoed)
+    assert(text.contains("\"advisory_mb\": 24"),
+      s"_meta must stamp advisory_mb=24; got: ${text.take(400)}")
+    // sf0.001 footprint is far below 8*cpus*advisory -> the derived
+    // initialPartitionNum sits at the 8*cpus floor = 32 for cpus=4
+    assert(text.contains("\"initial_partitions\": 32"),
+      s"_meta must stamp the derived floor 8*cpus=32; got: ${text.take(400)}")
+    assert(text.contains("\"scan_parquet_count\""),
+      "the ONLY-selected key must be benched")
+    assert(!text.contains("\"project_arithmetic\""),
+      "the EXCLUDEd key must not appear in the artifact")
+  }
+
+  test("per-shingle rank cap bounds mid-df jaccard candidates; planted " +
+      "pair survives") {
+    // r16 (VERDICT r15 task 6): the df≤1000 cap alone left shingles with
+    // df in [65, 1000] contributing O(df²) pairs — the ~REP^1.7 growth
+    // that made text_ngram_jaccard exactness-tier-fenced. 200 docs share
+    // one opening shingle (df=200 ≤ 1000, so the df cap does NOT fire);
+    // the rank cap must bound its candidates at C(64,2) while the planted
+    // rare-shingle near-dup pair still comes through.
+    val flood = (0L until 200L).map(i =>
+      i -> s"free shipping today g${i}a g${i}b")
+    val planted = Seq(
+      9001L -> "alpha beta gamma delta epsilon zeta",
+      9002L -> "alpha beta gamma delta epsilon eta")
+    val dir = tmp("graft_sg_rankcap")
+    writeDocs(dir, flood ++ planted)
+
+    // End-to-end: the planted pair (J = 3/5 = 0.6) is the only emission —
+    // flood docs keep n=3 shingles (2 unique + the shared one for the
+    // first 64) so any flood pair has J = 1/5 < 0.5.
+    val out = Registry.queries("text_ngram_jaccard")(spark, dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 9001L && out.head.getLong(1) === 9002L)
+    assert(math.abs(out.head.getAs[Double]("jaccard") - 0.6) < 1e-12)
+
+    // Quantify: rebuild the candidate stage with and without the rank cap
+    // (production shape: distinct → df cap → rank cap).
+    def shingles(rankCapped: Boolean): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+      val shAll = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(w) - 2),
+            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+            |                 element_at(w, i + 2)))""".stripMargin))
+          .as("s"))
+        .distinct()
+        .withColumn("sdf", count(lit(1)).over(w))
+        .filter(col("sdf") <= 1000).drop("sdf")
+      if (!rankCapped) shAll
+      else shAll.withColumn("rnk",
+          row_number().over(w.orderBy(col("doc_id"))))
+        .filter(col("rnk") <= 64).drop("rnk")
+    }
+    def candidates(sh: DataFrame): Long =
+      sh.select(col("doc_id").as("doc_a"), col("s"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct().count()
+    val capped = candidates(shingles(rankCapped = true))
+    val uncapped = candidates(shingles(rankCapped = false))
+    assert(capped === 64L * 63L / 2 + 1,
+      s"rank cap must bound the flood shingle at C(64,2) candidates " +
+        s"plus the planted pair (got $capped)")
+    assert(uncapped === 200L * 199L / 2 + 1,
+      s"without the rank cap the df-200 shingle is quadratic (got $uncapped)")
   }
 }
