@@ -9,6 +9,13 @@ key's suite-context median must be <= BOUND x its isolated median
 (default 2.0, per the verdict), with a small absolute floor so
 sub-second dispatch jitter can't fail a key that is fast in both runs.
 
+Seconds are probe-normalized first (the bench_compare.py convention):
+each artifact's `_meta.probe_sql_2stage_sec` stamps the host's plan+
+dispatch floor AT THAT RUN, so a suite artifact measured under external
+load (e.g. a concurrent DuckDB preflight) is scaled by iso_probe/
+suite_probe before the ratio — the gate grades context tax (broadcast
+litter), not host contention. Artifacts without the stamp compare raw.
+
 Usage: python3 scripts/ann_context_compare.py SUITE_DETAIL ISO_DETAIL [BOUND=2.0]
 Exit 1 if any shared key exceeds the bound.
 """
@@ -24,11 +31,15 @@ def main():
     suite = json.load(open(sys.argv[1]))
     iso = json.load(open(sys.argv[2]))
     bound = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
-    suite.pop("_meta", None)
-    iso.pop("_meta", None)
+    sp = (suite.pop("_meta", None) or {}).get("probe_sql_2stage_sec")
+    ip = (iso.pop("_meta", None) or {}).get("probe_sql_2stage_sec")
+    norm = ip / sp if sp and ip else 1.0
+    if norm != 1.0:
+        print(f"probe_sql_2stage_sec suite {sp:.3f} vs iso {ip:.3f} — "
+              f"suite seconds scaled by {norm:.2f}x before the ratio")
     bad = []
     for key in sorted(set(suite) & set(iso)):
-        s, i = suite[key]["sec"], iso[key]["sec"]
+        s, i = suite[key]["sec"] * norm, iso[key]["sec"]
         if s < 0 or i < 0:
             bad.append((key, f"failed run (suite {s}, iso {i})"))
             continue
