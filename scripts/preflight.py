@@ -592,6 +592,13 @@ def make_con(sf):
     except OSError:
         pass
     limit_gb = max(4, (mem_kb * 6) // (10 * 1024 * 1024)) if mem_kb else 4
+    # GRAFT_DUCK_MEM_GB caps the pool below the 60%-of-RAM default so
+    # several fresh-process preflights can run side by side (the r16
+    # parallel solo lane) without their combined ceilings overcommitting
+    # the host against a concurrently-running engine benchmark.
+    env_gb = os.environ.get("GRAFT_DUCK_MEM_GB")
+    if env_gb:
+        limit_gb = min(limit_gb, max(4, int(env_gb)))
     con.execute(f"SET memory_limit='{limit_gb}GB'")
     for t in TABLES:
         con.execute(

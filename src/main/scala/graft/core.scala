@@ -122,8 +122,18 @@ object Tables {
   *    both engines recover the identical decimal;
   *  - aggregate in decimal (exact, order-independent — both engines
   *    accumulate [[Det.dsum]]'s DECIMAL(28, s) rows at 38 digits);
-  *  - cast the final scalar back to double (sums stay within double's 15
-  *    exact digits at bench scale).
+  *  - cast the final scalar back to double through a SINGLE rounding on
+  *    both engines. Past 2^53 unscaled units this needs care (r16, found
+  *    by the 300× full-registry gate): Spark's decimal→double is
+  *    correctly rounded (OpenJDK BigDecimal.doubleValue falls back to
+  *    Double.parseDouble(toString()) beyond its 2^52 fast path), but
+  *    DuckDB's is `(double)int128 / 10^scale` — TWO roundings, 1 ulp off
+  *    for ~half the >2^53 values (agg_stats' Σx² at scale 4 first crossed
+  *    at 300×: 913 k rows/group × ~1e8 x² units). The oracle therefore
+  *    routes decimal→VARCHAR→DOUBLE (string parse is correctly rounded
+  *    in both engines; provably a no-op below 2^53, where exact
+  *    int→double followed by one correctly-rounded divide equals the
+  *    single-rounded cast — the sibling of the r13 sum_charge fix).
   *
   * The result is bit-identical in Spark and DuckDB regardless of partial
   * aggregation order or partition count, with DECIMAL(38, s) sum headroom
@@ -143,9 +153,11 @@ object Det {
   def dexact(c: Column, scale: Int): Column =
     c.cast(DecimalType(18, scale)).cast("double")
 
-  /** SQL twin of [[dexact]]. */
+  /** SQL twin of [[dexact]] — VARCHAR-routed so the decimal→double step
+    * is a single rounding even past 2^53 unscaled units (see the D9
+    * header; DuckDB's direct cast double-rounds there). */
   def sqlDexact(e: String, scale: Int): String =
-    s"CAST(CAST(($e) AS DECIMAL(18,$scale)) AS DOUBLE)"
+    s"CAST(CAST(CAST(($e) AS DECIMAL(18,$scale)) AS VARCHAR) AS DOUBLE)"
 
   /** Exact, order-independent sum of a fixed-scale-decimal double column.
     * `scale` must be ≥ the expression's intrinsic decimal scale (e.g. 4 for
@@ -169,10 +181,11 @@ object Det {
     * window differences, share-of-total numerators), then cast to double
     * / string at the final select. The 17-significant-digit adjacent-
     * double rounding hazard that motivated r10's raw emission (Spark
-    * BigDecimal.doubleValue vs DuckDB int128→double can differ 1 ulp past
-    * ~15 digits) only appears at ≥~6M-row sums — beyond every SF the
-    * driver grades; driver-green beats a hypothetical the gate never
-    * sees. */
+    * BigDecimal.doubleValue vs DuckDB int128→double differ 1 ulp past
+    * 2^53 unscaled units) stopped being hypothetical at the r16 300×
+    * gate (agg_stats); the fix is the VARCHAR-routed oracle cast in
+    * [[sqlDsum]]/[[sqlDexact]], which keeps every decimal→double
+    * emission single-rounded on both engines at any magnitude. */
   def dsumx(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(28, scale)))
 
@@ -186,9 +199,14 @@ object Det {
   def davg(c: Column, scale: Int = 2): Column =
     dsum(c, scale) / count(c)
 
-  /** SQL twin of [[dsum]] for oracle queries. */
+  /** SQL twin of [[dsum]] for oracle queries. VARCHAR-routed (r16): the
+    * exact DECIMAL(38, s) sum crosses 2^53 unscaled units at ~1 M rows
+    * for a scale-4 x² column, where DuckDB's direct decimal→double cast
+    * double-rounds while Spark's single-rounds — the agg_stats 1-ulp
+    * divergence the 300× gate caught. String parse is correctly rounded
+    * in both engines at any magnitude. */
   def sqlDsum(e: String, scale: Int = 2): String =
-    s"CAST(sum(CAST(($e) AS DECIMAL(28,$scale))) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST(($e) AS DECIMAL(28,$scale))) AS VARCHAR) AS DOUBLE)"
 
   /** SQL twin of [[davg]]. */
   def sqlDavg(e: String, scale: Int = 2): String =

@@ -166,9 +166,10 @@ object EventOps {
         |FROM (
         |  SELECT event_id, user_id, value,
         |    count(*) OVER u AS n,
-        |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER u AS DOUBLE) AS s1,
-        |    CAST(sum(CAST(value * value AS DECIMAL(18,4))) OVER u AS DOUBLE)
-        |      AS s2
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER u AS VARCHAR)
+        |      AS DOUBLE) AS s1,
+        |    CAST(CAST(sum(CAST(value * value AS DECIMAL(18,4))) OVER u
+        |      AS VARCHAR) AS DOUBLE) AS s2
         |  FROM events
         |  WINDOW u AS (PARTITION BY user_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))

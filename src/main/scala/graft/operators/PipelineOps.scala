@@ -2111,8 +2111,15 @@ object PipelineOps {
         _ => TrainClock.timed("pq_codebook") {
       // Cap-bounded training subset (r16 — see [[trainSample]]): identity
       // at fixture SF; sizing count stays inside the memo+clock.
+      // PERSIST the sampled subvector frame (r16, the trainCoarse
+      // rationale): each iteration reads `sub` TWICE (pqAssign + the
+      // join back), so unpersisted Lloyd paid 2×iters full-corpus
+      // scan+filter+explode passes; cached it is ≤ ~cap × m subvector
+      // rows. Exact-decimal means ⇒ caching cannot change a value.
       val eS = trainSample(e0)
       val sub = subFrame(eS, m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       // Dense 0-based init: the first k vectors BY ORDER of vec_id seed
       // codes 0..k-1 in every subspace. The id value is never used as the
       // code (ids may be sparse, offset, or filtered upstream — the
@@ -2155,6 +2162,7 @@ object PipelineOps {
           (subId, code, updated.getOrElse((subId, code), cv)) }
       }
       c
+      } finally sub.unpersist(false)
     })
   }
 
@@ -2371,8 +2379,18 @@ object PipelineOps {
     sessionCache.computeIfAbsent(cacheKey,
         _ => TrainClock.timed("kmeans_coarse") {
       // inside the memo+clock: trainSample's sizing count() is training
-      // work and must neither run on cache hits nor escape attribution
+      // work and must neither run on cache hits nor escape attribution.
+      // PERSIST the materialized sample for the duration of training
+      // (r16): without it every Lloyd round re-ran scan→hash-filter→
+      // normalize over the FULL corpus, so sampling capped the rows fed
+      // to the means but not the per-iteration scan cost — wall stayed
+      // O(iters × corpus) instead of O(corpus + iters × cap). The cached
+      // frame is ≤ ~cap unit vectors (identity-sized only at fixture SF,
+      // where it is tiny); values are unchanged by caching because the
+      // means are exact Decimal(38,0) sums — order-independent.
       val e = normFrame(trainSample(e0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       var c: Seq[(Long, Seq[Double])] =
         e.orderBy(col("vec_id")).limit(nlists).collect()
           .zipWithIndex
@@ -2398,6 +2416,7 @@ object PipelineOps {
           .sortBy(_._1)
       }
       c
+      } finally e.unpersist(false)
     })
   }
 
