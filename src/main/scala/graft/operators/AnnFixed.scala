@@ -537,8 +537,9 @@ object AnnFixed {
     Q("pipeline_dedup_semantic_incremental",
       (s, dir) => {
         val docs = Tables.table(s, dir, "documents")
-        val srcs = docs.select(col("doc_id").as("vec_id"), col("source"))
-        val cs = srpCapped(s, dir).join(srcs, "vec_id")
+        // source rides the banding (srpCappedWith) instead of a post-cap
+        // vec_id enrichment join — see the srpCappedWith scaladoc
+        val cs = srpCappedWith(s, dir, "source")
         val xb = cs.filter(col("source") === "src1")
           .select(col("band"), col("bsig"), col("vec_id").as("a_id"),
             col("u").as("ua"))
@@ -701,9 +702,7 @@ object AnnFixed {
           .select(col("doc_id"))
         val corpusHashes = cpool
           .select(sha2(col("text"), 256).as("h")).distinct()
-        val srcs = Tables.table(s, dir, "documents")
-          .select(col("doc_id").as("vec_id"), col("source"))
-        val cs = srpCapped(s, dir).join(srcs, "vec_id")
+        val cs = srpCappedWith(s, dir, "source")
         val xb = cs.filter(col("source") === "src1")
           .select(col("band"), col("bsig"), col("vec_id").as("a_id"),
             col("u").as("ua"))
@@ -766,9 +765,7 @@ object AnnFixed {
     // like the incremental dedup keys.
     Q("text_contamination_semantic",
       (s, dir) => {
-        val srcs = Tables.table(s, dir, "documents")
-          .select(col("doc_id").as("vec_id"), col("source"))
-        val cs = srpCapped(s, dir).join(srcs, "vec_id")
+        val cs = srpCappedWith(s, dir, "source")
         val cand = cs.filter(col("source") =!= "src1")
           .select(col("band"), col("bsig"), col("vec_id").as("doc_id"),
             col("u").as("ua"))
@@ -870,6 +867,26 @@ object AnnFixed {
     srpCappedOf(Tables.table(s, dir, "embeddings"))
   }
 
+  /** [[srpCapped]] with narrow document columns attached BEFORE banding
+    * (r16): the incremental keys need `source` next to each banded row,
+    * and enriching AFTER the bucket cap re-keyed the u-carrying corpus
+    * vec_id-ward and back — (band,bsig) → vec_id → (band,bsig), three
+    * to four full-corpus exchanges of 64-double payloads once the docs
+    * side outgrew broadcast (the 300× scaling-gate finding). Joining the
+    * (vec_id, cols…) projection onto the RAW float embeddings instead
+    * costs at most one corpus exchange at HALF the payload width, and
+    * the cap's (band,bsig) exchange is again shared by both pair-join
+    * sides downstream, exactly like the full variants. */
+  private def srpCappedWith(s: SparkSession, dir: String,
+      cols: String*): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val docCols = Tables.table(s, dir, "documents")
+      .select(col("doc_id").as("vec_id") +: cols.map(col): _*)
+    srpCappedOf(Tables.table(s, dir, "embeddings")
+      .join(docCols, "vec_id"), carry = cols,
+      sizeOf = Some(Tables.table(s, dir, "embeddings")))
+  }
+
   /** Frame-based body of [[srpCapped]], so property tests can drive the
     * production banding with PLANTED duplicates (the fixtures contain no
     * true near-dups — max bucket-pair cosine ≈ 0.51 — so without this
@@ -899,12 +916,19 @@ object AnnFixed {
       .longValue()
   }
 
-  private[graft] def srpCappedOf(e0: DataFrame): DataFrame = {
+  private[graft] def srpCappedOf(e0: DataFrame,
+      carry: Seq[String] = Nil,
+      sizeOf: Option[DataFrame] = None): DataFrame = {
     graft.plans.GraftFunctions.register(e0.sparkSession)
-    val bits = srpBits(countOf(e0))
+    val cc = carry.map(col)
+    // width sizing counts the BARE corpus frame when the input is an
+    // enrichment join (srpCappedWith): the join is 1:1 so the count is
+    // identical, but the bare plan hits the same countOf memo entry as
+    // the un-carried keys — no extra count job, identical bits
+    val bits = srpBits(countOf(sizeOf.getOrElse(e0)))
     val e = e0
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id") +: cc :+
+        transform(col("embedding"), x => x.cast("double")).as("v"): _*)
       // norm OUTSIDE the lambda (r14): a transform lambda body runs on
       // the interpreted path PER ELEMENT — sqrt(dot) inside meant d
       // interpreted d-dim dots per row across all 7 SRP-banded corpus
@@ -917,11 +941,11 @@ object AnnFixed {
         lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
     e.withColumn("s0", sig(0)).withColumn("s1", sig(1))
-      .select(col("vec_id"), col("u"), expr(
+      .select(col("vec_id") +: cc :+ col("u") :+ expr(
         "explode(array(struct(0 AS band, s0 AS bsig), " +
-          "struct(1 AS band, s1 AS bsig)))").as("bs"))
-      .select(col("vec_id"), col("u"), col("bs.band").as("band"),
-        col("bs.bsig").as("bsig"))
+          "struct(1 AS band, s1 AS bsig)))").as("bs"): _*)
+      .select(col("vec_id") +: cc :+ col("u") :+
+        col("bs.band").as("band") :+ col("bs.bsig").as("bsig"): _*)
       .withColumn("bsz", count(lit(1)).over(
         Window.partitionBy(col("band"), col("bsig"))))
       .filter(col("bsz") <= 1000)

@@ -396,8 +396,12 @@ object TextOps {
         val batch = docs.filter(col("source") === "src1")
         val corpusHashes = docs.filter(col("source") =!= "src1")
           .select(sha2(col("text"), 256).as("h")).distinct()
-        val srcs = docs.select(col("doc_id"), col("source"))
-        val cs = cwCappedBands(s, dir).join(srcs, "doc_id")
+        // `source` rides the signature pipeline (see cwSignatures.carry)
+        // instead of a doc_id enrichment join: the join exchanged BOTH
+        // the banded-signature corpus and the docs projection at 300x
+        // grown — the key's dominant shuffle — for a column the scan
+        // already had in hand.
+        val cs = cwCappedBands(s, dir, carry = Seq("source"))
         val xb = cs.filter(col("source") === "src1").drop("source")
         val yc = cs.filter(col("source") =!= "src1").drop("source")
         val nearDrops = xb.as("x").join(yc.as("y"),
@@ -541,21 +545,29 @@ object TextOps {
     * 8 codegen'd min-aggregates (a per-row HOF would inline the hash into
     * all 8 minima — the text_simhash lesson). Scalar columns, not an
     * array: the driver's column hasher compares scalar cells. */
-  private[operators] def cwSignatures(
-      s: SparkSession, dir: String): DataFrame = {
+  /** Carter–Wegman minhash signatures per doc. `carry` names narrow doc
+    * columns to thread THROUGH the shingle explode and the signature
+    * aggregate (grouped alongside doc_id — functionally dependent, so
+    * grouping is unchanged): the incremental dedup keys need `source`
+    * next to each signature row, and carrying it here deletes a
+    * corpus×corpus doc_id enrichment join whose both-sides exchange was
+    * the single largest shuffle in those keys at 300× grown. */
+  private[operators] def cwSignatures(s: SparkSession, dir: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val cc = carry.map(col)
     val sh = Tables.table(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id") +: cc :+ split(col("text"), " ").as("w"): _*)
+      .select(col("doc_id") +: cc :+ explode(expr(
         """transform(sequence(1, greatest(size(w) - 2, 1)),
           |  i -> concat_ws(' ', element_at(w, i),
           |                 element_at(w, least(i + 1, size(w))),
           |                 element_at(w, least(i + 2, size(w)))))"""
-          .stripMargin)).as("x"))
-      .select(col("doc_id"),
-        (expr(PipelineOps.whExpr("x")) % CW_P).as("h"))
+          .stripMargin)).as("x"): _*)
+      .select(col("doc_id") +: cc :+
+        (expr(PipelineOps.whExpr("x")) % CW_P).as("h"): _*)
     val minCols = (0 until 8).map(i =>
       min((col("h") * cwA(i) + cwB(i)) % CW_P).as(s"mh$i"))
-    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    sh.groupBy(col("doc_id") +: cc: _*).agg(minCols.head, minCols.tail: _*)
   }
 
   /** Banded, bucket-capped signature rows (doc_id, mh0..7, band, bkey) —
@@ -564,13 +576,15 @@ object TextOps {
     * `neardupCandidates`: buckets over 1000 docs are dropped before any
     * pair join, so within-bucket all-pairs work is bounded regardless of
     * data degeneracy. */
-  private def cwCappedBands(s: SparkSession, dir: String): DataFrame = {
-    val sig = cwSignatures(s, dir)
+  private def cwCappedBands(s: SparkSession, dir: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val sig = cwSignatures(s, dir, carry)
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         (col(s"mh${2 * b}") * CW_P + col(s"mh${2 * b + 1}")).as("bkey")))
     val bands = sig.withColumn("bk", explode(array(bandStructs: _*)))
-      .select(col("doc_id") +: (0 until 8).map(i => col(s"mh$i")) :+
+      .select(col("doc_id") +: carry.map(col) ++:
+        (0 until 8).map(i => col(s"mh$i")) :+
         col("bk.band").as("band") :+ col("bk.bkey").as("bkey"): _*)
     bands
       .withColumn("bsz", count(lit(1)).over(
