@@ -19,14 +19,49 @@ final case class Q(
 /** Fixture loader: one parquet file per table under a scale-factor dir.
   * Reads are plain `spark.read.parquet` so Parquet column pruning and
   * row-group predicate pushdown apply to every downstream query.
+  *
+  * Schema caching (r16, guide §1/§6): a schema-less `spark.read.parquet`
+  * re-infers the schema from the file footer on EVERY call — pure
+  * plan-time constant cost, paid hundreds of times per bench pass (187
+  * keys × 1–4 tables × 3 samples). The inferred StructType is cached per
+  * canonical path and passed back via `.schema(...)`, which skips the
+  * footer read; the DATA is still read from parquet at execution, so
+  * nothing about what any query computes changes. Fixture schema drift
+  * is already fenced by scripts/preflight.py's fingerprint check, and a
+  * same-path swap mid-process would have been equally invisible to the
+  * old per-call inference (the JVM-wide FileStatusCache pins listings
+  * too). Keyed by canonical path so `sf0.1` and `sf0.1/../sf0.01` can
+  * never collide or alias.
   */
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def canon(p: String): String =
+    try new java.io.File(p).getCanonicalPath
+    catch { case _: java.io.IOException => p }
+
+  /** Read a parquet path with the footer-inferred schema memoized per
+    * canonical path. The first read per (path) infers and caches; later
+    * reads skip inference. Never caches session-bound objects. */
+  private[graft] def readParquet(spark: SparkSession, path: String)
+      : DataFrame = {
+    val key = canon(path)
+    val cached = schemaCache.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.putIfAbsent(key, df.schema)
+      df
+    }
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else readParquet(spark, s"$dir/$name.parquet")
   }
 
   /** Schema-drift-tolerant events reader. The fixture generator has shipped
@@ -48,7 +83,7 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val raw =
-      try spark.read.parquet(path)
+      try readParquet(spark, path)
       catch {
         // INT64(NANOS) variant: parquet schema inference refuses the type
         // ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,…))") unless the
@@ -63,7 +98,7 @@ object Tables {
               (e.getMessage.contains("Illegal Parquet type") ||
                 e.getMessage.contains("PARQUET_TYPE_ILLEGAL")) =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          try spark.read.parquet(path)
+          try readParquet(spark, path)
           catch {
             case scala.util.control.NonFatal(e2) =>
               spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
@@ -264,6 +299,9 @@ object Materialize {
       write(path)
       java.lang.Boolean.TRUE
     })
-    s.read.parquet(path)
+    // Same footer-skip as Tables.readParquet: the materialized dataset is
+    // re-read on every consumer build, but its schema never changes after
+    // the write (the path is app-scoped and write-once).
+    Tables.readParquet(s, path)
   }
 }

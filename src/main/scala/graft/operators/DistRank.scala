@@ -13,19 +13,31 @@ import org.apache.spark.sql.functions._
   * Two-phase recipe (the classic zipWithIndex shape, kept in DataFrame
   * land so downstream stays codegen'd):
   *
-  *  1. range-partition on the sort key and sort WITHIN partitions — a
-  *     parallel exchange (`rangepartitioning`, never `SinglePartition`),
-  *     so every partition holds a contiguous, internally sorted slice of
-  *     the total order;
+  *  1. global range sort (`orderBy`) — a parallel exchange
+  *     (`rangepartitioning`, never `SinglePartition`), so every partition
+  *     holds a contiguous, internally sorted slice of the total order.
+  *     The exchange is planner-inserted (ENSURE_REQUIREMENTS), so AQE
+  *     coalesces it to the advisory size: fixture SFs run ~data/1 MB
+  *     tasks instead of the initialPartitionNum ceiling (r16 find: the
+  *     old explicit `repartitionByRange(numShufflePartitions, …)` read
+  *     the AQE-inflated conf — 256 at 8×cpus — and explicit repartitions
+  *     are exempt from coalescing, so every downstream stage of every
+  *     rank dragged 256 tasks over sub-MB data), while grown SFs still
+  *     split to the 16 MB advisory that keeps reduce-side sorts
+  *     spill-free (same protection as before, now data-derived);
   *  2. stamp `monotonically_increasing_id()` (partitionId·2³³ + local
   *     ordinal) and `localCheckpoint()` — the checkpoint pins ONE physical
   *     partitioning, because RangePartitioner samples its bounds (a
   *     re-executed subtree could re-sample differently, and the offsets
   *     collected in step 3 must describe the exact partitioning the final
   *     plan reads);
-  *  3. collect the ≤P per-partition row counts (and optional column sums)
-  *     — P is the shuffle-partition count, i.e. task-count-sized, never
-  *     corpus-sized — and broadcast them back as a literal pid→offset map:
+  *  3. collect the ≤P per-partition row counts (and optional column sums /
+  *     maxes / group runs / boundary rows) — P is the post-coalesce
+  *     partition count, i.e. task-count-sized, never corpus-sized — in
+  *     ONE narrow mapPartitions pass over the checkpointed blocks (r16:
+  *     the old `groupBy(pid).agg(...).collect()` paid a whole extra
+  *     shuffle + AQE stage per rank for the same ≤P rows), and broadcast
+  *     them back as a literal pid→offset map:
   *     rank = offset(pid) + local ordinal + 1, pure map-side arithmetic.
   *
   * The output is bit-identical to the unpartitioned `row_number` whenever
@@ -56,6 +68,110 @@ object DistRank {
   final case class Ranked(df: DataFrame, rows: Long,
       totals: Map[String, Long], maxes: Map[String, Long])
 
+  /** Per-partition statistics from ONE pass over the checkpointed sorted
+    * frame (driver-side, ≤P results — task-count-sized, never
+    * corpus-sized). `groups` holds the partition's contiguous
+    * (group-as-string, run length) runs in within-partition order (the
+    * frame is sorted by group first, so runs are exact group segments);
+    * `last*` describe the partition's final row (the lag boundary). */
+  private final case class PStats(pid: Long, n: Long, sums: Array[Long],
+      maxSeen: Array[Boolean], maxes: Array[Long],
+      groups: Array[(String, Long)],
+      lastGroup: String, lastSet: Boolean, lastVal: Long)
+
+  /** Range-sort `df` on `order` and pin the partitioning. The exchange is
+    * the planner's own (AQE-coalescible — see the class doc, step 1). */
+  private def sortedFrame(df: DataFrame, order: Seq[Column]): DataFrame =
+    df.orderBy(order: _*)
+      .withColumn("__mono", monotonically_increasing_id())
+      // LAZY output checkpoint: the stats pass right below is the first
+      // action, so one job pays shuffle + sort + mono-id + block storage
+      // + the stats scan together (an eager checkpoint would spend a
+      // whole extra driver round-trip per rank). The pass still
+      // materializes the blocks BEFORE the caller's plan can run, so
+      // every consumer reads the same pinned partitioning — the
+      // determinism argument is unchanged.
+      .localCheckpoint(eager = false)
+
+  /** One narrow scan of the checkpointed blocks collecting, per nonempty
+    * partition: row count, per-`cumSrcs` non-null sums, per-`maxCols`
+    * non-null maxes, optional contiguous group runs (`groupStr`, as
+    * strings), optional last-row (group, `lagSrc`) for lag boundaries.
+    * Replaces the old per-rank `groupBy(pid).agg(...).collect()` — same
+    * ≤P rows, but no shuffle, no extra AQE stage: a single result-stage
+    * job over the blocks the checkpoint just pinned. Values are
+    * bit-identical: LONG count/sum/max are order-independent, and the
+    * within-partition iteration order IS the pinned sort order, so "last
+    * row seen" equals the old `max_by(..., __mono)`. */
+  private def collectPartStats(sorted: DataFrame, cumSrcs: Seq[String],
+      maxCols: Seq[String], groupStr: Option[Column], lagSrc: Option[String])
+      : Array[PStats] = {
+    val probeCols: Seq[Column] = (col("__mono") +:
+      (cumSrcs.map(col) ++ maxCols.map(col))) ++
+      groupStr.map(_.cast("string")).toSeq ++ lagSrc.map(col).toSeq
+    val probe = sorted.select(probeCols: _*)
+    val nCum = cumSrcs.size
+    val nMax = maxCols.size
+    val hasG = groupStr.isDefined
+    val hasL = lagSrc.isDefined
+    val gi = 1 + nCum + nMax
+    val li = gi + (if (hasG) 1 else 0)
+    probe.queryExecution.toRdd.mapPartitionsWithIndex { (_, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var pid = -1L
+        var n = 0L
+        val sums = new Array[Long](nCum)
+        val maxSeen = new Array[Boolean](nMax)
+        val maxes = new Array[Long](nMax)
+        val groups = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        var curG: String = null
+        var curN = 0L
+        var lastG: String = null
+        var lastSet = false
+        var lastV = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          if (pid < 0) pid = r.getLong(0) >>> 33
+          n += 1
+          var i = 0
+          while (i < nCum) {
+            if (!r.isNullAt(1 + i)) sums(i) += r.getLong(1 + i)
+            i += 1
+          }
+          i = 0
+          while (i < nMax) {
+            val j = 1 + nCum + i
+            if (!r.isNullAt(j)) {
+              val v = r.getLong(j)
+              if (!maxSeen(i) || v > maxes(i)) { maxSeen(i) = true; maxes(i) = v }
+            }
+            i += 1
+          }
+          if (hasG) {
+            // group keys are guarded non-null by every caller (raise_error
+            // in the sort key fires during the exchange above)
+            val g = r.getUTF8String(gi).toString
+            if (curG == null || curG != g) {
+              if (curG != null) groups += ((curG, curN))
+              curG = g
+              curN = 0L
+            }
+            curN += 1
+            lastG = g
+          }
+          if (hasL) {
+            if (r.isNullAt(li)) lastSet = false
+            else { lastSet = true; lastV = r.getLong(li) }
+          }
+        }
+        if (curG != null) groups += ((curG, curN))
+        Iterator.single(PStats(pid, n, sums, maxSeen, maxes,
+          groups.toArray, lastG, lastSet, lastV))
+      }
+    }.collect().sortBy(_.pid)
+  }
+
   /** `df` + a 1-based global-rank column over `order` (which must be a
     * strict total order — tie-break to uniqueness, e.g. with a key col). */
   def withRank(df: DataFrame, order: Seq[Column], rankCol: String): DataFrame =
@@ -66,8 +182,6 @@ object DistRank {
     * the grand max of each long column in `maxCols`. */
   def withRankAndCum(df: DataFrame, order: Seq[Column], rankCol: String,
       cum: Seq[(String, String)], maxCols: Seq[String] = Nil): Ranked = {
-    val sess = df.sparkSession
-    val p = sess.sessionState.conf.numShufflePartitions
     val pid = shiftright(col("__mono"), 33)
     // NOTE on the range exchange's double-compute: RangePartitioner's
     // sampling pass computes the upstream chain once and the shuffle map
@@ -80,45 +194,23 @@ object DistRank {
     // expensive should pass an already-checkpointed frame (events_rfm's
     // chained ranks do exactly that — rank 2 reads rank 1's pinned
     // blocks).
-    //
-    // LAZY output checkpoint: the stats collect right below is the first
-    // action, so one job pays shuffle + sort + mono-id + block storage +
-    // the stats aggregate together (an eager checkpoint would spend a
-    // whole extra driver round-trip per rank). The collect still
-    // materializes the blocks BEFORE the caller's plan can run, so both
-    // consumers read the same pinned partitioning — the determinism
-    // argument is unchanged.
-    val sorted = df
-      .repartitionByRange(p, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("__mono", monotonically_increasing_id())
-      .localCheckpoint(eager = false)
-    val aggCols = count(lit(1)).as("__n") +:
-      (cum.map { case (src, _) => sum(col(src)).as(s"__sum_$src") } ++
-        maxCols.map(c => max(col(c)).as(s"__max_$c")))
-    // ≤ P rows: task-count-sized, never corpus-sized. Sorted DRIVER-side:
-    // an .orderBy here would add a range exchange whose RangePartitioner
-    // launches a whole extra sampling job per rank.
-    val stats = sorted.groupBy(pid.as("__pid"))
-      .agg(aggCols.head, aggCols.tail: _*)
-      .collect().sortBy(_.getLong(0))
+    val sorted = sortedFrame(df, order)
+    val stats = collectPartStats(sorted, cum.map(_._1), maxCols, None, None)
     var rows = 0L
     val sums = scala.collection.mutable.Map(cum.map(_._1 -> 0L): _*)
     val maxes = scala.collection.mutable.Map.empty[String, Long]
     val rankOff = Map.newBuilder[Long, Long]
     val cumOff = cum.map(_._1 -> Map.newBuilder[Long, Long]).toMap
-    stats.foreach { r =>
-      val id = r.getLong(0)
-      rankOff += id -> rows
-      rows += r.getLong(1)
-      cum.zipWithIndex.foreach { case ((src, _), i) =>
-        cumOff(src) += id -> sums(src)
-        sums(src) += r.getLong(2 + i)
+    stats.foreach { ps =>
+      rankOff += ps.pid -> rows
+      rows += ps.n
+      cum.map(_._1).zipWithIndex.foreach { case (src, i) =>
+        cumOff(src) += ps.pid -> sums(src)
+        sums(src) += ps.sums(i)
       }
       maxCols.zipWithIndex.foreach { case (c, i) =>
-        val j = 2 + cum.size + i
-        if (!r.isNullAt(j))
-          maxes(c) = math.max(maxes.getOrElse(c, Long.MinValue), r.getLong(j))
+        if (ps.maxSeen(i))
+          maxes(c) = math.max(maxes.getOrElse(c, Long.MinValue), ps.maxes(i))
       }
     }
     def off(m: Map[Long, Long]): Column = element_at(typedLit(m), pid)
@@ -191,35 +283,58 @@ object DistRank {
     * partitions and recovers the per-group rank as
     * `global rank − group's first global rank + 1`.
     *
-    * The group-anchor frame (min global rank + row count per group) is
-    * domain-sized by the caller's own premise and rides a broadcast join
-    * back onto the ranked rows; computing it is one map-side-combined
-    * aggregate over the already-checkpointed blocks (G result rows). The
-    * output rank column is LONG (the window form's row_number is INT —
-    * callers that compared against `.cast("long")` are unchanged).
+    * The group anchors (first global rank + row count per group) ride the
+    * SAME ≤P-row stats pass as the rank offsets (r16: they were a
+    * separate G-row aggregate + broadcast join — one whole extra shuffle
+    * + broadcast build per call for numbers the stats pass already
+    * walks): per-partition contiguous (group, run-length) segments —
+    * ≤ P + G − 1 entries total, domain-bounded by the caller's own
+    * premise — fold into gmin/count literal maps, and the rank is pure
+    * map-side arithmetic `element_at(gmin, group) …`, no join at all.
+    * The output rank column is LONG (the window form's row_number is INT
+    * — callers that compared against `.cast("long")` are unchanged).
     *
     * Contract: (group +: order) must be a strict total order (tie-break to
-    * uniqueness — same requirement as [[withRank]]), and `group` must be
-    * non-null (enforced by a codegen-resident raise_error guard, same
-    * pattern as [[withRanksPivoted]]: the broadcast join would silently
-    * drop NULL-group rows instead of ranking them).
+    * uniqueness — same requirement as [[withRank]]), `group` must be
+    * non-null (enforced by a codegen-resident raise_error guard in the
+    * sort key: a NULL group must fail loudly, not silently mis-rank), and
+    * group values must be distinct under their string form (the literal
+    * maps key by `group.cast("string")`, same convention as
+    * [[withGroupLag]]'s boundary maps — trivially true for the callers'
+    * STRING keys).
     */
   def withGroupRank(df: DataFrame, group: Column, order: Seq[Column],
       rankCol: String, cntCol: Option[String] = None): DataFrame = {
-    val reserved = Set("__gr", "__ggrp", "__gmin", "__gcnt")
+    val reserved = Set("__gr", "__mono")
     require(!df.columns.exists(reserved), s"withGroupRank: input must not " +
       s"contain reserved columns ${reserved.mkString("/")}")
     val guarded = when(group.isNull, raise_error(lit(
       "withGroupRank: NULL group key — group must be non-null (a NULL " +
-      "group would be dropped by the anchor join, not ranked)")))
+      "group cannot be anchored, only ranked wrongly)")))
       .otherwise(group)
-    val r = withRankAndCum(df, guarded.asc +: order, "__gr", Nil)
-    val anchors = r.df.groupBy(group.as("__ggrp"))
-      .agg(min(col("__gr")).as("__gmin"), count(lit(1)).as("__gcnt"))
-    val joined = r.df.join(broadcast(anchors), group === col("__ggrp"))
-      .withColumn(rankCol, col("__gr") - col("__gmin") + lit(1L))
-    val named = cntCol.fold(joined)(c => joined.withColumn(c, col("__gcnt")))
-    named.drop("__gr", "__ggrp", "__gmin", "__gcnt")
+    val sorted = sortedFrame(df, guarded.asc +: order)
+    val stats = collectPartStats(sorted, Nil, Nil, Some(group), None)
+    val rankOff = Map.newBuilder[Long, Long]
+    val gmin = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val gcnt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var pos = 0L
+    stats.foreach { ps =>
+      rankOff += ps.pid -> pos
+      ps.groups.foreach { case (g, c) =>
+        if (!gmin.contains(g)) gmin(g) = pos + 1
+        gcnt(g) = gcnt.getOrElse(g, 0L) + c
+        pos += c
+      }
+    }
+    val pid = shiftright(col("__mono"), 33)
+    val local = col("__mono").bitwiseAND(lit(LOCAL_MASK))
+    val gr = element_at(typedLit(rankOff.result()), pid) + local + lit(1L)
+    val gs = group.cast("string")
+    val ranked = sorted.withColumn(rankCol,
+      gr - element_at(typedLit(gmin.toMap), gs) + lit(1L))
+    val named = cntCol.fold(ranked)(c =>
+      ranked.withColumn(c, element_at(typedLit(gcnt.toMap), gs)))
+    named.drop("__mono")
   }
 
   /** Per-group lag(1) of long column `lagSrc` over `order` — the 100 TB
@@ -229,12 +344,13 @@ object DistRank {
     * global sort on (group +: order): within a physical partition the lag
     * is a plain window over the partition id (P groups, parallel); the ≤P
     * boundary rows (local ordinal 0) read their predecessor from a
-    * pid→(last group, last value) literal map collected per partition —
-    * the per-partition LAST row rides the same ≤P-row stats collect shape
-    * as [[withRankAndCum]] (max_by over the mono id). A lag is NULL when
-    * the predecessor row (in-partition or across the boundary) belongs to
-    * a different group, or the row is globally first — exactly the window
-    * form's semantics.
+    * pid→(last group, last value) literal map — the per-partition LAST
+    * row rides the same ≤P-row single-pass stats scan as
+    * [[withRankAndCum]] (within-partition iteration order is the pinned
+    * sort order, so "last seen" equals the old max_by over the mono id).
+    * A lag is NULL when the predecessor row (in-partition or across the
+    * boundary) belongs to a different group, or the row is globally
+    * first — exactly the window form's semantics.
     *
     * Types are pinned by the literal maps: `group` must be STRING-typed
     * and `lagSrc` LONG-typed (the two callers' shapes: event_type / epoch
@@ -274,30 +390,22 @@ object DistRank {
         !groupType.isInstanceOf[StructType],
       s"withGroupLag: group must be a string-castable atomic type (the " +
         s"boundary map literal is Map[Long, String]); found $groupType")
-    val sess = df.sparkSession
-    val p = sess.sessionState.conf.numShufflePartitions
     val pid = shiftright(col("__mono"), 33)
     val guarded = when(group.isNull, raise_error(lit(
       "withGroupLag: NULL group key — group must be non-null")))
       .otherwise(group)
-    val sorted = df
-      .repartitionByRange(p, (guarded.asc +: order): _*)
-      .sortWithinPartitions((guarded.asc +: order): _*)
-      .withColumn("__mono", monotonically_increasing_id())
-      .localCheckpoint(eager = false)
-    // ≤P rows (task-count-sized): each nonempty partition's LAST
-    // (group, lagSrc) pair, keyed by pid — the boundary predecessors.
-    val stats = sorted.groupBy(pid.as("__pid"))
-      .agg(max_by(struct(group.cast("string").as("__g"),
-        col(lagSrc).as("__v")), col("__mono")).as("__last"))
-      .collect().sortBy(_.getLong(0))
+    val sorted = sortedFrame(df, guarded.asc +: order)
+    // ≤P results (task-count-sized): each nonempty partition's LAST
+    // (group, lagSrc) pair, keyed by pid — the boundary predecessors —
+    // from the same single-pass stats scan every rank uses (r16: this was
+    // a groupBy(pid).agg(max_by(...)) — a whole extra shuffle per call).
+    val stats = collectPartStats(sorted, Nil, Nil, Some(group), Some(lagSrc))
     val prevGrp = Map.newBuilder[Long, String]
     val prevVal = Map.newBuilder[Long, Long]
     stats.sliding(2).foreach {
       case Array(prev, cur) =>
-        val last = prev.getStruct(1)
-        prevGrp += cur.getLong(0) -> last.getString(0)
-        if (!last.isNullAt(1)) prevVal += cur.getLong(0) -> last.getLong(1)
+        prevGrp += cur.pid -> prev.lastGroup
+        if (prev.lastSet) prevVal += cur.pid -> prev.lastVal
       case _ => () // 0 or 1 nonempty partitions: no boundaries to patch
     }
     val w = Window.partitionBy(pid).orderBy(col("__mono"))

