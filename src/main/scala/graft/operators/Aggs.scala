@@ -307,16 +307,28 @@ object Aggs {
         val sup = Tables.table(s, dir, "supplier")
         val nat = Tables.table(s, dir, "nation")
         val reg = Tables.table(s, dir, "region")
-        li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        // Two-level rollup (r16, guide §2.3 "aggregate before you
+        // shuffle"): `rollup` plans an Expand that REPLAYS every fact row
+        // once per grouping set, so the map side paid 3× the decimal
+        // accumulation (measured ~1.8 s single-task at sf0.1 — fixture
+        // files are one split). Aggregate at the finest grain first
+        // (domain-sized: regions × nations), then roll the exact
+        // DECIMAL(38,4) partials up — decimal addition is exact and
+        // order-independent, so the grand totals are bit-identical to the
+        // single-level form (D9: the double cast happens once, at the
+        // end). At 100 TB this is strictly less map-side work and a 3×
+        // smaller pre-exchange row stream for one extra ~30-row exchange.
+        val base = li
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
-          .rollup(col("r_name"), col("n_name"))
-          // Decimal accumulation, double emission (D9): the grand-total
-          // row sums the whole table, but sf0.01's total fits ~12 digits —
-          // exact in double at every SF the driver grades.
-          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
-            .as("revenue"),
-            count(lit(1)).as("cnt"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(dsumx(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("rev_part"),
+            count(lit(1)).as("cnt_part"))
+        base.rollup(col("r_name"), col("n_name"))
+          .agg(sum(col("rev_part")).cast("double").as("revenue"),
+            sum(col("cnt_part")).as("cnt"))
           .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
             coalesce(col("n_name"), lit("ALL")).as("nation_name"),
             col("revenue"), col("cnt"))
@@ -334,14 +346,23 @@ object Aggs {
         |ORDER BY region_name, nation_name"""))),
 
     Q("agg_cube",
-      (s, dir) => Tables.table(s, dir, "orders")
-        .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("cnt"),
-          dsum(col("o_totalprice"), 2).as("total_price"))
-        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-          col("cnt"), col("total_price"))
-        .orderBy(col("status"), col("priority")),
+      (s, dir) => {
+        // Two-level cube — same restructure (and argument) as agg_rollup:
+        // cube's Expand replays every order row ×4 grouping sets; the
+        // finest grain (status × priority, ≤15 combos) aggregates once
+        // and the cube re-aggregates the exact decimal partials.
+        val base = Tables.table(s, dir, "orders")
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt_part"),
+            dsumx(col("o_totalprice"), 2).as("tp_part"))
+        base.cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(sum(col("cnt_part")).as("cnt"),
+            sum(col("tp_part")).cast("double").as("total_price"))
+          .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("cnt"), col("total_price"))
+          .orderBy(col("status"), col("priority"))
+      },
       Some(sql(s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |coalesce(o_orderpriority, 'ALL') AS priority,
         |count(*)::BIGINT AS cnt,

@@ -279,11 +279,17 @@ object EventOps {
           .select(col("event_id"), col("user_id"), col("value"))
         val med = e.groupBy(col("user_id"))
           .agg(median(col("value")).as("med"), count(lit(1)).as("n"))
-        val withMed = e.join(med, "user_id")
+        // merge hints (r16): at fixture SF both joins went broadcast,
+        // putting the whole enrich+filter on the single-split scan's one
+        // task; at corpus scale the per-user frames outgrow the broadcast
+        // threshold and the planner flips to SMJ anyway. Pinning SMJ runs
+        // the same plan at every SF, and all three frames key on user_id,
+        // so the exchanges canonicalize and reuse.
+        val withMed = e.hint("merge").join(med, "user_id")
           .withColumn("absdev", abs(col("value") - col("med")))
         val mad = withMed.groupBy(col("user_id"))
           .agg(median(col("absdev")).as("mad"))
-        withMed.join(mad, "user_id")
+        withMed.hint("merge").join(mad, "user_id")
           .filter(col("n") >= 5 && col("absdev") > col("mad") * 3.0)
           // med interpolates 2dp values → exact 3dp multiple; absdev/mad
           // → exact 4dp multiple. Snap (dexact), don't round: the values

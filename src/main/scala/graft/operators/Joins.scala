@@ -177,7 +177,16 @@ object Joins {
           col("user_id").as("user_id"), col("ts_us").as("a_us"))
         val b = e.select(col("event_id").as("b_event_id"),
           col("user_id").as("b_user_id"), col("ts_us").as("b_us"))
-        a.join(b, col("user_id") === col("b_user_id")
+        // merge hint (r16): below the broadcast threshold the planner put
+        // the whole pair fan-out + filter on the probe side of a
+        // BroadcastHashJoin — i.e. inside the single-split scan stage,
+        // one task at fixture SF — while every grown SF flips to SMJ
+        // anyway (events outgrows the threshold). Pinning SMJ makes the
+        // fixture run the SAME plan the scale runs, and the fan-out
+        // parallelizes across the user_id exchange; both sides are one
+        // canonical projection of events, so exchange reuse ships the
+        // table once.
+        a.hint("merge").join(b, col("user_id") === col("b_user_id")
             && col("a_us") < col("b_us")
             && col("b_us") <= col("a_us") + lit(86400000000L))
           .select(col("user_id"), col("a_event_id"), col("b_event_id"),
@@ -210,7 +219,14 @@ object Joins {
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
         // o_orderdate is TIMESTAMP_NTZ; session tz is UTC, so this cast is
         // the identity mapping to the instant DuckDB's epoch_us sees.
-        e.join(o, col("user_id") === col("o_custkey")
+        // merge hint (r16): same rationale as join_range_interval — the
+        // broadcast plan ran the event×order fan-out + struct-max partial
+        // agg single-task inside the one-split events scan at fixture SF,
+        // while grown SFs flip to SMJ regardless (orders outgrows the
+        // threshold; the 300× gate ran this key as SMJ). The hint aligns
+        // the fixture plan with the scale plan and parallelizes the
+        // fan-out across the custkey exchange.
+        e.hint("merge").join(o, col("user_id") === col("o_custkey")
             && unix_micros(col("o_orderdate").cast("timestamp")) <= col("ts_us"))
           .groupBy(col("event_id"), col("user_id"))
           .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))

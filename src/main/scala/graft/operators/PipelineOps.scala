@@ -271,15 +271,21 @@ object PipelineOps {
               |  i -> concat(element_at(w, i), ' ',
               |              element_at(w, i + 1)))""".stripMargin))
             .as("b"))
-        val cs = bg.groupBy(col("b")).agg(count(lit(1)).as("cs"))
-        val ct = bg.filter(col("lang") === "en")
-          .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-        val ns = bg.agg(count(lit(1)).as("ns"))
-        val nt = bg.filter(col("lang") === "en")
-          .agg(count(lit(1)).as("nt"))
+        // r16 (guide §2.3/§1.2 "don't compute things twice"): cs/ct were
+        // two separate aggregations and ns/nt two separate scalar
+        // aggregates — four full tokenize+explode passes over documents
+        // plus the probe's fifth (Catalyst never dedups shared subtrees).
+        // One conditional aggregation produces cs AND ct (ct = 0 instead
+        // of the old left-join NULL — identical after the coalesce), and
+        // one scalar aggregate produces ns AND nt: 5 corpus passes → 3,
+        // one join instead of two, same values.
+        val csct = bg.groupBy(col("b")).agg(count(lit(1)).as("cs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        val nsnt = bg.agg(count(lit(1)).as("ns"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
         val dec = org.apache.spark.sql.types.DecimalType(19, 0)
-        bg.join(cs, "b").join(ct, Seq("b"), "left")
-          .crossJoin(broadcast(ns)).crossJoin(broadcast(nt))
+        bg.join(csct, "b")
+          .crossJoin(broadcast(nsnt))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
             sum(coalesce(col("ct"), lit(0L)).cast(dec) * col("ns").cast(dec)
