@@ -265,6 +265,20 @@ object Det {
   /** Normalize a multi-line oracle SQL literal to one line (keeps
     * oracle_sql.json single-line-safe and diffs readable). */
   def sql(s: String): String = s.stripMargin.trim.replaceAll("\\s+", " ")
+
+  /** Total-order a DOMAIN-BOUNDED result without a range exchange (r16,
+    * guide §2.4): the final `orderBy` of a group-domain aggregate plans a
+    * rangepartitioning exchange whose RangePartitioner pays a whole
+    * sampling job + an extra AQE stage — pure fixed cost (~0.1–0.2 s/key
+    * on this host) on a frame that is tiny at ANY scale (the row count is
+    * bounded by a key domain, e.g. returnflag×linestatus = 6, never by
+    * the corpus). `coalesce(1)` is a narrow dependency — no exchange, no
+    * sampling — and the in-partition sort yields the identical total
+    * order. ONLY for domain-bounded frames; row-level outputs keep the
+    * parallel range sort (a single-task global sort over corpus-sized
+    * data is the classic 100 TB anti-pattern). */
+  def orderedDomain(df: DataFrame, cols: Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
 }
 
 /** Write-once-then-read temp-parquet materialization, shared by every

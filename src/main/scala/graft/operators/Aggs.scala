@@ -46,7 +46,8 @@ object Aggs {
         davg(col("l_extendedprice"), 2).as("avg_price"),
         davg(col("l_discount"), 2).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .transform(df => orderedDomain(df,
+        col("l_returnflag"), col("l_linestatus")))
   }
 
   val q1Oracle: String = sql(s"""
@@ -84,7 +85,7 @@ object Aggs {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.02)
           .as("approx_users"))
-        .orderBy(col("event_type")),
+        .transform(df => orderedDomain(df, col("event_type"))),
       None),
 
     // Mergeable-sketch shard pattern: one DataSketches HLL per source
@@ -113,7 +114,7 @@ object Aggs {
         per.select(col("source"), col("exact_distinct"),
             hll_sketch_estimate(col("sk")).as("hll_est"))
           .unionByName(merged)
-          .orderBy(col("source"))
+          .transform(df => orderedDomain(df, col("source")))
       },
       None),
 
@@ -136,7 +137,7 @@ object Aggs {
           .unionByName(sw
             .agg(countDistinct(col("word")).as("exact_distinct"))
             .select(lit("__ALL__").as("source"), col("exact_distinct")))
-          .orderBy(col("source"))
+          .transform(df => orderedDomain(df, col("source")))
       },
       Some(sql("""WITH sw AS (
         |  SELECT DISTINCT source, word FROM (
@@ -332,7 +333,8 @@ object Aggs {
           .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
             coalesce(col("n_name"), lit("ALL")).as("nation_name"),
             col("revenue"), col("cnt"))
-          .orderBy(col("region_name"), col("nation_name"))
+          .transform(df => orderedDomain(df,
+            col("region_name"), col("nation_name")))
       },
       Some(sql(s"""SELECT coalesce(r_name, 'ALL') AS region_name,
         |coalesce(n_name, 'ALL') AS nation_name,
@@ -361,7 +363,8 @@ object Aggs {
           .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
             coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
             col("cnt"), col("total_price"))
-          .orderBy(col("status"), col("priority"))
+          .transform(df => orderedDomain(df,
+            col("status"), col("priority")))
       },
       Some(sql(s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |coalesce(o_orderpriority, 'ALL') AS priority,
@@ -425,7 +428,8 @@ object Aggs {
         .agg((dsum(col("l_extendedprice") * col("l_quantity"), 4)
           / dsum(col("l_quantity"), 2)).as("qty_weighted_price"),
           dsum(col("l_quantity"), 2).as("total_qty"))
-        .orderBy(col("l_returnflag"), col("l_linestatus")),
+        .transform(df => orderedDomain(df,
+          col("l_returnflag"), col("l_linestatus"))),
       Some(sql(s"""SELECT l_returnflag, l_linestatus,
         |(${sqlDsum("l_extendedprice * l_quantity", 4)}
         | / ${sqlDsum("l_quantity", 2)}) AS qty_weighted_price,
@@ -457,7 +461,7 @@ object Aggs {
             round((n * sxy - sx * sy)
               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 8)
               .as("corr_qty_price"))
-          .orderBy(col("l_returnflag"))
+          .transform(df => orderedDomain(df, col("l_returnflag")))
       },
       Some(sql(s"""SELECT l_returnflag, count(*)::BIGINT AS cnt,
         |round((${sqlDsum("l_quantity * l_extendedprice", 4)} -
@@ -509,7 +513,7 @@ object Aggs {
         .groupBy(col("metric"))
         .agg(count(lit(1)).as("cnt"), dsum(col("val"), 2).as("sum_val"),
           min(col("val")).as("min_val"), max(col("val")).as("max_val"))
-        .orderBy(col("metric")),
+        .transform(df => orderedDomain(df, col("metric"))),
       Some(sql(s"""WITH long AS (
         |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
         |  UNION ALL

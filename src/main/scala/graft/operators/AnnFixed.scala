@@ -238,7 +238,8 @@ object AnnFixed {
     // IVF-flat with the fixed codebook: probe 2 of 4 lists, exact cosine
     // over the probed lists' vectors, top-3 per query.
     Q("vec_ann_ivf_fixed",
-      (s, dir) => ivfFixedTop3(s, dir).orderBy(col("q_id"), col("rn")),
+      (s, dir) => Det.orderedDomain(ivfFixedTop3(s, dir),
+        col("q_id"), col("rn")),
       Some(sql(s"""WITH $sqlNormed,
         |$sqlCoarseCb,
         |$sqlAssign,
@@ -264,7 +265,7 @@ object AnnFixed {
           .join(docs, "neighbor_id")
           .select(col("q_id"), col("rn"), col("neighbor_id"),
             col("cos_sim"), col("lang"), col("source"), col("n_chars"))
-          .orderBy(col("q_id"), col("rn"))
+          .transform(df => Det.orderedDomain(df, col("q_id"), col("rn")))
       },
       Some(sql(s"""WITH $sqlNormed,
         |$sqlCoarseCb,
@@ -310,7 +311,7 @@ object AnnFixed {
             coalesce(col("n_hits"), lit(0L)).as("n_hits"),
             round(coalesce(col("n_hits"), lit(0L)).cast("double")
               / lit(3.0).cast("double"), 6).as("recall_r6"))
-          .orderBy(col("q_id"))
+          .transform(df => Det.orderedDomain(df, col("q_id")))
       },
       Some(sql(s"""WITH $sqlNormed,
         |$sqlCoarseCb,
@@ -388,7 +389,7 @@ object AnnFixed {
           .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
             col("list_id").cast("long").as("list_id"), col("approx_sim"),
             col("cos_sim"))
-          .orderBy(col("q_id"), col("rn"))
+          .transform(df => Det.orderedDomain(df, col("q_id"), col("rn")))
       },
       Some(sql(s"""WITH $sqlNormed,
         |$sqlCoarseCb,

@@ -26,7 +26,8 @@ object EventOps {
         .agg(count(lit(1)).as("cnt"), dsum(col("value"), 2).as("sum_value"))
         .select(second(col("w.start")).as("hour_start"), col("event_type"),
           col("cnt"), col("sum_value"))
-        .orderBy(col("hour_start"), col("event_type")),
+        .transform(df => Det.orderedDomain(df,
+          col("hour_start"), col("event_type"))),
       Some(sql(s"""SELECT
         |${sqlSecond("date_trunc('hour', ts::TIMESTAMP)")} AS hour_start,
         |event_type, count(*)::BIGINT AS cnt,
@@ -44,7 +45,7 @@ object EventOps {
         .agg(count(lit(1)).as("cnt"), dsum(col("value"), 2).as("sum_value"))
         .select(second(col("w.start")).as("window_start"), col("cnt"),
           col("sum_value"))
-        .orderBy(col("window_start")),
+        .transform(df => Det.orderedDomain(df, col("window_start"))),
       Some(sql(s"""SELECT
         |${sqlSecond("time_bucket(INTERVAL 15 MINUTE, ts::TIMESTAMP) " +
           "- k * INTERVAL 15 MINUTE")} AS window_start,
@@ -183,7 +184,7 @@ object EventOps {
         .agg(countDistinct(col("user_id")).as("dau"),
           count(lit(1)).as("events"),
           dsum(col("value"), 2).as("day_value"))
-        .orderBy(col("day")),
+        .transform(df => Det.orderedDomain(df, col("day"))),
       Some(sql(s"""SELECT ${sqlDay("ts::TIMESTAMP")} AS day,
         |count(DISTINCT user_id)::BIGINT AS dau,
         |count(*)::BIGINT AS events,
@@ -237,7 +238,7 @@ object EventOps {
           .groupBy(day(col("wk")).as("week_start"))
           .agg(countDistinct(col("user_id")).as("active_users"),
             countDistinct(col("n_user")).as("retained_users"))
-          .orderBy(col("week_start"))
+          .transform(df => Det.orderedDomain(df, col("week_start")))
       },
       Some(sql(s"""WITH uw AS (
         |  SELECT DISTINCT user_id,
@@ -259,7 +260,7 @@ object EventOps {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
           dsum(col("value"), 2).as("sum_value"))
-        .orderBy(col("c_mktsegment")),
+        .transform(df => Det.orderedDomain(df, col("c_mktsegment"))),
       Some(sql(s"""SELECT c_mktsegment, count(*)::BIGINT AS cnt,
         |CAST(sum(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT)
         |  AS sum_k,
@@ -337,7 +338,8 @@ object EventOps {
             Window.partitionBy(col("from_type"))))
           .select(col("from_type"), col("to_type"), col("cnt"),
             (col("cnt").cast("double") / col("from_total")).as("prob"))
-          .orderBy(col("from_type"), col("to_type"))
+          .transform(df => Det.orderedDomain(df,
+            col("from_type"), col("to_type")))
       },
       Some(sql(s"""WITH seq AS (
         |  SELECT user_id, event_type,
@@ -546,7 +548,8 @@ object EventOps {
             col("m"))
           .select(col("event_type"), day(col("d")).as("day"),
             coalesce(element_at(col("m"), col("d")), lit(0L)).as("cnt"))
-          .orderBy(col("event_type"), col("day"))
+          .transform(df => Det.orderedDomain(df,
+            col("event_type"), col("day")))
       },
       Some(sql(s"""WITH span AS (
         |  SELECT min(ts::TIMESTAMP)::DATE AS d0,

@@ -901,7 +901,7 @@ object PipelineOps {
               .as("token_share"),
             sqrt(col("n_tokens").cast("double") / col("tot").cast("double"))
               .as("mix_weight_a05"))
-          .orderBy(col("source"))
+          .transform(df => Det.orderedDomain(df, col("source")))
       },
       Some(sql("""WITH per AS (
         |  SELECT source, count(*)::BIGINT AS n_docs,
@@ -2459,7 +2459,7 @@ object PipelineOps {
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
         col("list_id").cast("long").as("list_id"), col("cos_sim"))
-      .orderBy(col("q_id"), col("rn"))
+      .transform(df => Det.orderedDomain(df, col("q_id"), col("rn")))
   }
 
   /** IVF-PQ search (Jégou et al., PAMI 2011): coarse IVF lists bound the
@@ -2586,6 +2586,6 @@ object PipelineOps {
       .select(col("q_id"), col("rn"), col("vec_id").as("neighbor_id"),
         col("list_id").cast("long").as("list_id"), col("approx_sim"),
         col("cos_sim"))
-      .orderBy(col("q_id"), col("rn"))
+      .transform(df => Det.orderedDomain(df, col("q_id"), col("rn")))
   }
 }

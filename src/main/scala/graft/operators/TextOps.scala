@@ -125,7 +125,7 @@ object TextOps {
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 20)
           .select(col("lang"), col("rn"), col("bigram"), col("cnt"))
-          .orderBy(col("lang"), col("rn"))
+          .transform(df => orderedDomain(df, col("lang"), col("rn")))
       },
       Some(sql("""WITH grams AS (
         |  SELECT lang, ws[k] || ' ' || ws[k + 1] AS bigram

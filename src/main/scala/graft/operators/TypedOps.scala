@@ -65,7 +65,8 @@ object TypedOps {
             col("sum_disc_price"), col("sum_charge"),
             col("avg_qty"), col("avg_price"),
             col("avg_disc"), col("count_order"))
-          .orderBy(col("l_returnflag"), col("l_linestatus"))
+          .transform(df => Det.orderedDomain(df,
+            col("l_returnflag"), col("l_linestatus")))
       },
       // Same semantics, same oracle as the untyped flagship.
       Some(Aggs.q1Oracle)),

@@ -118,7 +118,8 @@ object VecOps {
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
           .select(col("label"), col("rn"), col("vec_id"), col("cos_sim"))
-          .orderBy(col("label"), col("rn"))
+          .transform(df => Det.orderedDomain(df,
+            col("label"), col("rn")))
       },
       Some(sql(s"""WITH comps AS (
         |  SELECT label,
@@ -180,7 +181,8 @@ object VecOps {
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 5)
           .select(col("q_id"), col("rn"), col("vec_id"), col("cos_sim"))
-          .orderBy(col("q_id"), col("rn"))
+          .transform(df => Det.orderedDomain(df,
+            col("q_id"), col("rn")))
       },
       Some(sql(s"""WITH q AS (
         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
