@@ -184,9 +184,44 @@ object Tables {
   * distance from their round-N decision boundaries.
   */
 object Det {
-  /** Snap a fixed-scale-decimal double to its exact value (per row). */
+  /** Snap a fixed-scale-decimal double to its exact value (per row).
+    * BigDecimal-rounding path (HALF_UP on the double's exact decimal
+    * expansion) — required when the input is NOT exact at `scale`
+    * (percentile interpolations, medians at their own scale): such values
+    * can sit arbitrarily close to a half-grid point, where the fast
+    * [[dexactf]] double-arithmetic rounding could legitimately differ. */
   def dexact(c: Column, scale: Int): Column =
     c.cast(DecimalType(18, scale)).cast("double")
+
+  /** Fast [[dexact]] for inputs EXACT at `scale` (the fixture decimal
+    * columns and their products — r17, guide §4): one double multiply +
+    * floor replaces the per-row double→BigDecimal snap (Spark's
+    * double→decimal cast routes through Double.toString — measured ~10×
+    * the cost of the arithmetic it guards). floor(x·10^s + 0.5) equals
+    * the decimal HALF_UP snap whenever x·10^s stays ≥ ~1 ulp away from a
+    * half-grid point — exact-at-scale data sits within 1e-9·|x| of the
+    * grid itself, never near a midpoint (same precondition [[dsum]]
+    * always had). The long units (exact below 2^53) cast to double
+    * exactly and the single /10^s division is correctly rounded, so the
+    * emitted double is bit-identical to the decimal(18,s)→double cast of
+    * the same rational. Requires |x|·10^s < 2^51 (the fixtures' largest
+    * is price² at scale 4 ≈ 1.2e14 < 2^51 ≈ 2.3e15; magnitudes don't
+    * grow with corpus size — only row counts do). */
+  def dexactf(c: Column, scale: Int): Column =
+    units(c, scale).cast("double") / lit(math.pow(10, scale))
+
+  /** value·10^scale as an exact long — the shared unit-extraction of the
+    * fast decimal family ([[dexactf]]/[[dsum]]/[[dsumx]]). Positive and
+    * negative values alike: floor(±a + ε + 0.5) = ±a for |ε| < 0.5.
+    * The factor and the 0.5 are DECIMAL literals: a double input promotes
+    * them to double (constant-folded — the fast path is pure double
+    * multiply + floor), while a DECIMAL-typed input keeps exact decimal
+    * arithmetic end to end, so decimal addends past 2^53 unscaled units
+    * still extract their exact units (EdgeCaseSpec pins that D9 boundary
+    * with 17-significant-digit decimal rows). */
+  private def units(c: Column, scale: Int): Column =
+    floor(c * lit(java.math.BigDecimal.valueOf(10).pow(scale))
+      + lit(new java.math.BigDecimal("0.5")))
 
   /** SQL twin of [[dexact]] — VARCHAR-routed so the decimal→double step
     * is a single rounding even past 2^53 unscaled units (see the D9
@@ -196,13 +231,35 @@ object Det {
 
   /** Exact, order-independent sum of a fixed-scale-decimal double column.
     * `scale` must be ≥ the expression's intrinsic decimal scale (e.g. 4 for
-    * price(2dp) × discount-complement(2dp)); exactness only holds then.
-    * Rows snap at precision 28 so the sum accumulates at DECIMAL(38, s) in
-    * both engines (Spark widens p+10; DuckDB sums decimals at 38 digits):
-    * ~1e32 headroom at s=6 — clears a 1e13-row × 1e5-magnitude 100-TB sum
-    * by 14 orders of magnitude (the (18,s)→(28,s) widening VERDICT r2 #5
-    * asked for). */
+    * price(2dp) × discount-complement(2dp)); exactness only holds then —
+    * inputs NOT exact at `scale` must use [[dsumSnap]].
+    * The sum accumulates at DECIMAL(38) in both engines (Spark widens
+    * p+10; DuckDB sums decimals at 38 digits): ~1e32 headroom at s=6 —
+    * clears a 1e13-row × 1e5-magnitude 100-TB sum by 14 orders of
+    * magnitude.
+    *
+    * r17 fast path (guide §4 — expression cost in the hot map stage):
+    * rows used to snap via cast(x as DECIMAL(28,s)), which routes every
+    * row through Double.toString + BigDecimal parse AND makes the
+    * accumulator add take Decimal's non-compact BigDecimal branch.
+    * [[units]] extracts the identical integer with one double multiply +
+    * floor; the scale-0 longs then sum on Decimal's compact long-add fast
+    * path, and ONE exact ×10^-scale per group restores the DECIMAL(38, s)
+    * sum — bit-identical value and type, ~10× less per-row work
+    * (agg_corr_cov map stage 1.7→0.4 s measured). Same exactness
+    * precondition as the snap always had, plus |x|·10^s < 2^51 (fixture
+    * max is price² at scale 4 ≈ 1.2e14; magnitudes don't grow with
+    * corpus size — only row counts do). */
   def dsum(c: Column, scale: Int = 2): Column =
+    dsumx(c, scale).cast("double")
+
+  /** BigDecimal-rounding variant of [[dsum]] for inputs NOT exact at
+    * `scale` (transcendental chains: entropy's c·ln c, pagerank mass at
+    * 12dp). Keeps the original per-row cast-to-decimal snap, whose
+    * HALF_UP rounding on the double's exact expansion is the pinned
+    * cross-engine semantic for values that can approach half-grid
+    * points. */
+  def dsumSnap(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(28, scale))).cast("double")
 
   /** [[dsum]] WITHOUT the final cast back to double — the result stays
@@ -222,7 +279,8 @@ object Det {
     * [[sqlDsum]]/[[sqlDexact]], which keeps every decimal→double
     * emission single-rounded on both engines at any magnitude. */
   def dsumx(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(28, scale)))
+    sum(units(c, scale).cast(DecimalType(28, 0))) *
+      lit(new java.math.BigDecimal(java.math.BigInteger.ONE, scale))
 
   /** SQL twin of [[dsumx]] (DuckDB sum(DECIMAL(28, s)) is DECIMAL(38, s),
     * matching Spark's p+10 widening exactly). */

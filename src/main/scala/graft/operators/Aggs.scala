@@ -550,8 +550,10 @@ object Aggs {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_sources"),
           sum(col("c")).as("n_docs"),
+          // c·ln c is transcendental — NOT exact at 6dp, so the snap-sum
+          // (BigDecimal HALF_UP) stays; the fast dsum is for exact inputs.
           round(log(sum(col("c"))) -
-            dsum(col("c") * log(col("c")), 6) / sum(col("c")), 6)
+            dsumSnap(col("c") * log(col("c")), 6) / sum(col("c")), 6)
             .as("entropy_r6"))
         .orderBy(col("lang")),
       Some(sql(s"""WITH cs AS (

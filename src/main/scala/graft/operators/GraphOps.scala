@@ -75,7 +75,10 @@ object GraphOps {
           val contrib = ranks
             .join(edgesDf, ranks("node") === edgesDf("from_type"))
             .groupBy(col("to_type"))
-            .agg(dsum(col("r") * col("p"), 12).as("c"))
+            // r·p is a derived-double chain — NOT exact at 12dp, so the
+            // snap-sum (BigDecimal HALF_UP) stays (fast dsum is for
+            // exact-at-scale inputs only).
+            .agg(dsumSnap(col("r") * col("p"), 12).as("c"))
           ranks = nodesDf
             .join(contrib, nodesDf("node") === contrib("to_type"), "left")
             .select(col("node"),

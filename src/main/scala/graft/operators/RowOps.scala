@@ -19,7 +19,9 @@ object RowOps {
     Q("project_arithmetic",
       (s, dir) => Tables.table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          dexact(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          // exact at 6dp → fast units snap (r17, guide §4): same double,
+          // ~10× less per-row work than the BigDecimal-routed cast
+          dexactf(col("l_extendedprice") * (lit(1) - col("l_discount"))
             * (lit(1) + col("l_tax")), 6).as("net_price"))
         // (l_orderkey, l_linenumber) is NOT unique in the fixtures — D1
         // total order spans all emitted columns (see Scans scaladoc).

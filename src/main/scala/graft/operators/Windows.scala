@@ -314,8 +314,10 @@ object Windows {
     // pre-agg + join-back = 4 fact-sized exchanges); this shape moves
     // the old plan's bytes (~0.6 GB at 100×) with bucket-domain
     // parallelism. Value arithmetic rides EXACT LONG CENTS:
-    // value.cast(decimal(28,2))·100 → long is exact, and cents stay
-    // under 2⁵³ through ~9e13 currency units of corpus total — the
+    // floor(value·100 + 0.5) recovers the exact cents (value is exact at
+    // 2dp — r17, the Det.units idiom; previously a decimal(28,2) snap
+    // ·100 → long, same integer), and cents stay under 2⁵³ through
+    // ~9e13 currency units of corpus total — the
     // final /100.0 double division is then correctly-rounded from the
     // same rational in both engines (bit-identical; oracle unchanged).
     // For a stream hot enough that one (type, day) outgrows a task,
@@ -334,8 +336,12 @@ object Windows {
           .select(col("event_id"), col("event_type"), col("ts_us"),
             col("e.is_probe").as("is_probe"), col("e.t").as("t"),
             expr(s"e.t DIV ${bucketUs}L").as("bkt"),
+            // exact long cents via one double multiply + floor (r17 — the
+            // Det.units idiom): value is exact at 2dp, so floor(v·100+0.5)
+            // is the same integer the decimal snap produced, without the
+            // per-row Double.toString→BigDecimal route
             when(col("e.is_probe") === 0,
-              (col("value").cast("decimal(28,2)") * 100).cast("long"))
+              floor(col("value") * 100 + lit(0.5)))
               .otherwise(0L).as("vc"),
             when(col("e.is_probe") === 0, 1L).otherwise(0L).as("one"))
         val inBkt = Window.partitionBy(col("event_type"), col("bkt"))
