@@ -1561,17 +1561,12 @@ object PipelineOps {
         val corpus = docs.filter(col("source") =!= "src1")
         val corpusHashes = corpus
           .select(sha2(col("text"), 256).as("h")).distinct()
-        val corpusIds = corpus.select(col("doc_id").as("o"))
-        // symmetric view of strong candidate pairs: (d, other) both ways,
-        // keep d when d is a batch doc paired with a corpus doc
-        val cands = TextOps.neardupCandidates(s, dir)
-          .filter(col("est_jaccard") >= 0.875)
-        val nearDrops = cands
-          .select(col("doc_a").as("d"), col("doc_b").as("o"))
-          .unionByName(cands
-            .select(col("doc_b").as("d"), col("doc_a").as("o")))
-          .join(corpusIds, "o")
-          .select(col("d").as("doc_id")).distinct()
+        // strong (>= 14/16 minima) batch-x-corpus drops in ONE pass over
+        // the capped band buckets (r17): the old symmetric view expanded
+        // the full candidate-pair subtree twice (unionByName of both
+        // directions) and joined a corpus-id frame to keep cross-boundary
+        // pairs — see TextOps.neardupBatchDrops for the equivalence.
+        val nearDrops = TextOps.neardupBatchDrops(s, dir, minMatch = 14)
         batch
           .withColumn("h", sha2(col("text"), 256))
           .join(corpusHashes, Seq("h"), "left_anti")

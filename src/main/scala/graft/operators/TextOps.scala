@@ -37,19 +37,100 @@ object TextOps {
     * corpus scale that shuffle is the sketch cost). Values are identical:
     * same xxhash64 per shingle, same per-doc minima.
     */
-  private def sketches(s: SparkSession, dir: String): DataFrame = {
+  private def sketches(s: SparkSession, dir: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val cc = carry.map(col)
     val mhExprs = (0 until NUM_HASHES).map(i =>
       expr(s"array_min(transform(sh, x -> xxhash64($i, x)))"))
     Tables.table(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id") +: cc :+ split(col("text"), " ").as("w"): _*)
       .withColumn("sh", expr(
         """array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)),
           |  i -> concat_ws(' ', element_at(w, i),
           |                 element_at(w, least(i + 1, size(w))),
           |                 element_at(w, least(i + 2, size(w))))))"""
           .stripMargin))
-      .select(col("doc_id"), array(mhExprs: _*).as("mh"))
+      .select(col("doc_id") +: cc :+ array(mhExprs: _*).as("mh"): _*)
   }
+
+  /** Capped LSH band buckets over [[sketches]]:
+    * (band, band_hash, ms = array<struct<doc_id [, carry…], mh>>) with
+    * 2 ≤ |ms| ≤ 1000. One hash aggregate replaces the r16 shape's
+    * sort+window+filter (run on BOTH sides of the pair self-join — AQE
+    * reused the band exchange but re-ran the cap above it per side) and
+    * the join itself: within-bucket pairs are enumerated from the member
+    * array (guide §2.3/§2.4 — the capped bucket bounds the array at 1000
+    * members / ≤½M pairs, so per-row memory is bounded at any corpus
+    * size). Size-1 buckets produce no pairs and are dropped before the
+    * explode; the ≤1000 cap is the same degenerate-bucket skew guard as
+    * before (bucket size counts ALL corpus rows, batch and corpus alike).
+    * collect_list order varies with partial-aggregation order, but every
+    * consumer folds the array into an order-invariant pair SET
+    * (least/greatest-normalized ids, symmetric minima counts), so
+    * results are deterministic. */
+  private def bandBuckets(s: SparkSession, dir: String,
+      carry: Seq[String] = Nil): DataFrame =
+    sketches(s, dir, carry)
+      .select(col("doc_id") +: carry.map(col) :+ col("mh") :+ posexplode(expr(
+        s"""transform(sequence(0, ${NUM_HASHES / BAND_ROWS - 1}),
+           |  b -> xxhash64(b, element_at(mh, b * $BAND_ROWS + 1),
+           |                element_at(mh, b * $BAND_ROWS + 2)))"""
+          .stripMargin)).as(Seq("band", "band_hash")): _*)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(
+        struct(col("doc_id") +: carry.map(col) :+ col("mh"): _*)).as("ms"))
+      .filter(size(col("ms")).between(2, 1000))
+
+  /** Shared pair-enumeration lambda: all unordered within-bucket pairs
+    * (positions i < j of the member array), id-normalized — `est` is the
+    * matching-minima COUNT expression over member structs `x`/`y`
+    * (integer; divided by [[NUM_HASHES]] at the emit site). */
+  private def bandPairsExpr(nHashes: Int, estCnt: String): String =
+    s"""flatten(transform(ms, (x, i) ->
+       |  transform(slice(ms, i + 2, size(ms)), y -> named_struct(
+       |    'doc_a', least(x.doc_id, y.doc_id),
+       |    'doc_b', greatest(x.doc_id, y.doc_id),
+       |    'est_jaccard', cast($estCnt as double) / $nHashes))))"""
+      .stripMargin
+
+  /** xxhash-sketch matching-minima count for [[bandPairsExpr]]. */
+  private val mhMatchCnt: String =
+    """aggregate(zip_with(x.mh, y.mh, (u, v) -> if(u = v, 1, 0)),
+      |  0, (acc, v) -> acc + v)""".stripMargin
+
+  /** Shared batch-drop lambda: for every strong within-bucket pair
+    * (≥ `minMatch` matching minima), emit the batch-side doc_id of a
+    * cross-boundary (batch × corpus) pair — nothing for batch×batch or
+    * corpus×corpus pairs. est ≥ m/n on the exact k/n double is exactly
+    * k ≥ m, so the integer compare matches the old double filter. */
+  private def batchDropsExpr(matchCnt: String, minMatch: Int,
+      batchSrc: String): String =
+    s"""flatten(transform(ms, (x, i) ->
+       |  flatten(transform(slice(ms, i + 2, size(ms)), y ->
+       |    IF(($matchCnt) >= $minMatch,
+       |      filter(array(
+       |        IF(x.source = '$batchSrc' AND y.source <> '$batchSrc',
+       |           x.doc_id, CAST(NULL AS BIGINT)),
+       |        IF(y.source = '$batchSrc' AND x.source <> '$batchSrc',
+       |           y.doc_id, CAST(NULL AS BIGINT))),
+       |        e -> e IS NOT NULL),
+       |      array())))))""".stripMargin
+
+  /** doc_ids of BATCH docs (source = `batchSrc`) forming a strong
+    * (≥ `minMatch` of [[NUM_HASHES]] minima) banded candidate pair with a
+    * corpus doc — the incremental-dedup drop set in ONE pass over the
+    * capped buckets. The r16 shape expanded the full candidate-pair
+    * subtree TWICE (a symmetric unionByName) and joined a corpus-id
+    * frame to keep cross-boundary pairs; here each bucket emits the
+    * batch-side ids of its strong cross-boundary pairs directly.
+    * Equivalence: the old symmetric view also carried ids of CORPUS docs
+    * paired with corpus docs — no-ops through the batch anti-join this
+    * feeds — and est ≥ m/n on the exact k/n double is exactly k ≥ m. */
+  private[operators] def neardupBatchDrops(s: SparkSession, dir: String,
+      minMatch: Int, batchSrc: String = "src1"): DataFrame =
+    bandBuckets(s, dir, carry = Seq("source")).select(explode(expr(
+      batchDropsExpr(mhMatchCnt, minMatch, batchSrc))).as("doc_id"))
+      .distinct()
 
   val qs: Seq[Q] = Seq(
     Q("text_wordcount",
@@ -397,18 +478,10 @@ object TextOps {
         val corpusHashes = docs.filter(col("source") =!= "src1")
           .select(sha2(col("text"), 256).as("h")).distinct()
         // `source` rides the signature pipeline (see cwSignatures.carry)
-        // instead of a doc_id enrichment join: the join exchanged BOTH
-        // the banded-signature corpus and the docs projection at 300x
-        // grown — the key's dominant shuffle — for a column the scan
-        // already had in hand.
-        val cs = cwCappedBands(s, dir, carry = Seq("source"))
-        val xb = cs.filter(col("source") === "src1").drop("source")
-        val yc = cs.filter(col("source") =!= "src1").drop("source")
-        val nearDrops = xb.as("x").join(yc.as("y"),
-            col("x.band") === col("y.band")
-              && col("x.bkey") === col("y.bkey"))
-          .filter(cwEstJaccard >= 0.875)
-          .select(col("x.doc_id").as("doc_id")).distinct()
+        // instead of a doc_id enrichment join (r16); the batch×corpus
+        // candidate join over capped bands is now the one-pass bucket
+        // drop extraction (r17 — see cwBatchDrops/bandBuckets).
+        val nearDrops = cwBatchDrops(s, dir, minMatch = 7)
         batch
           .withColumn("h", sha2(col("text"), 256))
           .join(corpusHashes, Seq("h"), "left_anti")
@@ -570,48 +643,45 @@ object TextOps {
     sh.groupBy(col("doc_id") +: cc: _*).agg(minCols.head, minCols.tail: _*)
   }
 
-  /** Banded, bucket-capped signature rows (doc_id, mh0..7, band, bkey) —
-    * the candidate-generation half shared by [[cwBandPairs]] and the
-    * incremental key's cross-boundary join. Same skew guard as
-    * `neardupCandidates`: buckets over 1000 docs are dropped before any
-    * pair join, so within-bucket all-pairs work is bounded regardless of
-    * data degeneracy. */
-  private def cwCappedBands(s: SparkSession, dir: String,
+  /** Capped CW band buckets: (band, bkey, ms = array<struct<doc_id
+    * [, carry…], mh0..mh7>>), 2 ≤ |ms| ≤ 1000 — the CW twin of
+    * [[bandBuckets]] (see its scaladoc for the r17 shape rationale and
+    * the order-invariance argument). */
+  private def cwBuckets(s: SparkSession, dir: String,
       carry: Seq[String] = Nil): DataFrame = {
     val sig = cwSignatures(s, dir, carry)
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         (col(s"mh${2 * b}") * CW_P + col(s"mh${2 * b + 1}")).as("bkey")))
-    val bands = sig.withColumn("bk", explode(array(bandStructs: _*)))
-      .select(col("doc_id") +: carry.map(col) ++:
-        (0 until 8).map(i => col(s"mh$i")) :+
-        col("bk.band").as("band") :+ col("bk.bkey").as("bkey"): _*)
-    bands
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bkey"))))
-      .filter(col("bsz") <= 1000)
-      .drop("bsz")
+    sig.withColumn("bk", explode(array(bandStructs: _*)))
+      .groupBy(col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .agg(collect_list(struct(
+        col("doc_id") +: carry.map(col) ++:
+          (0 until 8).map(i => col(s"mh$i")): _*)).as("ms"))
+      .filter(size(col("ms")).between(2, 1000))
   }
 
-  /** Fraction of the 8 minhash minima two banded rows share. */
-  private def cwEstJaccard: Column =
-    (0 until 8).map(i =>
-      when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / 8
+  /** Matching-minima COUNT of two CW member structs `x`/`y` (of 8). */
+  private val cwMatchCnt: String =
+    (0 until 8).map(i => s"IF(x.mh$i = y.mh$i, 1, 0)").mkString(" + ")
 
-  /** Banded pair join over [[cwSignatures]]: (doc_a, doc_b, est_jaccard),
-    * deduped. */
+  /** Banded pair enumeration over [[cwBuckets]]:
+    * (doc_a, doc_b, est_jaccard), deduped. */
   private[operators] def cwBandPairs(
-      s: SparkSession, dir: String): DataFrame = {
-    val capped = cwCappedBands(s, dir)
-    capped.as("x").join(capped.as("y"),
-        col("x.band") === col("y.band")
-          && col("x.bkey") === col("y.bkey")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        cwEstJaccard.as("est_jaccard"))
+      s: SparkSession, dir: String): DataFrame =
+    cwBuckets(s, dir).select(
+      explode(expr(bandPairsExpr(8, cwMatchCnt))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.est_jaccard").as("est_jaccard"))
       .distinct()
-  }
+
+  /** CW twin of [[neardupBatchDrops]]: batch doc_ids in a ≥ `minMatch`-
+    * of-8 banded pair with a corpus doc, one pass over [[cwBuckets]]. */
+  private[operators] def cwBatchDrops(s: SparkSession, dir: String,
+      minMatch: Int, batchSrc: String = "src1"): DataFrame =
+    cwBuckets(s, dir, carry = Seq("source")).select(explode(expr(
+      batchDropsExpr(cwMatchCnt, minMatch, batchSrc))).as("doc_id"))
+      .distinct()
 
   /** Oracle CTE twins of [[cwSignatures]] (`ws`, `sh`, `sig`). */
   private def sqlCwSigCtes: String =
@@ -667,27 +737,10 @@ object TextOps {
     * load-bearing at corpus scale.
     */
   private[operators] def neardupCandidates(
-      s: SparkSession, dir: String): DataFrame = {
-    val bands = sketches(s, dir).select(col("doc_id"), col("mh"),
-      posexplode(expr(
-        s"""transform(sequence(0, ${NUM_HASHES / BAND_ROWS - 1}),
-           |  b -> xxhash64(b, element_at(mh, b * $BAND_ROWS + 1),
-           |                element_at(mh, b * $BAND_ROWS + 2)))"""
-          .stripMargin)).as(Seq("band", "band_hash")))
-    val capped = bands
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("band_hash"))))
-      .filter(col("bsz") <= 1000)
-      .drop("bsz")
-    capped.as("x").join(capped.as("y"),
-        col("x.band") === col("y.band")
-          && col("x.band_hash") === col("y.band_hash")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        (aggregate(zip_with(col("x.mh"), col("y.mh"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (a, x) => a + x).cast("double") / NUM_HASHES)
-          .as("est_jaccard"))
+      s: SparkSession, dir: String): DataFrame =
+    bandBuckets(s, dir).select(
+      explode(expr(bandPairsExpr(NUM_HASHES, mhMatchCnt))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.est_jaccard").as("est_jaccard"))
       .distinct()
-  }
 }
