@@ -122,6 +122,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietBenignWarnings()
     // Native functions + rewrites active from the first warmup plan, so
     // every timed query runs the same plan it ran during warmup.
     plans.GraftFunctions.register(spark)
@@ -395,7 +396,18 @@ object Bench {
         "\"probe_sql_2stage_sec\": %.3f}".formatLocal(
           java.util.Locale.ROOT, probe2Stage))
         ++ detail.result()).mkString("{\n", ",\n", "\n}\n"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver parses this line from stdout; r15's PERF comparison was
+    // lost to a driver-side stdout-tail parse failure (VERDICT r16 task
+    // 9), so ALSO write the line verbatim to a tracked file — a stdout
+    // truncation can then never orphan the round-over-round comparison.
+    // Same routing discipline as the detail file: a filtered or
+    // non-anchor run must not clobber the anchor's line.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(detailPath.replaceFirst(
+        "^bench_detail", "bench_line")), line + "\n")
+    println(line)
     spark.stop()
   }
 }

@@ -47,6 +47,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietBenignWarnings()
     // GRAFT_SKIP_EXT=1/true: bisect plan-time cost of the injected
     // optimizer rules/strategy. Caveat: the vec_*/pq/dedup builders call
     // GraftFunctions.register themselves (they need graft_dot), so for

@@ -42,6 +42,7 @@ object Phase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietBenignWarnings()
     plans.GraftFunctions.register(spark)
     val keys = sys.env.get("GRAFT_PHASE_KEYS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -29,6 +29,7 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietBenignWarnings()
     plans.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
     keys.foreach { k =>

@@ -74,6 +74,24 @@ object Sessions {
     * Runs OUTSIDE every timed region (Bench calls it before each
     * sample's t0; Verify between key writes).
     */
+  /** Silence two benign-but-flooding executor warnings (r17, VERDICT r16
+    * noise item): every audited unpartitioned window in the registry sits
+    * on a domain-bounded post-aggregate (PlanSpec's single-partition
+    * sweep is the structural guarantee), yet WindowExec warns per plan —
+    * hundreds of lines per Verify/test run that bury real warnings; the
+    * DistRank localCheckpoint unpersist warning is likewise by-design
+    * (each key rebuilds its own blocks). Log level only — no behavior
+    * change. Called by the mains after setLogLevel. */
+  def quietBenignWarnings(): Unit =
+    try {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        org.apache.logging.log4j.Level.ERROR)
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rdd.MapPartitionsRDD",
+        org.apache.logging.log4j.Level.ERROR)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   def releaseKeyState(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))

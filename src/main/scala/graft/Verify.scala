@@ -72,6 +72,7 @@ object Verify {
       // schema — no session-wide legacy conf needed here.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietBenignWarnings()
     // Native functions + rewrites (graft_dot, TopKPerGroup) active for the
     // whole run — plan choice must not depend on query iteration order.
     plans.GraftFunctions.register(spark)

@@ -652,6 +652,85 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("registry sweep: every coalesce(1) dominates an aggregate " +
+      "(orderedDomain misuse fence)") {
+    // r17 guardrail (VERDICT r16 "What's wrong" #1): Det.orderedDomain =
+    // coalesce(1) + in-partition sort is exchange-free and correct ONLY
+    // on domain-bounded frames — applied to a row-level output it
+    // recreates the classic single-task global sort, and coalesce(1)
+    // additionally collapses the UPSTREAM stage's parallelism (a narrow
+    // dependency pulls the whole lineage into one task). The convention
+    // was guarded by comments alone; this sweep makes it structural:
+    // every CoalesceExec(1) in every registry plan must dominate an
+    // aggregate (or limit) through row-preserving nodes. Grouped
+    // aggregates are accepted — the domain-boundedness of the grouping
+    // keys is the call site's documented premise (the fact-sized-exchange
+    // sweep below audits those keys separately); what this fence rejects
+    // is coalesce(1) straight over a scan, join, generate, or any other
+    // row-preserving/expanding chain with no aggregation at all.
+    import org.apache.spark.sql.execution.{SparkPlan, LocalLimitExec, CollectLimitExec, GlobalLimitExec, TakeOrderedAndProjectExec, CoalesceExec, FileSourceScanExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def physical(df: org.apache.spark.sql.DataFrame): SparkPlan =
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    // Every leaf-ward path from the coalesce must cross an aggregate (or
+    // limit) before touching a file scan: an aggregate's output is the
+    // caller-audited domain frame; joins/generates/unions of such frames
+    // stay domain-sized, while a parquet scan reachable with NO aggregate
+    // in between means corpus-proportional rows in one task. Leaves that
+    // are not file scans (literal tables, DistRank's pinned checkpoint
+    // reads — themselves post-aggregate by construction) pass.
+    def aggBeforeScan(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case _: LocalLimitExec | _: GlobalLimitExec | _: CollectLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      // per-group top-k (row_number ≤ k, rewritten by Spark or by graft's
+      // native TopKPerGroup): bounds rows to k × group domain — the same
+      // domain premise grouped aggregates carry (vec_knn_per_label's
+      // per-label top-3)
+      case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        true
+      case _: graft.plans.TopKPartialExec | _: graft.plans.TopKFinalExec =>
+        true
+      case _: FileSourceScanExec => false
+      case q => q.children.forall(aggBeforeScan)
+    }
+    // Allowlisted with a domain-size justification (same discipline as
+    // the single-partition sweep): the ANN/probe family coalesces a frame
+    // whose one scan-rooted side is a FIXED probe set (q_id ∈ 8 literal
+    // ids — a pushed-down IN filter, not an aggregate), joined to
+    // aggregated/limited candidates.
+    val allow: Map[String, String] = Map(
+      "vec_ann_brute" -> "probe side = 8 fixed q_ids (pushed IN filter)",
+      "vec_ann_ivf" -> "probe side = 8 fixed q_ids",
+      "vec_ann_ivf_fixed" -> "probe side = 8 fixed q_ids",
+      "vec_ann_ivfpq" -> "probe side = 8 fixed q_ids",
+      "vec_ann_ivfpq_fixed" -> "probe side = 8 fixed q_ids",
+      "pipeline_semantic_search" -> "probe side = 8 fixed q_ids",
+      "pipeline_eval_recall" -> "probe side = 8 fixed q_ids")
+    val offending = Registry.all.flatMap { q =>
+      val bad = physical(q.build(spark, sf)).collect {
+        case c: CoalesceExec if c.numPartitions == 1 &&
+          !aggBeforeScan(c.child) => c.child.nodeName
+      }
+      if (bad.nonEmpty && !allow.contains(q.key)) Some(q.key -> bad.distinct)
+      else None
+    }
+    assert(offending.isEmpty,
+      "coalesce(1) over a non-aggregated (potentially corpus-sized) " +
+        "frame — use a parallel range sort or aggregate first:\n" +
+        offending.mkString("\n"))
+    allow.keys.foreach { k =>
+      val has = physical(Registry.queries(k)(spark, sf)).collect {
+        case c: CoalesceExec if c.numPartitions == 1 => c }.nonEmpty
+      assert(has, s"$k is allowlisted but plans no coalesce(1) — remove " +
+        "the stale entry")
+    }
+  }
+
   test("registry sweep: no fact-sized exchange partitioned on a " +
       "domain-bounded key") {
     // r14 structural fence (VERDICT r13 task 2): the single-partition
