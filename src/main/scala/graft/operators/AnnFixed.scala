@@ -619,11 +619,32 @@ object AnnFixed {
     // with repartition(shard).sortWithinPartitions(hk).write.
     Q("pipeline_pretokenize",
       (s, dir) => {
+        // Checkpoint the curated train split ONCE (r17, guide §3.3 /
+        // §2.4): this plan consumes `kept` three times — the vocab
+        // rank's range sort evaluates its input twice (RangePartitioner
+        // sampling + shuffle map) and the tokenize-join side once more —
+        // and without a lineage cut each evaluation replayed the ENTIRE
+        // curate chain (documents gates + sha256 canonical agg + the SRP
+        // band window + pair join over embeddings: 15 parquet scans and
+        // 41 Exchanges in the one main plan, plus the same chain twice
+        // again inside the eager rank). One eager localCheckpoint
+        // materializes the (doc_id, text) survivors and every pass reads
+        // the pinned blocks — at 100 TB the curated corpus is stored
+        // once (MEMORY_AND_DISK, spills gracefully; a production
+        // pretokenizer persists this exact frame as the curation
+        // output) instead of re-shuffling the corpus 3×. The word-count
+        // aggregate gets the same cut: vocabulary-sized (types, not
+        // tokens — Heaps' law keeps it ≪ corpus), and it spares the
+        // rank's second full tokenize pass. Results are byte-identical:
+        // a checkpoint pins the same rows the plan produced.
         val kept = curateKept(s, dir).filter(col("split") === "train")
           .select(col("doc_id"), col("text"))
+          .localCheckpoint()
         val tokens = kept.select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-        val vocab = PipelineOps.vocabOf(tokens)
+        val vocab = PipelineOps.vocabOfCounts(
+          tokens.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+            .localCheckpoint())
         val chunks = tokens.join(broadcast(vocab), "word")
           .groupBy(col("doc_id"))
           .agg(expr(

@@ -54,8 +54,16 @@ object PipelineOps {
     * two-phase rank is bit-identical ((cnt desc, word) is a strict total
     * order — word is unique) with no single-partition exchange. */
   private[graft] def vocabOf(tokens: DataFrame): DataFrame =
-    DistRank.withRank(
-      tokens.groupBy(col("word")).agg(count(lit(1)).as("cnt")),
+    vocabOfCounts(tokens.groupBy(col("word")).agg(count(lit(1)).as("cnt")))
+
+  /** [[vocabOf]] over a pre-aggregated `(word, cnt)` frame — the single
+    * place the ranking rule (cnt desc, word asc, 1-based) lives. Callers
+    * whose token source is expensive to recompute checkpoint the counts
+    * frame first (pipeline_pretokenize — r17, guide §3.3: DistRank's
+    * range sort evaluates its input twice, sampling + shuffle map, and
+    * without the cut each evaluation replayed the whole curate chain). */
+  private[graft] def vocabOfCounts(counts: DataFrame): DataFrame =
+    DistRank.withRank(counts,
       Seq(col("cnt").desc, col("word").asc), "id")
       .select(col("word"), col("id"))
 
