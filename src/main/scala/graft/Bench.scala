@@ -38,6 +38,18 @@ object Bench {
       }
     }
 
+  /** Where the verbatim stdout JSON line is persisted (VERDICT r16 task
+    * 9), derived from the detail path so the routing discipline matches:
+    * rename the basename's "bench_detail" prefix to "bench_line", or —
+    * when a GRAFT_BENCH_DETAIL override doesn't carry that prefix —
+    * suffix ".line", so the line file can never overwrite the detail
+    * file it annotates (r17 fix: the anchored replaceFirst was a no-op
+    * on such overrides and the line clobbered the detail). */
+  def linePathFor(detailPath: String): String =
+    if (new java.io.File(detailPath).getName.startsWith("bench_detail"))
+      detailPath.replaceFirst("bench_detail(?=[^/]*$)", "bench_line")
+    else detailPath + ".line"
+
   /** Key selection shared by main() and ScaleGuardSpec: apply the ONLY
     * include filter, then the EXCLUDE set. Unknown names in EITHER fail
     * loudly — a typo that silently benched zero keys (or silently failed
@@ -403,10 +415,9 @@ object Bench {
     // 9), so ALSO write the line verbatim to a tracked file — a stdout
     // truncation can then never orphan the round-over-round comparison.
     // Same routing discipline as the detail file: a filtered or
-    // non-anchor run must not clobber the anchor's line.
+    // non-anchor run must not clobber the anchor's line (see linePathFor).
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(detailPath.replaceFirst(
-        "^bench_detail", "bench_line")), line + "\n")
+      java.nio.file.Paths.get(linePathFor(detailPath)), line + "\n")
     println(line)
     spark.stop()
   }

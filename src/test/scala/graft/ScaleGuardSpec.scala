@@ -300,6 +300,32 @@ class ScaleGuardSpec extends AnyFunSuite {
       "/root/testdata/../testdata/sf0.1") === "bench_detail.json")
   }
 
+  test("bench line-path routing: the stdout-line copy can never clobber " +
+      "the detail file it annotates") {
+    // r17: the original anchored replaceFirst("^bench_detail", …) was a
+    // no-op on GRAFT_BENCH_DETAIL overrides whose basename doesn't start
+    // with "bench_detail" — the line was then written to the DETAIL path,
+    // silently destroying the per-key metrics it was meant to accompany.
+    import graft.Bench.linePathFor
+    assert(linePathFor("bench_detail.json") === "bench_line.json")
+    assert(linePathFor("bench_detail_partial.json")
+      === "bench_line_partial.json")
+    assert(linePathFor("bench_detail_sf0.001.json")
+      === "bench_line_sf0.001.json")
+    assert(linePathFor("target/sfx/bench_detail_grown.json")
+      === "target/sfx/bench_line_grown.json")
+    // override without the prefix: suffix, never overwrite
+    assert(linePathFor("/tmp/pretok30.json") === "/tmp/pretok30.json.line")
+    // a DIRECTORY named bench_detail* must not be rewritten — only the
+    // basename routes
+    assert(linePathFor("/tmp/bench_detail_runs/x.json")
+      === "/tmp/bench_detail_runs/x.json.line")
+    // every line path differs from its detail path, by construction
+    Seq("bench_detail.json", "x.json", "/a/b.json").foreach { p =>
+      assert(linePathFor(p) !== p)
+    }
+  }
+
   test("bench key selection: EXCLUDE drops keys, typos in ONLY/EXCLUDE " +
       "fail loudly") {
     // r15 (VERDICT r14 task 5): scale_sweep.sh enforces the exactness-tier
