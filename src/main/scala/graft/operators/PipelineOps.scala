@@ -1654,14 +1654,29 @@ object PipelineOps {
       .select(explode(split(col("text"), " ")).as("word"))
     def bucket(j: Int, w: String) =
       s"(${whExpr(s"concat('$j|', $w)")} % $width)"
-    val counters = (0 until depth).map { j =>
-      tokens
-        .select(lit(j).as("row_id"), expr(bucket(j, "word")).as("bucket"))
-        .groupBy(col("row_id"), col("bucket"))
-        .agg(count(lit(1)).as("c"))
-    }.reduce(_ unionByName _)
+    // ONE corpus tokenize+aggregate feeds everything (r17, guide §2.3):
+    // the counter rows used to re-explode the corpus per depth row and
+    // md5 EVERY TOKEN (depth× corpus-sized hash passes); deriving them
+    // from the per-word counts — sum(true_cnt) grouped by the word's
+    // bucket ≡ count of tokens in the bucket, exact BIGINTs — hashes
+    // each word TYPE once (vocabulary-sized, Heaps' law ≪ corpus).
+    // The word counts are CHECKPOINTED, not shared lazily: the depth+1
+    // consumers carry different inferred isnotnull(bucket) join filters,
+    // which Catalyst pushes below the aggregate into each subtree — the
+    // exchanges stop canonicalizing equal, reuse never fires, and the
+    // corpus was still tokenized depth+1 times WITH a per-token md5 in
+    // the pushed filter (measured in the plan). The pinned blocks make
+    // the corpus pass run once and every bucket hash vocabulary-sized.
     val words = tokens.groupBy(col("word"))
       .agg(count(lit(1)).as("true_cnt"))
+      .localCheckpoint()
+    val counters = (0 until depth).map { j =>
+      words
+        .select(lit(j).as("row_id"), expr(bucket(j, "word")).as("bucket"),
+          col("true_cnt"))
+        .groupBy(col("row_id"), col("bucket"))
+        .agg(sum(col("true_cnt")).as("c"))
+    }.reduce(_ unionByName _)
     val withBuckets = (0 until depth).foldLeft(words) { (df, j) =>
       df.withColumn(s"b$j", expr(bucket(j, "word")))
     }
