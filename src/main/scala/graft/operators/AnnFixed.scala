@@ -715,13 +715,26 @@ object AnnFixed {
     // curate family {full, incremental} alongside the dedup matrix.
     Q("pipeline_curate_incremental",
       (s, dir) => {
+        // The batch canonical picks its min-doc_id row per sha256 class
+        // via min_by in the same pass as the probe (the curateKept
+        // shape), keeping h for the corpus anti-join instead of
+        // re-hashing the text: the old groupBy(h).agg(min) + left-semi
+        // probe was one extra full gate pass (and a second corpus
+        // shuffle at scale where the canonical-id set outgrows any
+        // broadcast). The pool itself stays LAZY — a localCheckpoint of
+        // the gated survivors (tried r17) lost 15% on min_sec at 30×
+        // grown: the materialization barrier plus the pinned frame's low
+        // read parallelism cost more than the two remaining gate passes
+        // it saves (the gate is a scan-fused map with no exchange, and
+        // its three remaining consumers prune columns differently).
         val pool = curatePool(s, dir)
         val bpool = pool.filter(col("source") === "src1")
         val cpool = pool.filter(col("source") =!= "src1")
         val batchCanonical = bpool
           .groupBy(sha2(col("text"), 256).as("h"))
-          .agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"))
+          .agg(min_by(struct(bpool.columns.map(col): _*),
+            col("doc_id")).as("r"))
+          .select(col("h"), col("r.*"))
         val corpusHashes = cpool
           .select(sha2(col("text"), 256).as("h")).distinct()
         val cs = srpCappedWith(s, dir, "source")
@@ -737,9 +750,7 @@ object AnnFixed {
             && col("bsig") === col("y_bsig"))
           .filter(dot(col("ua"), col("ub")) >= 0.35)
           .select(col("a_id").as("doc_id")).distinct()
-        withSplit(bpool
-          .join(batchCanonical, Seq("doc_id"), "left_semi")
-          .withColumn("h", sha2(col("text"), 256))
+        withSplit(batchCanonical
           .join(corpusHashes, Seq("h"), "left_anti")
           .join(nearDrops, Seq("doc_id"), "left_anti"))
           .select(col("doc_id"), col("lang"), col("source"),
@@ -1027,9 +1038,15 @@ object AnnFixed {
   }
 
   /** The quality/lang-gated candidate pool (gates only — no dedup):
-    * the stage `curateKept` and `pipeline_curate_incremental` share. */
+    * the stage `curateKept` and `pipeline_curate_incremental` share,
+    * projected to the six columns every consumer uses. Lazy — each
+    * consumer decides whether to pin it (`pipeline_curate_incremental`
+    * references it three ways and checkpoints; `curateKept` consumes it
+    * exactly once since the min_by canonicalization). */
   private def curatePool(s: SparkSession, dir: String): DataFrame =
     gateQuality(Tables.table(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        col("n_tokens"), col("qscaled"))
 
   /** Train/val/test assignment (sample_hash_bucket's md5 bucket). */
   private def withSplit(d: DataFrame): DataFrame = d
@@ -1042,12 +1059,21 @@ object AnnFixed {
 
   private def curateKept(s: SparkSession, dir: String): DataFrame = {
     val pool = curatePool(s, dir)
-    val exactCanonical = pool
+    // Exact canonicalization in ONE pool pass (r17, guide §2.3/§2.4):
+    // min_by keeps the min-doc_id row of every sha256 duplicate class
+    // directly — the old `groupBy(h).agg(min(doc_id))` + left-semi probe
+    // replayed the whole gate chain (scan + tokenize) a second time for
+    // the probe side, and at scale the semi-join degraded to a second
+    // corpus shuffle (the canonical-id set is nearly |pool|, far past any
+    // broadcast). One hash aggregate, map-side partials collapse
+    // duplicate texts before the exchange, doc_id is unique so min_by is
+    // deterministic; the surviving rows are identical by construction.
+    val canonical = pool
       .groupBy(sha2(col("text"), 256).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    withSplit(pool
-      .join(exactCanonical, Seq("doc_id"), "left_semi")
+      .agg(min_by(struct(pool.columns.map(col): _*),
+        col("doc_id")).as("r"))
+      .select(col("r.*"))
+    withSplit(canonical
       .join(srpNearDrops(s, dir), Seq("doc_id"), "left_anti"))
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         col("n_tokens"), col("qscaled"), col("split"))

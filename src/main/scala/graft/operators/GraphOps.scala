@@ -66,26 +66,38 @@ object GraphOps {
         val edges = tc.collect { case (f, Some(t), c) =>
           (f, t, c.toDouble / outW(f).toDouble)
         }.toSeq
-        val outRows = nodes.map(t => (t, outW.getOrElse(t, 0L)))
-        val nodesDf = nodes.map(Tuple1(_)).toDF("node")
-        val edgesDf = edges.toDF("from_type", "to_type", "p")
-        val outDf = outRows.toDF("node", "out_events")
-        var ranks = nodesDf.withColumn("r", lit(1.0 / n))
+        // The 3-round iteration runs HERE, on the collected domain-sized
+        // edge table (r17, guide §1.2/§2.4 — the DistRank literal-map
+        // precedent): the previous DataFrame loop re-planned two joins +
+        // one aggregate per round over ≤|types|-row literal frames — ~13
+        // pure-dispatch jobs at ANY scale, since everything after the one
+        // fact pass is domain-sized by construction. Each step replicates
+        // the retired plan's arithmetic exactly: the per-node sum snaps
+        // every r·p term to DECIMAL(28,12) HALF_UP (what dsumSnap's
+        // double→decimal cast does — java BigDecimal.valueOf is the same
+        // shortest-repr route), adds exactly (decimal addition is
+        // order-free), and emits via doubleValue — the identical
+        // single-rounded decimal→double cast.
+        val hu = java.math.RoundingMode.HALF_UP
+        var rank: Map[String, Double] = nodes.map(t => t -> 1.0 / n).toMap
         for (_ <- 1 to 3) {
-          val contrib = ranks
-            .join(edgesDf, ranks("node") === edgesDf("from_type"))
-            .groupBy(col("to_type"))
-            // r·p is a derived-double chain — NOT exact at 12dp, so the
-            // snap-sum (BigDecimal HALF_UP) stays (fast dsum is for
-            // exact-at-scale inputs only).
-            .agg(dsumSnap(col("r") * col("p"), 12).as("c"))
-          ranks = nodesDf
-            .join(contrib, nodesDf("node") === contrib("to_type"), "left")
-            .select(col("node"),
-              (lit(0.15) / lit(n.toDouble)
-                + lit(0.85) * coalesce(col("c"), lit(0.0))).as("r"))
+          val sums = scala.collection.mutable.Map.empty[
+            String, java.math.BigDecimal]
+          for ((f, t, p) <- edges) {
+            val term = java.math.BigDecimal.valueOf(rank(f) * p)
+              .setScale(12, hu)
+            sums.updateWith(t)(prev => Some(
+              prev.map(_.add(term)).getOrElse(term)))
+          }
+          rank = nodes.map { t =>
+            val c = sums.get(t).map(_.doubleValue).getOrElse(0.0)
+            t -> (0.15 / n.toDouble + 0.85 * c)
+          }.toMap
         }
-        ranks.join(outDf, "node")
+        // round(r, 6) stays a Spark expression on the literal doubles so
+        // the final snap is the very same Round codepath as before.
+        nodes.map(t => (t, outW.getOrElse(t, 0L), rank(t)))
+          .toDF("node", "out_events", "r")
           .select(col("node"), col("out_events"),
             round(col("r"), 6).as("rank_r6"))
           .orderBy(col("node"))

@@ -230,6 +230,14 @@ object TextOps {
         val docs = Tables.table(s, dir, "documents")
         val tokens = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        // tf feeds both the df dictionary build and the scoring join's
+        // probe side, so the corpus is tokenized twice per run. Measured
+        // r17 and deliberately KEPT lazy: a localCheckpoint of the
+        // (doc_id, word, tf) frame (the countmin/pretokenize treatment)
+        // won +7% at sf0.1 but lost 27% on min_sec at 30× grown — the
+        // pinned-frame materialization barrier costs more than the saved
+        // tokenize pass once the pair frame outgrows the fixture, and
+        // unlike pretokenize there is no third consumer to amortize it.
         val tf = tokens.groupBy(col("doc_id"), col("word"))
           .agg(count(lit(1)).as("tf"))
         val df = tf.groupBy(col("word"))
