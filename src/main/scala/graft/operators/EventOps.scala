@@ -231,13 +231,25 @@ object EventOps {
           .select(col("user_id"),
             date_trunc("week", col("ts_t")).as("wk"))
           .distinct()
-        val nxt = uw.select(col("user_id").as("n_user"),
-          col("wk").as("n_wk"))
-        uw.join(nxt, col("user_id") === col("n_user")
-            && col("n_wk") === col("wk") + expr("INTERVAL 7 DAYS"), "left")
+        // Week-over-week retention via ONE lead window instead of the
+        // oracle's self-join (r17, guide §2.3/§2.4): uw is distinct per
+        // (user, week), so the user's next active week is lead(wk) and
+        // "has a wk+7 row" ⟺ lead(wk) = wk + 7d — the join evaluated
+        // the whole distinct subtree twice and matched at most one row.
+        // The aggregate then needs no count(DISTINCT …) (each user
+        // appears once per week group by construction), which deletes
+        // the Expand-based two-column multi-distinct: count(*) is
+        // active_users and counting the retained flag is
+        // retained_users; count skips the NULL lead of each user's
+        // last week exactly like countDistinct skipped the unmatched
+        // join's NULLs. Values identical; oracle keeps the self-join.
+        uw.withColumn("retained",
+            lead(col("wk"), 1).over(Window.partitionBy(col("user_id"))
+              .orderBy(col("wk")))
+              === col("wk") + expr("INTERVAL 7 DAYS"))
           .groupBy(day(col("wk")).as("week_start"))
-          .agg(countDistinct(col("user_id")).as("active_users"),
-            countDistinct(col("n_user")).as("retained_users"))
+          .agg(count(lit(1)).as("active_users"),
+            count(when(col("retained"), lit(1))).as("retained_users"))
           .transform(df => Det.orderedDomain(df, col("week_start")))
       },
       Some(sql(s"""WITH uw AS (
